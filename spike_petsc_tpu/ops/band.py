@@ -1,0 +1,188 @@
+"""Banded matrix storage and core operations (TPU-native layout).
+
+The reference stores banded approximations as general sparse AIJ matrices and
+re-extracts them per run (`MatCreateSubMatrixBanded`,
+/root/reference/src/matbanded.c:22-107).  On TPU we instead keep a dense
+*diagonal-offset* layout
+
+    data[i, d] == A[i, i + d - kl]   for d in [0, kl + ku],
+
+i.e. row ``i`` of ``data`` holds the in-band entries of row ``i`` of ``A``
+left-aligned at offset ``-kl``.  Out-of-range positions are zero.  This layout
+
+* is a single contiguous ``[n, w]`` array in HBM (``w = kl + ku + 1``),
+* turns SpMV into ``w`` shifted axpys (or one gather + row reduction),
+* reshapes for free into block-tridiagonal form (see ``blocktri.py``) whose
+  factorization runs on the MXU as batched ``b x b`` matmuls.
+
+Everything here is jittable; host-side sparse preprocessing lives in
+``spike_petsc_tpu.sparse``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandedMatrix:
+    """Banded matrix in diagonal-offset storage.
+
+    Attributes:
+      data: ``[n, kl + ku + 1]`` array; ``data[i, d] = A[i, i + d - kl]``.
+      kl:   number of subdiagonals (static).
+      ku:   number of superdiagonals (static).
+    """
+
+    data: jax.Array
+    kl: int = field(metadata=dict(static=True))
+    ku: int = field(metadata=dict(static=True))
+
+    @property
+    def n(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.kl + self.ku + 1
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+
+# ---------------------------------------------------------------------------
+# Construction / conversion
+# ---------------------------------------------------------------------------
+
+def banded_from_dense(a: jax.Array, kl: int, ku: int) -> BandedMatrix:
+    """Extract the [-kl, ku] band of a dense matrix into offset storage."""
+    n = a.shape[0]
+    rows = jnp.arange(n)[:, None]
+    offs = jnp.arange(-kl, ku + 1)[None, :]
+    cols = rows + offs
+    valid = (cols >= 0) & (cols < n)
+    data = jnp.where(valid, a[rows, jnp.clip(cols, 0, n - 1)], 0)
+    return BandedMatrix(data=data, kl=kl, ku=ku)
+
+
+def banded_to_dense(b: BandedMatrix) -> jax.Array:
+    n, kl, ku = b.n, b.kl, b.ku
+    rows = jnp.arange(n)[:, None]
+    offs = jnp.arange(-kl, ku + 1)[None, :]
+    cols = rows + offs
+    valid = (cols >= 0) & (cols < n)
+    a = jnp.zeros((n, n), b.dtype)
+    return a.at[rows, jnp.clip(cols, 0, n - 1)].add(jnp.where(valid, b.data, 0))
+
+
+def banded_from_coo(rows, cols, vals, n: int, kl: int, ku: int,
+                    dtype=None) -> BandedMatrix:
+    """Scatter COO triplets into band storage; out-of-band entries dropped.
+
+    Jittable analogue of the copy loop in the reference's banded extraction
+    (/root/reference/src/matbanded.c:84-99).
+    """
+    rows = jnp.asarray(rows)
+    cols = jnp.asarray(cols)
+    vals = jnp.asarray(vals, dtype=dtype)
+    off = cols - rows + kl
+    inband = (off >= 0) & (off <= kl + ku)
+    w = kl + ku + 1
+    # route out-of-band entries to a scratch row that we drop afterwards
+    r = jnp.where(inband, rows, n)
+    d = jnp.where(inband, off, 0)
+    data = jnp.zeros((n + 1, w), vals.dtype).at[r, d].add(vals)
+    return BandedMatrix(data=data[:n], kl=kl, ku=ku)
+
+
+def banded_transpose(b: BandedMatrix) -> BandedMatrix:
+    """Transpose in band storage: A^T[i, i+d] = A[i+d, i].
+
+    data_T[i, ku - d'] with row shifts; implemented via dense-free gather.
+    """
+    n, kl, ku = b.n, b.kl, b.ku
+    w = b.width
+    rows = jnp.arange(n)[:, None]
+    offs = jnp.arange(-ku, kl + 1)[None, :]           # transposed band widths swap
+    src_row = rows + offs                             # A^T[i, i+d] = A[i+d, i]
+    src_off = -offs + kl                              # column i = (i+d) + (i - (i+d)) -> offset -d
+    valid = (src_row >= 0) & (src_row < n)
+    data = jnp.where(
+        valid,
+        b.data[jnp.clip(src_row, 0, n - 1), src_off],
+        0,
+    )
+    return BandedMatrix(data=data, kl=ku, ku=kl)
+
+
+# ---------------------------------------------------------------------------
+# Matvec
+# ---------------------------------------------------------------------------
+
+def banded_matvec(b: BandedMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for band storage.
+
+    One gather builds the ``[n, w]`` window matrix, then a fused row-reduction
+    multiply — XLA keeps this in one HBM pass (vs. the reference's
+    row-by-row MatMult through PETSc AIJ).
+    Supports trailing batch dims on x of shape [n] or [n, nrhs].
+    """
+    n, kl, ku = b.n, b.kl, b.ku
+    w = b.width
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    xp = jnp.pad(x, ((kl, ku), (0, 0)))
+    idx = jnp.arange(n)[:, None] + jnp.arange(w)[None, :]
+    windows = xp[idx]                                  # [n, w, nrhs]
+    y = jnp.einsum("nw,nwr->nr", b.data, windows)
+    return y[:, 0] if squeeze else y
+
+
+def banded_matvec_t(b: BandedMatrix, x: jax.Array) -> jax.Array:
+    """y = A^T @ x."""
+    return banded_matvec(banded_transpose(b), x)
+
+
+def banded_diagonal(b: BandedMatrix) -> jax.Array:
+    """Main diagonal of A (MatGetDiagonal equivalent,
+    /root/reference/src/testbed.c:223)."""
+    return b.data[:, b.kl]
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics
+# ---------------------------------------------------------------------------
+
+def banded_bandwidth(b: BandedMatrix, tol: float = 0.0) -> tuple:
+    """Effective (kl, ku) of the stored band: the largest offsets with any
+    entry of magnitude > tol.  Mirrors MatComputeBandwidth
+    (/root/reference/src/testbed.c:209)."""
+    mask = jnp.abs(b.data) > tol
+    any_off = jnp.any(mask, axis=0)                    # [w]
+    offs = jnp.arange(-b.kl, b.ku + 1)
+    kl_eff = jnp.max(jnp.where(any_off, -offs, 0))
+    ku_eff = jnp.max(jnp.where(any_off, offs, 0))
+    return kl_eff, ku_eff
+
+
+def pad_banded(b: BandedMatrix, n_pad: int, unit_diagonal: bool = True) -> BandedMatrix:
+    """Pad to ``n_pad`` rows; padding rows get a unit diagonal so the padded
+    operator stays nonsingular (identity on the padding subspace)."""
+    if n_pad == b.n:
+        return b
+    extra = n_pad - b.n
+    pad = jnp.zeros((extra, b.width), b.dtype)
+    if unit_diagonal:
+        pad = pad.at[:, b.kl].set(1)
+    return BandedMatrix(data=jnp.concatenate([b.data, pad], axis=0), kl=b.kl, ku=b.ku)
+
+
+def banded_from_numpy_dense(a: np.ndarray, kl: int, ku: int) -> BandedMatrix:
+    return banded_from_dense(jnp.asarray(a), kl, ku)

@@ -1,0 +1,255 @@
+"""Block-tridiagonal representation and factorization — the MXU compute core.
+
+Design note (TPU-first): a banded matrix with half-bandwidths kl, ku <= b is
+*exactly* a block-tridiagonal matrix with dense ``b x b`` blocks.  Classic
+banded LU (what PETSc's LU does on the extracted band the reference builds in
+/root/reference/src/matbanded.c:165-192) is a scalar recurrence over rows —
+hostile to the MXU.  Block-Thomas factorization instead does, per block row,
+
+    F_i = L_i @ inv(S_{i-1}),     S_i = D_i - F_i @ U_{i-1},
+
+i.e. two ``b x b`` matmuls and one small factorization, and the whole sweep is
+a ``lax.scan`` of batched MXU matmuls.  Within-block partial pivoting (inside
+``inv``/``lu_factor``) gives *better* stability than strict no-pivot banded
+LU, while the block structure keeps zero fill outside the band blocks.
+
+With ``b`` padded to 128 this is speed-of-light work for the MXU; SPIKE
+(``spike.py``) then batches K independent such sweeps over the partition axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from .band import BandedMatrix, pad_banded
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockTridiagonal:
+    """Blocks of a block-tridiagonal matrix.
+
+    D[i] is the diagonal block, L[i] couples block-row i to block i-1
+    (L[0] == 0), U[i] couples block-row i to block i+1 (U[nb-1] == 0).
+    """
+
+    D: jax.Array  # [nb, b, b]
+    L: jax.Array  # [nb, b, b]
+    U: jax.Array  # [nb, b, b]
+
+    @property
+    def nb(self) -> int:
+        return self.D.shape[0]
+
+    @property
+    def b(self) -> int:
+        return self.D.shape[-1]
+
+    @property
+    def dtype(self):
+        return self.D.dtype
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockTriFactor:
+    """Block-Thomas factorization state (a pytree; safe to jit through).
+
+    method == "inv": Sinv holds explicit Schur-complement inverses; solves are
+    pure batched matmuls (fastest on MXU).
+    method == "lu":  Slu/piv hold LAPACK-style LU factors of each S_i; solves
+    use pivoted triangular solves (preferred for ill-conditioned f64 runs).
+    """
+
+    F: jax.Array            # [nb, b, b], F[0] == 0
+    U: jax.Array            # [nb, b, b] (copy of superdiagonal blocks)
+    Sinv: jax.Array         # [nb, b, b] or zeros if method == "lu"
+    Slu: jax.Array          # [nb, b, b] or zeros if method == "inv"
+    piv: jax.Array          # [nb, b] int32
+    method: str = field(metadata=dict(static=True))
+
+    @property
+    def nb(self) -> int:
+        return self.F.shape[0]
+
+    @property
+    def b(self) -> int:
+        return self.F.shape[-1]
+
+
+# ---------------------------------------------------------------------------
+# Conversion: band -> block-tridiagonal
+# ---------------------------------------------------------------------------
+
+def band_to_blocktri(band: BandedMatrix, b: int) -> BlockTridiagonal:
+    """Reshape diagonal-offset band storage into block-tridiagonal blocks.
+
+    Requires kl, ku <= b; rows are padded (unit diagonal) to a multiple of b.
+    Pure gather — no host round-trip.
+    """
+    if band.kl > b or band.ku > b:
+        raise ValueError(f"block size {b} must cover half-bandwidths "
+                         f"(kl={band.kl}, ku={band.ku})")
+    nb = -(-band.n // b)
+    band = pad_banded(band, nb * b)
+    w = band.width
+    kl = band.kl
+    data = band.data.reshape(nb, b, w)
+
+    p = jnp.arange(b)[:, None]
+    q = jnp.arange(b)[None, :]
+
+    def gather(block_col_offset: int) -> jax.Array:
+        # entry (p, q) of the block at column-block offset o sits at band
+        # offset (o*b + q - p), i.e. data column o*b + q - p + kl.
+        j = block_col_offset * b + q - p + kl
+        valid = (j >= 0) & (j < w)
+        jc = jnp.clip(j, 0, w - 1)
+        blocks = data[:, p, jc]                      # [nb, b, b]
+        return jnp.where(valid, blocks, 0)
+
+    D = gather(0)
+    U = gather(1).at[nb - 1].set(0)
+    L = gather(-1).at[0].set(0)
+    return BlockTridiagonal(D=D, L=L, U=U)
+
+
+def blocktri_to_dense(t: BlockTridiagonal) -> jax.Array:
+    nb, b = t.nb, t.b
+    n = nb * b
+    a = jnp.zeros((n, n), t.dtype)
+    for i in range(nb):
+        a = a.at[i * b:(i + 1) * b, i * b:(i + 1) * b].set(t.D[i])
+        if i + 1 < nb:
+            a = a.at[i * b:(i + 1) * b, (i + 1) * b:(i + 2) * b].set(t.U[i])
+            a = a.at[(i + 1) * b:(i + 2) * b, i * b:(i + 1) * b].set(t.L[i + 1])
+    return a
+
+
+def blocktri_matvec(t: BlockTridiagonal, x: jax.Array) -> jax.Array:
+    """y_i = L_i x_{i-1} + D_i x_i + U_i x_{i+1}.
+
+    x: [nb, b] or [nb, b, r].  Three batched MXU matmuls — this is the SpMV
+    used inside Krylov loops (replacing PETSc AIJ MatMult,
+    /root/reference/src/testbed.c:310).
+    """
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    xm = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    xp = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    y = (jnp.einsum("ipq,iqr->ipr", t.D, x)
+         + jnp.einsum("ipq,iqr->ipr", t.L, xm)
+         + jnp.einsum("ipq,iqr->ipr", t.U, xp))
+    return y[..., 0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# Factorization
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("method",))
+def blocktri_factor(t: BlockTridiagonal, method: str = "inv") -> BlockTriFactor:
+    """Block-Thomas factorization via lax.scan.
+
+    Scan carry is the previous Schur complement (or its inverse); each step is
+    MXU matmuls plus one b x b inversion/LU.  No outer pivoting — the
+    reordering/scaling pipeline (MC64/AWBM, §ordering) is responsible for
+    diagonal dominance, exactly as in the reference solve pipeline.
+    """
+    nb, b = t.nb, t.b
+    dtype = t.dtype
+    eye = jnp.eye(b, dtype=dtype)
+
+    if method == "inv":
+        def step(s_prev_inv, blocks):
+            d, l, u_prev = blocks
+            f = l @ s_prev_inv
+            s = d - f @ u_prev
+            s_inv = jnp.linalg.solve(s, eye)
+            return s_inv, (f, s_inv)
+
+        s0_inv = jnp.linalg.solve(t.D[0], eye)
+        u_shift = jnp.concatenate([jnp.zeros_like(t.U[:1]), t.U[:-1]], axis=0)
+        _, (f_rest, sinv_rest) = jax.lax.scan(
+            step, s0_inv, (t.D[1:], t.L[1:], u_shift[1:]))
+        F = jnp.concatenate([jnp.zeros((1, b, b), dtype), f_rest], axis=0)
+        Sinv = jnp.concatenate([s0_inv[None], sinv_rest], axis=0)
+        z = jnp.zeros((nb, b, b), dtype)
+        zp = jnp.zeros((nb, b), jnp.int32)
+        return BlockTriFactor(F=F, U=t.U, Sinv=Sinv, Slu=z, piv=zp, method="inv")
+
+    elif method == "lu":
+        def step(carry, blocks):
+            s_prev_lu, s_prev_piv = carry
+            d, l, u_prev = blocks
+            # F_i = L_i @ inv(S_{i-1})  ==  solve(S_{i-1}^T, L_i^T)^T
+            f = jsl.lu_solve((s_prev_lu, s_prev_piv), l.T, trans=1).T
+            s = d - f @ u_prev
+            s_lu, s_piv = jsl.lu_factor(s)
+            return (s_lu, s_piv), (f, s_lu, s_piv)
+
+        s0_lu, s0_piv = jsl.lu_factor(t.D[0])
+        u_shift = jnp.concatenate([jnp.zeros_like(t.U[:1]), t.U[:-1]], axis=0)
+        _, (f_rest, slu_rest, piv_rest) = jax.lax.scan(
+            step, (s0_lu, s0_piv), (t.D[1:], t.L[1:], u_shift[1:]))
+        F = jnp.concatenate([jnp.zeros((1, b, b), dtype), f_rest], axis=0)
+        Slu = jnp.concatenate([s0_lu[None], slu_rest], axis=0)
+        piv = jnp.concatenate([s0_piv[None].astype(jnp.int32),
+                               piv_rest.astype(jnp.int32)], axis=0)
+        z = jnp.zeros((nb, b, b), dtype)
+        return BlockTriFactor(F=F, U=t.U, Sinv=z, Slu=Slu, piv=piv, method="lu")
+
+    raise ValueError(f"unknown method {method!r} (use 'inv' or 'lu')")
+
+
+def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array) -> jax.Array:
+    """Solve T x = rhs given a block-Thomas factorization.
+
+    rhs: [nb, b] or [nb, b, r].  Forward scan eliminates with F, reverse scan
+    back-substitutes with S^{-1} and U — all batched matmuls for method "inv".
+    """
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+
+    # forward: y_0 = rhs_0, y_i = rhs_i - F_i y_{i-1}
+    def fwd(y_prev, inputs):
+        f, bi = inputs
+        y = bi - f @ y_prev
+        return y, y
+
+    y0 = rhs[0]
+    _, y_rest = jax.lax.scan(fwd, y0, (fact.F[1:], rhs[1:]))
+    y = jnp.concatenate([y0[None], y_rest], axis=0)
+
+    if fact.method == "inv":
+        def apply_sinv(i_sinv, v):
+            return i_sinv @ v
+        def bwd(x_next, inputs):
+            sinv, u, yi = inputs
+            x = sinv @ (yi - u @ x_next)
+            return x, x
+        x_last = fact.Sinv[-1] @ y[-1]
+        _, x_rest = jax.lax.scan(
+            bwd, x_last,
+            (fact.Sinv[:-1], fact.U[:-1], y[:-1]),
+            reverse=True)
+    else:
+        def bwd(x_next, inputs):
+            slu, piv, u, yi = inputs
+            x = jsl.lu_solve((slu, piv), yi - u @ x_next)
+            return x, x
+        x_last = jsl.lu_solve((fact.Slu[-1], fact.piv[-1]), y[-1])
+        _, x_rest = jax.lax.scan(
+            bwd, x_last,
+            (fact.Slu[:-1], fact.piv[:-1], fact.U[:-1], y[:-1]),
+            reverse=True)
+
+    x = jnp.concatenate([x_rest, x_last[None]], axis=0)
+    return x[..., 0] if squeeze else x

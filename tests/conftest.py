@@ -1,0 +1,25 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; the reference's analogue is
+running MPI with ``mpiexec -n N`` on one host (/root/reference/src/makefile:18).
+Our analogue is XLA's forced host-platform device count — the same sharded
+code paths compile and execute over 8 virtual CPU devices.
+
+x64 is enabled so CPU parity tests can match PETSc f64 residual histories.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon TPU plugin pins jax_platforms to "axon,cpu"; tests must run on the
+# virtual CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
