@@ -1,0 +1,253 @@
+"""SPIKE partitioned banded factorization and solve (single-chip, batched).
+
+This is the solver kernel the reference repo *wraps but does not contain* —
+spike-petsc preconditions for the external SPIKEGPU library
+(/root/reference/src/HOWTO:2 ``-cublas 0``; SURVEY.md §0).  Here it is built
+natively, TPU-first:
+
+* The banded matrix is split into K row partitions.  Each partition is an
+  independent banded system -> K block-Thomas factorizations batched over the
+  partition axis (``vmap`` over ``blocktri_factor``), i.e. every scan step is
+  a ``[K, b, b]`` batched MXU matmul.
+* The couplings between neighbouring partitions are k x k corner "tips"
+  (B_p to the next partition, C_p to the previous one, k = max(kl, ku)).
+* Spike columns V_p = A_p^{-1} E_bot B_p and W_p = A_p^{-1} E_top C_p are
+  computed with the same batched solver (k right-hand sides).
+* The reduced system coupling the partition interfaces is *itself* a
+  block-tridiagonal system with 2k x 2k blocks and K-1 block rows — solved by
+  recursing on the same block-Thomas machinery (or, for the truncated variant
+  valid under diagonal dominance, by K-1 *independent* 2k x 2k solves).
+* The multi-chip version (parallel/spike_dist.py) shards the partition axis
+  over the device mesh and assembles the reduced system with an all-gather —
+  replacing the reference's PETSc MPI exchange (/root/reference/src/wbm.c:270-273).
+
+Solved in two sweeps per application (memory-light, "recompute" SPIKE) or one
+sweep + spike matvec when ``store_spikes=True`` (faster per solve, stores
+V, W of shape [K, m, k]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .band import BandedMatrix, pad_banded
+from .blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
+                       blocktri_factor, blocktri_solve)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SpikeFactor:
+    """Factorization state for SPIKE solves (a pytree)."""
+
+    fact: BlockTriFactor          # per-partition factors, leading dim K
+    Btip: jax.Array               # [K, k, k], coupling to next (row K-1 zero)
+    Ctip: jax.Array               # [K, k, k], coupling to prev (row 0 zero)
+    red_fact: Optional[BlockTriFactor]   # exact reduced-system factorization
+    red_Dinv: Optional[jax.Array]        # [K-1, 2k, 2k] truncated variant
+    V: Optional[jax.Array]        # [K, nb, b, k] right spikes (store_spikes)
+    W: Optional[jax.Array]        # [K, nb, b, k] left spikes (store_spikes)
+    n: int = field(metadata=dict(static=True))        # original size
+    K: int = field(metadata=dict(static=True))        # partitions
+    m: int = field(metadata=dict(static=True))        # padded rows/partition
+    b: int = field(metadata=dict(static=True))        # block size
+    k: int = field(metadata=dict(static=True))        # tip size = max(kl, ku)
+    truncated: bool = field(metadata=dict(static=True))
+
+    @property
+    def nb(self) -> int:
+        return self.m // self.b
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
+
+def _partition_geometry(n: int, K: int, kl: int, ku: int,
+                        block_b: Optional[int]) -> tuple:
+    k = max(kl, ku, 1)
+    b = block_b if block_b is not None else max(k, 1)
+    if b < k:
+        raise ValueError(f"block size {b} must be >= tip size {k}")
+    rows = -(-n // K)                      # ceil(n / K)
+    m = -(-rows // b) * b                  # rounded up to a multiple of b
+    if m < 2 * k and K > 1:
+        raise ValueError(
+            f"partition rows {m} must be >= 2*k={2*k}; reduce K or bandwidth")
+    return k, b, m
+
+
+def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int):
+    """Pull the k x k coupling corners out of global band storage.
+
+    B_tip[p][r, c] = A[p*m + (m-k) + r, (p+1)*m + c]  (band offset c + k - r)
+    C_tip[p][r, c] = A[p*m + r,        (p-1)*m + (m-k) + c]  (offset c - k - r)
+    """
+    w = kl + ku + 1
+    r = jnp.arange(k)[:, None]
+    c = jnp.arange(k)[None, :]
+
+    dB = c + k - r + kl
+    validB = (dB >= 0) & (dB < w)
+    rowsB = data.reshape(K, m, w)[:, m - k:, :]            # [K, k, w]
+    Btip = jnp.where(validB, rowsB[:, jnp.arange(k)[:, None],
+                                   jnp.clip(dB, 0, w - 1)], 0)
+    Btip = Btip.at[K - 1].set(0)
+
+    dC = c - k - r + kl
+    validC = (dC >= 0) & (dC < w)
+    rowsC = data.reshape(K, m, w)[:, :k, :]                # [K, k, w]
+    Ctip = jnp.where(validC, rowsC[:, jnp.arange(k)[:, None],
+                                   jnp.clip(dC, 0, w - 1)], 0)
+    Ctip = Ctip.at[0].set(0)
+    return Btip, Ctip
+
+
+def _local_band_mask(m: int, kl: int, ku: int, dtype) -> jax.Array:
+    """[m, w] mask zeroing entries whose column leaves the partition."""
+    i = jnp.arange(m)[:, None]
+    d = jnp.arange(kl + ku + 1)[None, :]
+    col = i + d - kl
+    return ((col >= 0) & (col < m)).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("K", "block_b", "method", "truncated",
+                                   "store_spikes", "kl", "ku", "n"))
+def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
+                       store_spikes):
+    k, b, m = _partition_geometry(n, K, kl, ku, block_b)
+    npad = K * m
+    band = pad_banded(BandedMatrix(data=data, kl=kl, ku=ku), npad)
+
+    Btip, Ctip = _extract_tips(band.data, K, m, k, kl, ku)
+
+    mask = _local_band_mask(m, kl, ku, band.dtype)
+    local = band.data.reshape(K, m, band.width) * mask[None]
+
+    to_blocks = jax.vmap(
+        lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku), b))
+    blocks = to_blocks(local)                               # [K, nb, b, b] x3
+    fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+    nb = m // b
+
+    V = W = None
+    red_fact = None
+    red_Dinv = None
+    if K > 1:
+        dtype = band.dtype
+        rhsV = jnp.zeros((K, nb, b, k), dtype).at[:, nb - 1, b - k:, :].set(Btip)
+        rhsW = jnp.zeros((K, nb, b, k), dtype).at[:, 0, :k, :].set(Ctip)
+        Vfull = jax.vmap(blocktri_solve)(fact, rhsV)
+        Wfull = jax.vmap(blocktri_solve)(fact, rhsW)
+        V_top, V_bot = Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :]
+        W_top, W_bot = Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]
+        if store_spikes:
+            V, W = Vfull, Wfull
+
+        eye = jnp.eye(k, dtype=dtype)
+        z = jnp.zeros((K - 1, k, k), dtype)
+        # D_j = [[I, V_bot[j]], [W_top[j+1], I]]
+        D = jnp.concatenate([
+            jnp.concatenate([jnp.broadcast_to(eye, (K - 1, k, k)),
+                             V_bot[:-1]], axis=2),
+            jnp.concatenate([W_top[1:],
+                             jnp.broadcast_to(eye, (K - 1, k, k))], axis=2),
+        ], axis=1)
+        if truncated:
+            red_Dinv = jnp.linalg.solve(D, jnp.broadcast_to(
+                jnp.eye(2 * k, dtype=dtype), (K - 1, 2 * k, 2 * k)))
+        else:
+            # L_j = [[W_bot[j], 0], [0, 0]], U_j = [[0, 0], [0, V_top[j+1]]]
+            L = jnp.concatenate([
+                jnp.concatenate([W_bot[:-1], z], axis=2),
+                jnp.concatenate([z, z], axis=2)], axis=1).at[0].set(0)
+            U = jnp.concatenate([
+                jnp.concatenate([z, z], axis=2),
+                jnp.concatenate([z, V_top[1:]], axis=2)], axis=1)
+            U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
+            red = BlockTridiagonal(D=D, L=L, U=U)
+            red_fact = blocktri_factor(red, method=method)
+
+    return SpikeFactor(fact=fact, Btip=Btip, Ctip=Ctip, red_fact=red_fact,
+                       red_Dinv=red_Dinv, V=V, W=W, n=n, K=K, m=m, b=b, k=k,
+                       truncated=truncated)
+
+
+def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
+                 method: str = "inv", truncated: bool = False,
+                 store_spikes: bool = False) -> SpikeFactor:
+    """Factor a banded matrix for SPIKE solves over K partitions.
+
+    Args:
+      band: banded matrix in diagonal-offset storage.
+      K: number of partitions (1 = plain block-Thomas direct solve).
+      block_b: MXU block size (defaults to the tip size; use 128 on TPU).
+      method: per-block Schur handling, "inv" (MXU-fast) or "lu" (f64 parity).
+      truncated: drop the reduced system's inter-interface coupling — exact
+        only in the diagonally-dominant limit (the classic truncated SPIKE).
+      store_spikes: keep full V, W spikes for 1-sweep solves (memory K*m*k*2).
+    """
+    return _spike_factor_impl(
+        band.data, n=band.n, kl=band.kl, ku=band.ku, K=K, block_b=block_b,
+        method=method, truncated=truncated, store_spikes=store_spikes)
+
+
+# ---------------------------------------------------------------------------
+# Solve
+# ---------------------------------------------------------------------------
+
+def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
+    """Solve for interface unknowns. Returns (xbot_prev, xtop_next):
+    xtop_next[p] = x_{p+1}^top (zero for p = K-1),
+    xbot_prev[p] = x_{p-1}^bot (zero for p = 0)."""
+    K, k = sf.K, sf.k
+    rhs = jnp.concatenate([g_bot[:-1], g_top[1:]], axis=1)   # [K-1, 2k]
+    if sf.truncated:
+        z = jnp.einsum("jpq,jq->jp", sf.red_Dinv, rhs)
+    else:
+        z = blocktri_solve(sf.red_fact, rhs)
+    x_bot = z[:, :k]        # x_p^bot for p = 0..K-2
+    x_top = z[:, k:]        # x_{p+1}^top for p = 0..K-2
+    zk = jnp.zeros((1, k), z.dtype)
+    xtop_next = jnp.concatenate([x_top, zk], axis=0)         # [K, k]
+    xbot_prev = jnp.concatenate([zk, x_bot], axis=0)         # [K, k]
+    return xbot_prev, xtop_next
+
+
+@jax.jit
+def spike_solve(sf: SpikeFactor, rhs: jax.Array) -> jax.Array:
+    """Solve A x = rhs with a SPIKE factorization.  rhs: [n] (original size)."""
+    K, m, b, k, nb = sf.K, sf.m, sf.b, sf.k, sf.nb
+    rp = jnp.zeros((K * m,), rhs.dtype).at[:sf.n].set(rhs)
+    rblk = rp.reshape(K, nb, b)
+
+    g = jax.vmap(blocktri_solve)(sf.fact, rblk)              # [K, nb, b]
+    if K == 1:
+        return g.reshape(-1)[:sf.n]
+
+    g_bot = g[:, nb - 1, b - k:]
+    g_top = g[:, 0, :k]
+    xbot_prev, xtop_next = _reduced_solve(sf, g_bot, g_top)
+
+    if sf.V is not None:
+        # one-sweep: x = g - V x_{p+1}^top - W x_{p-1}^bot
+        x = (g - jnp.einsum("pnbk,pk->pnb", sf.V, xtop_next)
+               - jnp.einsum("pnbk,pk->pnb", sf.W, xbot_prev))
+    else:
+        # recompute sweep: solve with boundary-corrected RHS
+        corrB = jnp.einsum("prc,pc->pr", sf.Btip, xtop_next)  # [K, k]
+        corrC = jnp.einsum("prc,pc->pr", sf.Ctip, xbot_prev)
+        r2 = rblk.at[:, nb - 1, b - k:].add(-corrB)
+        r2 = r2.at[:, 0, :k].add(-corrC)
+        x = jax.vmap(blocktri_solve)(sf.fact, r2)
+    return x.reshape(-1)[:sf.n]
+
+
+def spike_solve_many(sf: SpikeFactor, rhs: jax.Array) -> jax.Array:
+    """Multi-RHS solve; rhs [n, r]."""
+    return jax.vmap(spike_solve, in_axes=(None, 1), out_axes=1)(sf, rhs)
