@@ -1,0 +1,377 @@
+"""Jittable Krylov solvers (the KSP layer).
+
+Functional re-design of the capability the reference reaches through PETSc's
+KSP (/root/reference/src/testbed.c:313-316; canned GMRES recipe
+/root/reference/src/makefile:17-18): each method is a pure function
+
+    method(matvec, b, x0, pc_apply, **params) -> KSPResult
+
+built from ``lax.while_loop`` so the whole solve — matvecs, preconditioner
+applications, reductions — stages into one XLA computation.  No Python-level
+iteration: on TPU the GMRES inner loop is a single compiled program, and under
+``shard_map`` the same code runs multi-chip with ``psum`` reductions supplied
+by the sharded matvec closures.
+
+Fixed-shape state everywhere (Krylov basis [restart+1, n], history buffer
+[maxit+1]) — the XLA tracing contract.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import register_ksp
+from .types import (CONVERGED_ITERATING, CONVERGED_ITS, DIVERGED_BREAKDOWN,
+                    KSPResult, default_convergence_check)
+
+
+def _identity_pc(x):
+    return x
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+
+
+def _dot(a, b):
+    return jnp.vdot(a, b)
+
+
+# ---------------------------------------------------------------------------
+# GMRES (restarted, modified Gram-Schmidt, Givens rotations)
+# ---------------------------------------------------------------------------
+
+def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+          pc_apply: Optional[Callable] = None, *, restart: int = 30,
+          rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+          maxit: int = 10000, side: str = "left") -> KSPResult:
+    """Restarted GMRES with left (default) or right preconditioning.
+
+    Matches PETSc KSPGMRES defaults (restart 30, rtol 1e-5, classical Givens
+    least-squares update, preconditioned residual monitoring for left pc) —
+    the solver behind the reference's canned run recipe
+    (/root/reference/src/makefile:18).
+    """
+    if side == "right":
+        return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
+                           atol=atol, divtol=divtol, maxit=maxit,
+                           flexible=False, right=True)
+    return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
+                       atol=atol, divtol=divtol, maxit=maxit,
+                       flexible=False, right=False)
+
+
+def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+           pc_apply: Optional[Callable] = None, *, restart: int = 30,
+           rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+           maxit: int = 10000, **_) -> KSPResult:
+    """Flexible GMRES (right-preconditioned, stores the preconditioned basis;
+    tolerates nonlinear/iterative preconditioners such as inner Krylov
+    solves — the analogue of nesting KSPs under PETSc prefixes)."""
+    return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
+                       atol=atol, divtol=divtol, maxit=maxit,
+                       flexible=True, right=True)
+
+
+def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
+                maxit, flexible, right):
+    psolve = pc_apply or _identity_pc
+    n = b.shape[0]
+    dtype = b.dtype
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    # Reference norm for the relative tolerance: preconditioned rhs norm for
+    # left preconditioning (PETSc KSP_NORM_PRECONDITIONED default), plain
+    # ||b|| for right.
+    bnorm = _norm(b) if right else _norm(psolve(b))
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    hist0 = jnp.full((maxit + 1,), jnp.nan, dtype)
+
+    def residual(x):
+        r = b - matvec(x)
+        return r if right else psolve(r)
+
+    def cycle(state):
+        x, its, rnorm, reason, hist = state
+        r = residual(x)
+        beta = _norm(r)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+
+        V = jnp.zeros((restart + 1, n), dtype).at[0].set(r / safe_beta)
+        Z = jnp.zeros((restart, n), dtype) if flexible else None
+        H = jnp.zeros((restart + 1, restart), dtype)
+        g = jnp.zeros((restart + 1,), dtype).at[0].set(beta)
+        cs = jnp.ones((restart,), dtype)
+        sn = jnp.zeros((restart,), dtype)
+
+        def inner_cond(c):
+            _, _, _, _, _, _, j, its_i, _, reason_i, _ = c
+            return (j < restart) & (reason_i == CONVERGED_ITERATING)
+
+        def inner_body(c):
+            V, Z, H, g, cs, sn, j, its_i, rn, reason_i, hist_i = c
+            vj = V[j]
+            if flexible:
+                z = psolve(vj)
+                Z = Z.at[j].set(z)
+                w = matvec(z)
+            elif right:
+                w = matvec(psolve(vj))
+            else:
+                w = psolve(matvec(vj))
+
+            # modified Gram-Schmidt against V[0..j] (vectorized, masked)
+            mask = (jnp.arange(restart + 1) <= j).astype(dtype)
+            h = (V @ w) * mask
+            w = w - h @ V
+            # one reorthogonalization pass for robustness near breakdown
+            h2 = (V @ w) * mask
+            w = w - h2 @ V
+            h = h + h2
+            hj1 = _norm(w)
+            V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
+            col = h.at[j + 1].set(hj1)
+
+            # apply accumulated Givens rotations to the new column
+            def rot(i, colc):
+                t1 = cs[i] * colc[i] + sn[i] * colc[i + 1]
+                t2 = -sn[i] * colc[i] + cs[i] * colc[i + 1]
+                apply = i < j
+                colc = colc.at[i].set(jnp.where(apply, t1, colc[i]))
+                colc = colc.at[i + 1].set(jnp.where(apply, t2, colc[i + 1]))
+                return colc
+            col = jax.lax.fori_loop(0, restart, rot, col)
+
+            # new rotation eliminating col[j+1]
+            denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+            ok = denom > 0
+            c_new = jnp.where(ok, col[j] / jnp.where(ok, denom, 1.0), 1.0)
+            s_new = jnp.where(ok, col[j + 1] / jnp.where(ok, denom, 1.0), 0.0)
+            col = col.at[j].set(denom).at[j + 1].set(0.0)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            H = H.at[:, j].set(col)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+
+            rn = jnp.abs(g[j + 1])
+            its_i = its_i + 1
+            hist_i = hist_i.at[its_i].set(rn)
+            reason_i = check(rn, bnorm, its_i)
+            return (V, Z, H, g, cs, sn, j + 1, its_i, rn, reason_i, hist_i)
+
+        init = (V, Z, H, g, cs, sn, jnp.int32(0), its, rnorm, reason, hist)
+        V, Z, H, g, cs, sn, j_end, its, rnorm, reason, hist = \
+            jax.lax.while_loop(inner_cond, inner_body, init)
+
+        # least-squares solve on the rotated Hessenberg: H is upper
+        # triangular in its leading j_end columns; mask the rest to identity
+        idx = jnp.arange(restart)
+        used = idx < j_end
+        Ht = H[:restart, :]
+        Hm = jnp.where(used[:, None] & used[None, :], Ht,
+                       jnp.eye(restart, dtype=dtype))
+        gm = jnp.where(used, g[:restart], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+        y = jnp.where(used, y, 0.0)
+        if flexible:
+            dx = y @ Z
+        else:
+            dx = y @ V[:restart]
+            if right:
+                dx = psolve(dx)
+        x = x + dx
+        return (x, its, rnorm, reason, hist)
+
+    def outer_cond(state):
+        _, its, _, reason, _ = state
+        return reason == CONVERGED_ITERATING
+
+    r0 = residual(x0)
+    rnorm0 = _norm(r0)
+    hist0 = hist0.at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+    state = (x0, jnp.int32(0), rnorm0, reason0, hist0)
+    x, its, rnorm, reason, hist = jax.lax.while_loop(outer_cond, cycle, state)
+    return KSPResult(x=x, its=its, reason=reason, rnorm=rnorm, history=hist)
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab
+# ---------------------------------------------------------------------------
+
+def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+             pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+             atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+             **_) -> KSPResult:
+    """Preconditioned BiCGStab (van der Vorst), PETSc KSPBCGS equivalent —
+    the solver BASELINE config 3 pairs with the MC64 pre-pass."""
+    psolve = pc_apply or _identity_pc
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    bnorm = _norm(b)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    r0 = b - matvec(x0)
+    rtilde = r0
+    rnorm0 = _norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return s["reason"] == CONVERGED_ITERATING
+
+    def body(s):
+        rho_new = _dot(rtilde, s["r"])
+        breakdown = jnp.abs(rho_new) < jnp.finfo(dtype).tiny
+        beta = (rho_new / s["rho"]) * (s["alpha"] / s["omega"])
+        p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
+        phat = psolve(p)
+        v = matvec(phat)
+        denom = _dot(rtilde, v)
+        alpha = rho_new / jnp.where(denom != 0, denom, 1.0)
+        sr = s["r"] - alpha * v
+        shat = psolve(sr)
+        t = matvec(shat)
+        tt = _dot(t, t)
+        omega = _dot(t, sr) / jnp.where(tt != 0, tt, 1.0)
+        x = s["x"] + alpha * phat + omega * shat
+        r = sr - omega * t
+        rn = _norm(r)
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, r=r, p=p, v=v, rho=rho_new, alpha=alpha, omega=omega,
+                    its=its, reason=reason, hist=hist)
+
+    init = dict(x=x0, r=r0, p=jnp.zeros_like(b), v=jnp.zeros_like(b),
+                rho=jnp.ones((), dtype), alpha=jnp.ones((), dtype),
+                omega=jnp.ones((), dtype), its=jnp.int32(0), reason=reason0,
+                hist=hist)
+    out = jax.lax.while_loop(cond, body, init)
+    rn = _norm(b - matvec(out["x"]))
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=rn, history=out["hist"])
+
+
+# ---------------------------------------------------------------------------
+# CG
+# ---------------------------------------------------------------------------
+
+def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+       pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+       atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+       **_) -> KSPResult:
+    """Preconditioned conjugate gradients (SPD operators/preconditioners)."""
+    psolve = pc_apply or _identity_pc
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    bnorm = _norm(b)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    r0 = b - matvec(x0)
+    z0 = psolve(r0)
+    rnorm0 = _norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return s["reason"] == CONVERGED_ITERATING
+
+    def body(s):
+        w = matvec(s["p"])
+        pw = _dot(s["p"], w)
+        alpha = s["rz"] / jnp.where(pw != 0, pw, 1.0)
+        x = s["x"] + alpha * s["p"]
+        r = s["r"] - alpha * w
+        z = psolve(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.where(s["rz"] != 0, s["rz"], 1.0)
+        p = z + beta * s["p"]
+        rn = _norm(r)
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        return dict(x=x, r=r, p=p, rz=rz_new, its=its, reason=reason,
+                    hist=hist)
+
+    init = dict(x=x0, r=r0, p=z0, rz=_dot(r0, z0), its=jnp.int32(0),
+                reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, body, init)
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=_norm(b - matvec(out["x"])), history=out["hist"])
+
+
+# ---------------------------------------------------------------------------
+# Richardson / preonly
+# ---------------------------------------------------------------------------
+
+def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+               pc_apply: Optional[Callable] = None, *, scale: float = 1.0,
+               rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+               maxit: int = 10000, **_) -> KSPResult:
+    """Preconditioned Richardson iteration x += scale * M^{-1} r — doubles as
+    stationary iterative refinement when M is a (possibly lower-precision)
+    direct factorization."""
+    psolve = pc_apply or _identity_pc
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    bnorm = _norm(b)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+    r0 = b - matvec(x0)
+    rnorm0 = _norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return s["reason"] == CONVERGED_ITERATING
+
+    def body(s):
+        x = s["x"] + scale * psolve(s["r"])
+        r = b - matvec(x)
+        rn = _norm(r)
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        return dict(x=x, r=r, its=its, reason=check(rn, bnorm, its),
+                    hist=hist)
+
+    out = jax.lax.while_loop(
+        cond, body, dict(x=x0, r=r0, its=jnp.int32(0), reason=reason0,
+                         hist=hist))
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=_norm(b - matvec(out["x"])), history=out["hist"])
+
+
+def preonly(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+            pc_apply: Optional[Callable] = None, *, maxit: int = 1,
+            **_) -> KSPResult:
+    """Single preconditioner application (PETSc KSPPREONLY): with a direct
+    factorization PC this is the direct-solve path."""
+    psolve = pc_apply or _identity_pc
+    x = psolve(b) if x0 is None else x0 + psolve(b - matvec(x0))
+    r = b - matvec(x)
+    rn = _norm(r)
+    hist = jnp.full((max(maxit, 1) + 1,), jnp.nan, b.dtype)
+    hist = hist.at[0].set(_norm(b)).at[1].set(rn)
+    return KSPResult(x=x, its=jnp.int32(1),
+                     reason=jnp.int32(CONVERGED_ITS), rnorm=rn, history=hist)
+
+
+register_ksp("gmres", gmres)
+register_ksp("fgmres", fgmres)
+register_ksp("bcgs", bicgstab)
+register_ksp("bicgstab", bicgstab)
+register_ksp("cg", cg)
+register_ksp("richardson", richardson)
+register_ksp("preonly", preonly)

@@ -1,0 +1,103 @@
+"""Top-level KSP interface: options-driven solver composition.
+
+The reference's solve path is ``KSPCreate; KSPSetOperators(A, B);
+KSPSetFromOptions; KSPSolve`` (/root/reference/src/testbed.c:313-316), with
+everything (method, tolerances, preconditioner, nesting) decided by the
+options database.  ``solve`` reproduces that surface:
+
+    result = solve(A, b, options=Options.from_argv(sys.argv),
+                   pmat=B)            # -ksp_type gmres -pc_type banded ...
+
+while ``make_solver`` returns a reusable jitted closure for hot paths
+(factor once, solve many — the shape PETSc reuses KSP objects for).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.options import Options
+from ..utils.registry import SOLVERS
+from .operator import as_matvec
+from .pc import PC, make_pc
+from .types import KSPResult
+from . import krylov  # noqa: F401  (registers built-in solvers)
+
+_DEFAULTS = dict(rtol=1e-5, atol=1e-50, divtol=1e4, maxit=10000, restart=30)
+
+
+def _params_from_options(opts: Options, overrides: dict) -> dict:
+    p = dict(
+        rtol=opts.get_real("ksp_rtol", _DEFAULTS["rtol"]),
+        atol=opts.get_real("ksp_atol", _DEFAULTS["atol"]),
+        divtol=opts.get_real("ksp_divtol", _DEFAULTS["divtol"]),
+        maxit=opts.get_int("ksp_max_it", _DEFAULTS["maxit"]),
+        restart=opts.get_int("ksp_gmres_restart", _DEFAULTS["restart"]),
+    )
+    side = opts.get_string("ksp_pc_side", None)
+    if side:
+        p["side"] = side
+    p.update({k: v for k, v in overrides.items() if v is not None})
+    return p
+
+
+def make_solver(A, *, pmat=None, options: Optional[Options] = None,
+                ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
+                pc: Optional[PC] = None, n_hint: Optional[int] = None,
+                jit: bool = True, **params) -> Callable:
+    """Compose (operator, preconditioner, method) once; return solve(b, x0).
+
+    The returned closure is jitted, so repeated solves amortize setup and
+    compilation — the TPU analogue of reusing a configured KSP object.
+    """
+    opts = options or Options()
+    ksp_type = ksp_type or opts.get_string("ksp_type", "gmres")
+    matvec, n, _ = as_matvec(A, n_hint=n_hint)
+
+    if pc is None:
+        name = pc_type or opts.get_string("pc_type", "none")
+        pc = make_pc(name, A if pmat is None else pmat, opts)
+    pc_apply = pc.apply if pc.name != "none" else None
+
+    method = SOLVERS.get(ksp_type)
+    kw = _params_from_options(opts, params)
+
+    def _solve(b, x0=None):
+        return method(matvec, b, x0, pc_apply, **kw)
+
+    return jax.jit(_solve) if jit else _solve
+
+
+def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
+          ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
+          pc: Optional[PC] = None, monitor: bool = False,
+          **params) -> KSPResult:
+    """One-shot options-driven solve (KSPSolve equivalent).
+
+    ``pmat`` is the preconditioning matrix B when it differs from A — exactly
+    KSPSetOperators(ksp, A, B) (/root/reference/src/testbed.c:314).
+    """
+    solver = make_solver(A, pmat=pmat, options=options, ksp_type=ksp_type,
+                         pc_type=pc_type, pc=pc,
+                         n_hint=b.shape[0] if hasattr(b, "shape") else None,
+                         jit=False, **params)
+    b = jnp.asarray(b)
+    res = solver(b, None if x0 is None else jnp.asarray(x0))
+    if monitor:
+        print_monitor(res)
+    return res
+
+
+def print_monitor(res: KSPResult) -> None:
+    """-ksp_monitor style residual printout."""
+    import numpy as np
+
+    from .types import reason_str
+    h = np.asarray(res.history)
+    for i in range(int(res.its) + 1):
+        if np.isfinite(h[i]):
+            print(f"{i:5d} KSP Residual norm {h[i]:.12e}")
+    print(f"Converged reason: {reason_str(res.reason)} after {int(res.its)} its")

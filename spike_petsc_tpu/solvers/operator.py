@@ -1,0 +1,63 @@
+"""Operator normalization: anything matrix-like -> a jittable matvec closure.
+
+The reference's KSP consumes PETSc ``Mat`` objects whose MatMult dispatches by
+type (SeqAIJ/MPIAIJ).  Here the "Mat" is whatever the caller has — a
+``BandedMatrix``, a ``BlockTridiagonal``, a dense ``jax.Array``, a host SciPy
+sparse matrix (shipped to device as BCOO), or an arbitrary callable — and the
+KSP layer only ever sees ``matvec: [n] -> [n]``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.band import BandedMatrix, banded_matvec
+from ..ops.blocktri import BlockTridiagonal, blocktri_matvec
+
+
+def as_matvec(a, n_hint: int = None) -> Tuple[Callable, int, object]:
+    """Return (matvec, n, dtype) for any supported operator representation."""
+    if isinstance(a, BandedMatrix):
+        return (lambda x: banded_matvec(a, x)), a.n, a.dtype
+
+    if isinstance(a, BlockTridiagonal):
+        nb, b = a.nb, a.b
+        n = nb * b
+
+        def mv(x):
+            return blocktri_matvec(a, x.reshape(nb, b)).reshape(n)
+        return mv, n, a.dtype
+
+    if callable(a):
+        if n_hint is None:
+            raise ValueError("callable operator requires n_hint (vector size)")
+        return a, n_hint, None
+
+    # host scipy sparse -> device BCOO
+    try:
+        import scipy.sparse as sp
+        if sp.issparse(a):
+            from jax.experimental import sparse as jsparse
+            coo = a.tocoo()
+            bcoo = jsparse.BCOO(
+                (jnp.asarray(coo.data),
+                 jnp.stack([jnp.asarray(coo.row), jnp.asarray(coo.col)], axis=1)),
+                shape=coo.shape)
+            n = coo.shape[0]
+
+            def mv(x):
+                return bcoo @ x
+            return mv, n, bcoo.dtype
+    except ImportError:  # pragma: no cover
+        pass
+
+    arr = jnp.asarray(a) if not isinstance(a, (jax.Array, np.ndarray)) else jnp.asarray(a)
+    if arr.ndim == 2:
+        n = arr.shape[0]
+        return (lambda x: arr @ x), n, arr.dtype
+
+    raise TypeError(f"cannot build a matvec from {type(a)!r}")

@@ -1,0 +1,167 @@
+"""Preconditioners (the PC layer).
+
+Composability mirrors the reference: PCBANDED extracts a banded approximation
+of the preconditioning matrix and delegates to an *embedded* PC configured
+under the ``banded_`` options prefix (/root/reference/src/matbanded.c:165-192,
+251-283).  Here a PC is a small object with a jittable ``apply`` closure over
+device factorization state; factories are registered by name and read their
+parameters from a prefix-scoped options database.
+
+Built-ins:
+  none     identity
+  jacobi   diagonal scaling
+  lu       direct banded solve (block-Thomas, single partition)
+  spike    SPIKE partitioned banded solve (exact or truncated reduced system)
+  bjacobi  per-partition local solves, no interface coupling
+  banded   norm-fraction band extraction + embedded inner PC   [PCBANDED]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import sparse as hsp
+from ..ops.band import BandedMatrix, banded_diagonal
+from ..ops.blocktri import blocktri_solve
+from ..ops.spike import spike_factor, spike_solve
+from ..utils.options import Options
+from ..utils.registry import PRECONDITIONERS, register_pc
+
+
+@dataclass
+class PC:
+    """A configured preconditioner: ``apply`` maps residual -> correction."""
+
+    name: str
+    apply: Callable
+    info: dict = dfield(default_factory=dict)
+    inner: Optional["PC"] = None
+
+    def describe(self, indent: int = 0) -> str:
+        """PCView-style description (/root/reference/src/matbanded.c:196-211)."""
+        pad = "  " * indent
+        s = f"{pad}PC {self.name}: " + ", ".join(
+            f"{k}={v}" for k, v in self.info.items())
+        if self.inner is not None:
+            s += "\n" + self.inner.describe(indent + 1)
+        return s
+
+
+def _as_banded(pmat, opts: Options) -> BandedMatrix:
+    if isinstance(pmat, BandedMatrix):
+        return pmat
+    # host sparse/dense -> band storage (full bandwidth)
+    data, kl, ku = hsp.csr_to_banded_arrays(hsp.as_csr(pmat))
+    return BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+
+
+def make_pc(name: str, pmat, options: Optional[Options] = None,
+            prefix: str = "") -> PC:
+    """Build a preconditioner by registry name, PETSc ``PCSetType`` style."""
+    opts = (options or Options()).scoped(prefix)
+    return PRECONDITIONERS.get(name)(pmat, opts)
+
+
+# ---------------------------------------------------------------------------
+# Factories
+# ---------------------------------------------------------------------------
+
+@register_pc("none")
+def pc_none(pmat, opts: Options) -> PC:
+    return PC(name="none", apply=lambda x: x)
+
+
+@register_pc("jacobi")
+def pc_jacobi(pmat, opts: Options) -> PC:
+    if isinstance(pmat, BandedMatrix):
+        d = banded_diagonal(pmat)
+    else:
+        d = jnp.asarray(hsp.as_csr(pmat).diagonal())
+    dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
+    return PC(name="jacobi", apply=lambda x: dinv * x)
+
+
+def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
+              truncated_default: bool) -> PC:
+    band = _as_banded(pmat, opts)
+    k = max(band.kl, band.ku, 1)
+    K = opts.get_int(f"pc_{name}_partitions", default_K)
+    block = opts.get_int(f"pc_{name}_block", None)
+    method = opts.get_string(f"pc_{name}_method", "inv")
+    truncated = opts.get_bool(f"pc_{name}_truncated", truncated_default)
+    store = opts.get_bool(f"pc_{name}_store_spikes", False)
+    sf = spike_factor(band, K=K, block_b=block, method=method,
+                      truncated=truncated, store_spikes=store)
+    return PC(name=name, apply=partial(spike_solve, sf),
+              info=dict(partitions=K, block=sf.b, tip=sf.k, method=method,
+                        truncated=truncated))
+
+
+@register_pc("lu")
+def pc_lu(pmat, opts: Options) -> PC:
+    """Direct banded factorization (single-partition block-Thomas) — the
+    role PETSc's -pc_type lu plays in the reference's canned recipe
+    (/root/reference/src/makefile:18)."""
+    band = _as_banded(pmat, opts)
+    method = opts.get_string("pc_lu_method", "inv")
+    block = opts.get_int("pc_lu_block", None)
+    sf = spike_factor(band, K=1, block_b=block, method=method)
+    return PC(name="lu", apply=partial(spike_solve, sf),
+              info=dict(block=sf.b, method=method))
+
+
+@register_pc("spike")
+def pc_spike(pmat, opts: Options) -> PC:
+    return _spike_pc(pmat, opts, name="spike", default_K=16,
+                     truncated_default=False)
+
+
+@register_pc("bjacobi")
+def pc_bjacobi(pmat, opts: Options) -> PC:
+    """Per-partition solves with interface coupling dropped entirely — the
+    cheapest member of the spike family (useful as a smoother/baseline)."""
+    band = _as_banded(pmat, opts)
+    K = opts.get_int("pc_bjacobi_blocks", 16)
+    block = opts.get_int("pc_bjacobi_block", None)
+    method = opts.get_string("pc_bjacobi_method", "inv")
+    sf = spike_factor(band, K=K, block_b=block, method=method, truncated=True)
+
+    def apply(x):
+        rp = jnp.zeros((sf.K * sf.m,), x.dtype).at[:sf.n].set(x)
+        y = jax.vmap(blocktri_solve)(sf.fact, rp.reshape(sf.K, sf.nb, sf.b))
+        return y.reshape(-1)[:sf.n]
+
+    return PC(name="bjacobi", apply=apply,
+              info=dict(blocks=K, block=sf.b, method=method))
+
+
+@register_pc("banded")
+def pc_banded(pmat, opts: Options) -> PC:
+    """PCBANDED: extract the norm-fraction band of pmat, precondition with an
+    embedded PC on the band (/root/reference/src/matbanded.c:165-192).
+
+    Options: -pc_banded_kmax (default 50), -pc_banded_frac (default 0.95)
+    (/root/reference/src/matbanded.c:156-157, 261-262); the embedded PC is
+    configured under the ``banded_`` prefix (default: spike), mirroring
+    PCCreate_Banded's prefix plumbing (/root/reference/src/matbanded.c:278-281).
+    """
+    kmax = opts.get_int("pc_banded_kmax", 50)
+    frac = opts.get_real("pc_banded_frac", 0.95)
+    if isinstance(pmat, BandedMatrix):
+        raise TypeError("pc 'banded' extracts a band from a general sparse "
+                        "pmat; the operator is already banded")
+    ext = hsp.extract_banded(hsp.as_csr(pmat), kmax=kmax, frac=frac)
+    data, kl, ku = hsp.csr_to_banded_arrays(ext.matrix, kl=ext.k, ku=ext.k)
+    band = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    inner_opts = opts.scoped("banded_")
+    inner_name = inner_opts.get_string("pc_type", "spike")
+    inner = PRECONDITIONERS.get(inner_name)(band, inner_opts)
+    return PC(name="banded", apply=inner.apply,
+              info=dict(k=ext.k, frac=round(ext.frac, 6), kmax=kmax),
+              inner=inner)

@@ -1,0 +1,165 @@
+"""Krylov layer tests: convergence vs SciPy references, options plumbing,
+preconditioner composition (the testbed solve surface, SURVEY.md §3.1)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.sparse.linalg as spla
+
+from spike_petsc_tpu import (BandedMatrix, Options, make_pc, make_solver,
+                             solve)
+from spike_petsc_tpu import sparse as hsp
+from spike_petsc_tpu.models import problems
+from spike_petsc_tpu.solvers.types import (CONVERGED_ATOL, CONVERGED_ITS,
+                                           CONVERGED_RTOL, DIVERGED_ITS,
+                                           reason_str)
+
+
+def banded_of(acsr):
+    data, kl, ku = hsp.csr_to_banded_arrays(acsr)
+    return BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+
+
+def manufactured(acsr, seed=None):
+    """u = 1 (or random) exact solution, b = A u — the reference's
+    manufactured-solution check (/root/reference/src/testbed.c:300-320)."""
+    n = acsr.shape[0]
+    if seed is None:
+        u = np.ones(n)
+    else:
+        u = np.random.default_rng(seed).uniform(size=n)
+    return u, acsr @ u
+
+
+@pytest.mark.parametrize("ksp_type", ["gmres", "fgmres", "bcgs", "cg"])
+def test_unpreconditioned_convergence_spd(ksp_type):
+    a = problems.spd_banded(120, 3, seed=0)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type=ksp_type, rtol=1e-10,
+                maxit=500)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    err = np.linalg.norm(np.asarray(res.x) - u)
+    assert err < 1e-6, err
+
+
+def test_gmres_matches_scipy_iterates():
+    """Unpreconditioned GMRES residual history should match SciPy's GMRES
+    (same algorithm, same arithmetic) to tight tolerance."""
+    a = problems.nonsym_banded(150, 2, 2, seed=3)
+    u, b = manufactured(a, seed=1)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gmres", rtol=1e-10,
+                restart=30, maxit=300)
+    x_sp, info = spla.gmres(a, b, rtol=1e-10, restart=30, maxiter=300)
+    assert info == 0 and int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), x_sp, rtol=1e-6, atol=1e-8)
+
+
+def test_gmres_restart_cycles():
+    a = problems.nonsym_banded(200, 3, 3, seed=5, dominance=0.3)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gmres", rtol=1e-8,
+                restart=10, maxit=2000)
+    assert int(res.its) > 10  # forced through multiple restart cycles
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("pc_type", ["jacobi", "lu", "spike", "bjacobi"])
+def test_preconditioned_gmres(pc_type):
+    a = problems.spd_banded(256, 4, seed=2)
+    u, b = manufactured(a)
+    opts = Options({"pc_spike_partitions": "8", "pc_bjacobi_blocks": "8"})
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gmres",
+                pc_type=pc_type, options=opts, rtol=1e-10, maxit=300)
+    assert int(res.reason) > 0, (pc_type, reason_str(res.reason))
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-7)
+    if pc_type in ("lu", "spike"):
+        # exact factorization preconditioner: 1-2 iterations
+        assert int(res.its) <= 2, int(res.its)
+
+
+def test_preonly_direct_solve():
+    a = problems.tridiag_laplacian(500)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="preonly",
+                pc_type="lu")
+    assert int(res.reason) == CONVERGED_ITS
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-8)
+
+
+def test_banded_pc_from_general_sparse():
+    """PCBANDED flow: general sparse operator, band extracted as the
+    preconditioner (/root/reference/src/matbanded.c:165-192)."""
+    a = problems.general_sparse(300, seed=7)
+    u, b = manufactured(a)
+    opts = Options({"pc_banded_kmax": "60", "pc_banded_frac": "0.999",
+                    "banded_pc_spike_partitions": "4"})
+    pc = make_pc("banded", a, opts)
+    assert pc.inner is not None and pc.inner.name == "spike"
+    assert pc.info["k"] <= 60
+    res = solve(a, jnp.asarray(b), pc=pc, ksp_type="gmres", rtol=1e-10,
+                maxit=400)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+def test_bicgstab_illconditioned_with_spike_pc():
+    """BASELINE config 3 skeleton: nonsymmetric system, SPIKE-preconditioned
+    BiCGStab."""
+    a = problems.nonsym_banded(400, 5, 5, seed=11, dominance=0.05)
+    u, b = manufactured(a, seed=4)
+    opts = Options({"pc_spike_partitions": "8"})
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="bcgs",
+                pc_type="spike", options=opts, rtol=1e-12, maxit=100)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7, atol=1e-8)
+
+
+def test_diverged_its():
+    a = problems.nonsym_banded(100, 2, 2, seed=13, dominance=0.01)
+    _, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gmres", rtol=1e-14,
+                maxit=3)
+    assert int(res.reason) == DIVERGED_ITS
+
+
+def test_history_monotone_and_trimmed():
+    a = problems.spd_banded(128, 3, seed=1)
+    _, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="cg", rtol=1e-10,
+                maxit=200)
+    h = np.asarray(res.history)
+    assert np.isfinite(h[: int(res.its) + 1]).all()
+    assert np.isnan(h[int(res.its) + 1:]).all()
+    assert h[int(res.its)] < h[0]
+
+
+def test_options_drive_solver_selection():
+    a = problems.spd_banded(90, 2, seed=6)
+    u, b = manufactured(a)
+    opts = Options.from_argv(
+        "-ksp_type cg -ksp_rtol 1e-11 -pc_type jacobi -ksp_max_it 500".split())
+    res = solve(banded_of(a), jnp.asarray(b), options=opts)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7)
+    assert opts.options_left() == []
+
+
+def test_make_solver_reuse_jitted():
+    a = problems.spd_banded(200, 3, seed=9)
+    solver = make_solver(banded_of(a), ksp_type="gmres", pc_type="lu",
+                         rtol=1e-10)
+    for seed in (1, 2):
+        u, b = manufactured(a, seed=seed)
+        res = solver(jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-8)
+
+
+def test_right_preconditioning():
+    a = problems.nonsym_banded(150, 3, 3, seed=15)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gmres",
+                pc_type="spike", side="right", rtol=1e-10,
+                options=Options({"pc_spike_partitions": "4"}))
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-8)
