@@ -1,0 +1,196 @@
+"""Bipartite matching engines for the MC64-equivalent ordering suite.
+
+The reference's engine is the f2c'd HSL MC64 (5791 lines,
+/root/reference/src/hslmc64.c): max-cardinality DFS matching, bottleneck
+matchings, and shortest-augmenting-path assignment with dual variables.
+These algorithms are inherently sequential graph traversals (SURVEY.md §7
+hard-part 1), so they run host-side at setup time — implemented here from the
+algorithm literature (Duff & Koster 2001; Jonker & Volgenant 1987), *not*
+translated from the HSL source.  A C++ native engine with the same API plugs
+in via ``spike_petsc_tpu.native`` when built; this module is the reference
+Python/NumPy implementation and the fallback.
+
+All engines speak CSC-of-|A| form: (n, col_ptr, row_ind, weights).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def _to_csc_abs(a) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    csc = sp.csc_matrix(a)
+    csc.eliminate_zeros()
+    return (csc.shape[0], csc.indptr.astype(np.int64),
+            csc.indices.astype(np.int64), np.abs(csc.data.astype(np.float64)))
+
+
+# ---------------------------------------------------------------------------
+# Maximum-cardinality matching (MC64 job 1 equivalent)
+# ---------------------------------------------------------------------------
+
+def max_cardinality_match(a) -> Tuple[np.ndarray, int]:
+    """match[j] = row matched to column j (-1 if unmatched); returns
+    (match, cardinality).  Engine: SciPy's Hopcroft-Karp."""
+    csc = sp.csc_matrix(a)
+    csc.eliminate_zeros()
+    match = sp.csgraph.maximum_bipartite_matching(csc.tocsr(), perm_type="row")
+    # scipy returns, per column, the matching row for the CSR graph
+    card = int((match >= 0).sum())
+    return match.astype(np.int64), card
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck matching (MC64 jobs 2/3 equivalent)
+# ---------------------------------------------------------------------------
+
+def bottleneck_match(a) -> Tuple[np.ndarray, float]:
+    """Perfect matching maximizing min |a_ij| over matched entries.
+
+    Binary search over the sorted magnitude values; feasibility = perfect
+    matching in the graph restricted to |a_ij| >= threshold.  Functionally
+    equivalent to HSLmc64BD/SD threshold strategies
+    (/root/reference/src/hslmc64.c:1002,1432) without their specific
+    data structures.
+    """
+    n, ptr, rows, w = _to_csc_abs(a)
+    coo = sp.csc_matrix((w, rows, ptr), shape=(n, n)).tocoo()
+    vals = np.unique(coo.data)
+    lo, hi = 0, len(vals) - 1
+    best_match, best_t = None, 0.0
+
+    def feasible(t):
+        keep = coo.data >= t
+        g = sp.csr_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
+                          shape=(n, n))
+        m = sp.csgraph.maximum_bipartite_matching(g, perm_type="row")
+        return (m >= 0).all(), m
+
+    ok, m = feasible(vals[0])
+    if not ok:
+        # structurally singular: best effort at the smallest threshold
+        return m.astype(np.int64), 0.0
+    best_match, best_t = m, float(vals[0])
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        ok, m = feasible(vals[mid])
+        if ok:
+            best_match, best_t = m, float(vals[mid])
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return best_match.astype(np.int64), best_t
+
+
+# ---------------------------------------------------------------------------
+# Min-cost assignment via shortest augmenting paths (MC64 jobs 4/5 engine)
+# ---------------------------------------------------------------------------
+
+def sparse_assignment(n: int, col_ptr: np.ndarray, row_ind: np.ndarray,
+                      cost: np.ndarray):
+    """Sparse linear assignment: minimize sum of cost over a perfect matching.
+
+    Successive shortest augmenting paths with dual variables (u on rows, v on
+    columns) and a binary heap — the same algorithmic family as HSLmc64WD
+    (/root/reference/src/hslmc64.c:1917) and SciPy's LAPJVsp.
+
+    Returns (match_col2row, u, v, feasible): reduced costs
+    cost - u_i - v_j >= 0 everywhere and == 0 on matched entries; this dual
+    tightness is what yields the MC64 job-5 scaling vectors.
+
+    Costs must be >= 0 and finite.
+    """
+    INF = np.inf
+    u = np.zeros(n)
+    v = np.zeros(n)
+    row_match = np.full(n, -1, dtype=np.int64)   # row -> col
+    col_match = np.full(n, -1, dtype=np.int64)   # col -> row
+
+    # Column-minimum dual init + greedy tight matching (the "cheap
+    # assignment" phase all MC64-family codes start with).
+    for j in range(n):
+        s, e = col_ptr[j], col_ptr[j + 1]
+        if s == e:
+            continue
+        v[j] = cost[s:e].min()
+    for j in range(n):
+        s, e = col_ptr[j], col_ptr[j + 1]
+        for t in range(s, e):
+            i = row_ind[t]
+            if col_match[j] < 0 and row_match[i] < 0 and \
+                    cost[t] - u[i] - v[j] <= 0.0:
+                row_match[i] = j
+                col_match[j] = i
+                break
+
+    dist = np.empty(n)
+    pred_col = np.empty(n, dtype=np.int64)   # row -> column that reached it
+    feasible = True
+
+    for j0 in range(n):
+        if col_match[j0] >= 0:
+            continue
+        # Dijkstra from column j0 over rows
+        dist.fill(INF)
+        finalized_rows = []
+        tree_col_of_row = pred_col
+        heap = []
+        s, e = col_ptr[j0], col_ptr[j0 + 1]
+        for t in range(s, e):
+            i = row_ind[t]
+            rc = cost[t] - u[i] - v[j0]
+            if rc < dist[i]:
+                dist[i] = rc
+                tree_col_of_row[i] = j0
+                heapq.heappush(heap, (rc, i))
+        done = np.zeros(n, dtype=bool)
+        end_row = -1
+        D = INF
+        while heap:
+            d, i = heapq.heappop(heap)
+            if done[i] or d > dist[i]:
+                continue
+            done[i] = True
+            finalized_rows.append(i)
+            if row_match[i] < 0:
+                end_row = i
+                D = d
+                break
+            jm = row_match[i]
+            base = d
+            s2, e2 = col_ptr[jm], col_ptr[jm + 1]
+            for t in range(s2, e2):
+                i2 = row_ind[t]
+                if done[i2]:
+                    continue
+                nd = base + cost[t] - u[i2] - v[jm]
+                if nd < dist[i2]:
+                    dist[i2] = nd
+                    tree_col_of_row[i2] = jm
+                    heapq.heappush(heap, (nd, i2))
+        if end_row < 0:
+            feasible = False
+            continue
+        # dual updates keeping reduced costs >= 0, matched edges tight
+        v[j0] += D
+        for i in finalized_rows:
+            if i == end_row:
+                break
+            u[i] += dist[i] - D
+            v[row_match[i]] += D - dist[i]
+        # augment along the alternating path
+        i = end_row
+        while True:
+            j = tree_col_of_row[i]
+            prev = col_match[j]
+            col_match[j] = i
+            row_match[i] = j
+            if j == j0:
+                break
+            i = prev
+
+    return col_match, u, v, feasible

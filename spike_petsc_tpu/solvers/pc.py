@@ -92,6 +92,7 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     band = _as_banded(pmat, opts)
     k = max(band.kl, band.ku, 1)
     K = opts.get_int(f"pc_{name}_partitions", default_K)
+    K = max(1, min(K, band.n // (2 * k)))   # partitions must cover 2k rows
     block = opts.get_int(f"pc_{name}_block", None)
     method = opts.get_string(f"pc_{name}_method", "inv")
     truncated = opts.get_bool(f"pc_{name}_truncated", truncated_default)
@@ -128,6 +129,7 @@ def pc_bjacobi(pmat, opts: Options) -> PC:
     cheapest member of the spike family (useful as a smoother/baseline)."""
     band = _as_banded(pmat, opts)
     K = opts.get_int("pc_bjacobi_blocks", 16)
+    K = max(1, min(K, band.n // (2 * max(band.kl, band.ku, 1))))
     block = opts.get_int("pc_bjacobi_block", None)
     method = opts.get_string("pc_bjacobi_method", "inv")
     sf = spike_factor(band, K=K, block_b=block, method=method, truncated=True)

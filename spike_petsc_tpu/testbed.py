@@ -1,0 +1,154 @@
+"""End-to-end testbed driver (reference testbed.c / testbed2.c equivalent).
+
+Reproduces the reference harness flow (/root/reference/src/testbed.c:180-330):
+load matrix -> (up to two) reorderings with bandwidth/diagonal diagnostics ->
+optional banded preconditioner matrix -> manufactured solution u=1 (or
+random) -> b = A u -> KSP solve -> report ||x - u||_2.  All reference flags
+are honored (-mat, -mat_ordering_type, -mat_ordering_type2, -banded_pre_mat,
+-random_exact_sol, -ksp_*, -pc_*), plus synthetic problem sources since the
+reference's SuiteSparse fixtures are external
+(/root/reference/src/HOWTO:2,5):
+
+    python -m spike_petsc_tpu.testbed -problem illscaled:2000:8:8 \
+        -mat_ordering_type wbm -mat_ordering_scale 1 \
+        -mat_ordering_type2 rcm -banded_pre_mat 1 \
+        -ksp_type gmres -ksp_rtol 1e-8 -pc_type banded -ksp_monitor
+
+Everything testbed2 adds (fiedler/PCBANDED/KSPREORDER registration,
+/root/reference/src/testbed2.c:61-73) is available here because registration
+is import-time.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from . import sparse as hsp
+from .io import load_matrix
+from .models import problems
+from .ordering import get_ordering
+from .solvers.ksp import print_monitor, solve
+from .solvers.types import reason_str
+from .utils.options import Options
+
+
+def make_problem(spec: str):
+    """Synthetic matrix source: name:arg1:arg2..."""
+    parts = spec.split(":")
+    name, args = parts[0], [int(x) for x in parts[1:]]
+    if name == "tridiag":
+        return problems.tridiag_laplacian(*(args or [100000]))
+    if name == "spd":
+        return problems.spd_banded(*(args or [100000, 16]))
+    if name == "nonsym":
+        return problems.nonsym_banded(*(args or [100000, 8, 8]))
+    if name == "illscaled":
+        return problems.illscaled_nonsym(*(args or [10000, 8, 8]))
+    if name == "lap2d":
+        return problems.laplacian_2d(*(args or [100, 100]))
+    if name == "general":
+        return problems.general_sparse(*(args or [5000]))
+    if name == "mc64doc":
+        return problems.mc64_doc_example()
+    raise ValueError(f"unknown problem {spec!r}")
+
+
+def _reorder_pass(a, ordtype: str, opts: Options, scale: bool, second: bool):
+    """One reordering pass with the reference's diagnostics
+    (/root/reference/src/testbed.c:200-284)."""
+    ores = get_ordering(a, ordtype, opts)
+    use_scale = scale and ores.row_scale is not None
+    pa = ores.apply(a, scale=use_scale)
+    bw, pbw = hsp.compute_bandwidth(a), hsp.compute_bandwidth(pa)
+    print(f"Reordered matrix using {ordtype}"
+          + (" (scaled)" if use_scale else ""))
+    verb = "Reduced" if pbw < bw else "Increased"
+    print(f"{verb} bandwidth from {bw} to {pbw}")
+    dnorm, pdnorm = hsp.diagonal_norm1(a), hsp.diagonal_norm1(pa)
+    print(f"Norm of diagonal {dnorm:g} perm diagonal {pdnorm:g}")
+    if second:
+        nz = hsp.count_zero_diagonals(pa)
+        if nz:
+            print(f"Zeros on the permuted diagonal: {nz}")
+    return pa, ores
+
+
+def main(argv=None) -> int:
+    opts = Options.from_argv(sys.argv[1:] if argv is None else argv)
+
+    matfile = opts.get_string("mat")
+    problem = opts.get_string("problem")
+    if matfile:
+        a = load_matrix(matfile)
+    elif problem:
+        a = make_problem(problem)
+    else:
+        print("Must provide an input matrix using -mat <file> or "
+              "-problem <spec>", file=sys.stderr)
+        return 1
+    a = hsp.as_csr(a)
+    print(f"Matrix: n={a.shape[0]}, nnz={a.nnz}")
+
+    scale = opts.get_bool("mat_ordering_scale", False)
+    ord1 = opts.get_string("mat_ordering_type", "natural")
+    ord2 = opts.get_string("mat_ordering_type2", "natural")
+    if ord1 != "natural":
+        a, _ = _reorder_pass(a, ord1, opts, scale, second=False)
+    if ord2 != "natural":
+        a, _ = _reorder_pass(a, ord2, opts, scale=False, second=True)
+
+    # preconditioning matrix (testbed.c:286-296)
+    pmat = a
+    if opts.get_bool("banded_pre_mat", False):
+        kmax = opts.get_int("pc_banded_kmax", 50)
+        frac = opts.get_real("pc_banded_frac", 0.95)
+        ext = hsp.extract_banded(a, kmax=kmax, frac=frac)
+        pmat = ext.matrix
+        print(f"Bandwidth of {frac:.0%} band: {ext.k} "
+              f"norm fraction: {ext.frac:g}")
+
+    # operator to device: band storage when the matrix is banded enough
+    n = a.shape[0]
+    kl, ku = hsp.compute_half_bandwidths(a)
+    operator = a
+    if kl + ku + 1 <= max(256, n // 4):
+        import jax.numpy as jnp
+
+        from .ops.band import BandedMatrix
+        data, kl, ku = hsp.csr_to_banded_arrays(a, kl=kl, ku=ku)
+        operator = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+        print(f"Device operator: band storage kl={kl} ku={ku}")
+    else:
+        print("Device operator: sparse BCOO")
+
+    # manufactured solution (testbed.c:297-311)
+    if opts.get_bool("random_exact_sol", False):
+        u = np.random.default_rng(0).uniform(size=n)
+    else:
+        u = np.ones(n)
+    b = a @ u
+    if opts.get_bool("view_exact_sol", False):
+        print("Exact solution:", u)
+
+    pc_type = opts.get_string("pc_type", "none")
+    res = solve(operator, b, pmat=pmat if pc_type == "banded" else operator,
+                options=opts)
+    if opts.get_bool("ksp_monitor", False) or \
+            opts.get_bool("ksp_converged_reason", False):
+        print_monitor(res)
+
+    err = float(np.linalg.norm(np.asarray(res.x) - u))
+    print(f"Error in solution: {err:g}")
+    print(f"KSP iterations: {int(res.its)}  "
+          f"reason: {reason_str(res.reason)}  rnorm: {float(res.rnorm):g}")
+
+    left = opts.options_left()
+    if left:
+        print("WARNING: unused options:", left, file=sys.stderr)
+    return 0 if int(res.reason) > 0 else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,241 @@
+"""Ordering pipeline tests vs SciPy oracles and MC64 documented behavior.
+
+Key invariants (SURVEY.md §4 inline checks):
+- matchings are valid permutations with every column matched
+  (/root/reference/src/petsc_mat_awbm.c:195-199)
+- diagonal weight product increases after permutation
+  (/root/reference/src/wbm.c:530-551)
+- job-5 scalings give unit matched diagonal, off-diagonals <= 1
+- RCM/Fiedler reduce bandwidth/profile
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+
+from spike_petsc_tpu import sparse as hsp
+from spike_petsc_tpu.models import problems
+from spike_petsc_tpu.ordering import (awbm, fiedler, get_ordering, mc64, rcm,
+                                      spectral_partition)
+from spike_petsc_tpu.ordering.matching import sparse_assignment
+from spike_petsc_tpu.utils.options import Options
+
+
+def _is_perm(p):
+    return np.array_equal(np.sort(p), np.arange(len(p)))
+
+
+def _rand_sparse(n, seed, density=0.15, ensure_perfect=True):
+    rng = np.random.default_rng(seed)
+    a = sp.random(n, n, density=density, random_state=rng,
+                  data_rvs=lambda k: rng.uniform(0.1, 10, k)).tocsr()
+    if ensure_perfect:
+        p = rng.permutation(n)
+        a = a + sp.csr_matrix((rng.uniform(0.5, 5, n),
+                               (np.arange(n), p)), shape=(n, n))
+    return a.tocsr()
+
+
+# ---------------------------------------------------------------------------
+# exact assignment engine
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_sparse_assignment_matches_scipy(seed):
+    n = 40
+    a = _rand_sparse(n, seed)
+    csc = sp.csc_matrix(a)
+    cost = np.abs(csc.data) + 0.01  # positive costs
+    csc_cost = sp.csc_matrix((cost, csc.indices, csc.indptr), shape=(n, n))
+    match, u, v, feasible = sparse_assignment(
+        n, csc.indptr.astype(np.int64), csc.indices.astype(np.int64), cost)
+    assert feasible and _is_perm(match)
+    ours = cost_of(csc_cost, match)
+    rr, cc = min_weight_full_bipartite_matching(csc_cost)
+    theirs = csc_cost[rr, cc].sum()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+    # dual feasibility + complementary slackness
+    coo = csc_cost.tocoo()
+    rc = coo.data - u[coo.row] - v[coo.col]
+    assert (rc >= -1e-9).all()
+    matched_rc = np.array([csc_cost[match[j], j] - u[match[j]] - v[j]
+                           for j in range(n)])
+    np.testing.assert_allclose(matched_rc, 0, atol=1e-9)
+
+
+def cost_of(csc_cost, match):
+    return sum(csc_cost[match[j], j] for j in range(len(match)))
+
+
+# ---------------------------------------------------------------------------
+# MC64 jobs
+# ---------------------------------------------------------------------------
+
+def test_mc64_doc_example_job5():
+    """HSL MC64 documented 3x3 example (/root/reference/src/wbm.c:485-498):
+    optimal product matching must select 8, 1, 4 -> permuted diag."""
+    a = problems.mc64_doc_example()
+    res = mc64(a, job=5)
+    pa = res.apply(a)
+    diag = np.abs(pa.diagonal())
+    # max product over perfect matchings: |8 * 1 * 4| = 32
+    np.testing.assert_allclose(np.prod(diag), 32.0)
+    # scalings: unit diagonal, offdiag <= 1
+    sa = res.apply(a, scale=True)
+    np.testing.assert_allclose(np.abs(sa.diagonal()), 1.0, rtol=1e-12)
+    assert np.abs(sa.toarray()).max() <= 1.0 + 1e-9
+
+
+@pytest.mark.parametrize("job", [1, 2, 3, 4, 5])
+def test_mc64_jobs_valid_permutations(job):
+    a = _rand_sparse(60, seed=7)
+    res = mc64(a, job=job)
+    assert _is_perm(res.rperm) and _is_perm(res.cperm)
+    pa = res.apply(a)
+    assert hsp.count_zero_diagonals(pa) == 0
+
+
+def test_mc64_job2_bottleneck_optimal():
+    a = _rand_sparse(30, seed=9)
+    res = mc64(a, job=2)
+    pa = res.apply(a)
+    bot = np.abs(pa.diagonal()).min()
+    np.testing.assert_allclose(bot, res.info["bottleneck"], rtol=1e-12)
+    # brute-force oracle on small matrix via linear_sum_assignment on -log
+    from scipy.optimize import linear_sum_assignment
+    dense = np.abs(a.toarray())
+    # bottleneck via binary search on the dense matrix
+    vals = np.unique(dense[dense > 0])
+    best = 0.0
+    for t in vals:
+        m = sp.csr_matrix((dense >= t).astype(float))
+        mt = sp.csgraph.maximum_bipartite_matching(m, perm_type="row")
+        if (mt >= 0).all():
+            best = t
+    np.testing.assert_allclose(bot, best, rtol=1e-12)
+
+
+def test_mc64_job5_improves_diagonal_weight():
+    a = problems.illscaled_nonsym(80, 3, 3, seed=1)
+    before = hsp.diagonal_weight_product(a)
+    res = mc64(a, job=5)
+    after = hsp.diagonal_weight_product(res.apply(a))
+    assert after >= before
+
+
+def test_mc64_job5_scaling_invariant_illscaled():
+    a = problems.illscaled_nonsym(100, 4, 2, seed=3)
+    res = mc64(a, job=5)
+    sa = res.apply(a, scale=True)
+    d = np.abs(sa.diagonal())
+    np.testing.assert_allclose(d, 1.0, rtol=1e-9)
+    assert np.abs(sa.toarray()).max() <= 1.0 + 1e-9
+
+
+def test_mc64_structurally_singular_completion():
+    # column 2 empty -> structurally singular; must still return a permutation
+    a = sp.csr_matrix((np.array([1.0, 2.0, 3.0]),
+                       (np.array([0, 1, 2]), np.array([0, 1, 0]))),
+                      shape=(3, 3))
+    res = mc64(a, job=5)
+    assert _is_perm(res.rperm)
+    assert res.info.get("structurally_singular")
+
+
+# ---------------------------------------------------------------------------
+# AWBM
+# ---------------------------------------------------------------------------
+
+def test_awbm_valid_and_improves_diagonal():
+    a = problems.illscaled_nonsym(120, 3, 3, seed=5)
+    res = awbm(a)
+    assert _is_perm(res.rperm)
+    before = hsp.diagonal_weight_product(a)
+    after = hsp.diagonal_weight_product(res.apply(a))
+    assert after > before
+    phases = res.info["matched_per_phase"]
+    assert phases == sorted(phases)  # monotone progress across phases
+
+
+def test_awbm_scaling_bounds():
+    a = _rand_sparse(50, seed=11)
+    res = awbm(a)
+    sa = res.apply(a, scale=True)
+    # awbm scalings bound all magnitudes by 1 (tight only on optimal edges)
+    assert np.abs(sa.toarray()).max() <= 1.0 + 1e-9
+
+
+def test_awbm_near_optimal_on_doc_example():
+    a = problems.mc64_doc_example()
+    res = awbm(a)
+    pa = res.apply(a)
+    assert hsp.count_zero_diagonals(pa) == 0
+
+
+# ---------------------------------------------------------------------------
+# RCM / Fiedler / spectral partition
+# ---------------------------------------------------------------------------
+
+def test_rcm_reduces_bandwidth():
+    a = problems.general_sparse(150, seed=2)
+    rng = np.random.default_rng(0)
+    p = rng.permutation(150)
+    scrambled = hsp.permute(a, p, p)
+    res = rcm(scrambled)
+    assert _is_perm(res.rperm)
+    assert hsp.compute_bandwidth(res.apply(scrambled)) < \
+        hsp.compute_bandwidth(scrambled)
+
+
+def test_rcm_fallback_matches_scipy_quality():
+    a = problems.laplacian_2d(8, 8)
+    from spike_petsc_tpu.ordering.rcm import rcm as rcm_fn
+    bw_scipy = hsp.compute_bandwidth(rcm_fn(a, use_scipy=True).apply(a))
+    bw_ours = hsp.compute_bandwidth(rcm_fn(a, use_scipy=False).apply(a))
+    assert bw_ours <= 2 * max(bw_scipy, 8)
+
+
+@pytest.mark.parametrize("method", ["dense", "lanczos", "lobpcg"])
+def test_fiedler_reduces_bandwidth_on_scrambled_laplacian(method):
+    a = problems.tridiag_laplacian(200)
+    rng = np.random.default_rng(3)
+    p = rng.permutation(200)
+    scrambled = hsp.permute(a, p, p)
+    res = fiedler(scrambled, method=method)
+    assert _is_perm(res.rperm)
+    # 1D path graph: perfect Fiedler ordering restores bandwidth 1
+    assert res.info["bandwidth_out"] <= 2
+    assert res.info["bandwidth_in"] > res.info["bandwidth_out"]
+
+
+def test_fiedler_profile_reporting():
+    a = problems.laplacian_2d(10, 10)
+    res = fiedler(a)
+    for key in ("profile_in", "profile_out", "bandwidth_in", "bandwidth_out",
+                "lambda2"):
+        assert key in res.info
+    assert res.info["lambda2"] > 0
+
+
+def test_spectral_partition_two_blocks():
+    a = problems.laplacian_2d(12, 6)
+    res = spectral_partition(a, levels=1, balanced=True)
+    assert _is_perm(res.perm)
+    assert len(res.sizes) == 2 and abs(res.sizes[0] - res.sizes[1]) <= 1
+    assert res.info["edge_cut"] > 0
+
+
+def test_spectral_partition_recursive():
+    a = problems.laplacian_2d(16, 4)
+    res = spectral_partition(a, levels=2)
+    assert len(res.sizes) == 4
+    assert sum(res.sizes) == a.shape[0]
+    assert _is_perm(res.perm)
+
+
+def test_registry_dispatch():
+    a = problems.laplacian_2d(6, 6)
+    for name in ("natural", "wbm", "awbm", "rcm", "fiedler", "spectral"):
+        res = get_ordering(a, name, Options())
+        assert _is_perm(res.rperm), name
