@@ -1,0 +1,11 @@
+"""Multi-chip execution: device meshes, distributed SPIKE, sharded Krylov."""
+
+from .mesh import make_mesh, make_mesh_2d, shard_leading
+from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
+                         make_dist_solver)
+
+__all__ = [
+    "make_mesh", "make_mesh_2d", "shard_leading",
+    "DistSpikeFactor", "dist_spike_factor", "dist_spike_solve",
+    "make_dist_solver",
+]

@@ -1,0 +1,323 @@
+"""Multi-chip SPIKE: partition-per-device factorization, solves, and matvec.
+
+This is the TPU-native replacement for the reference's MPI layer: where
+spike-petsc exchanges duals and assembles global quantities through
+``VecScatter`` and ``MPI_Allreduce`` (/root/reference/src/wbm.c:270-273, 546),
+here every partition lives on a mesh device and
+
+* tip/interface exchange is a ``jax.lax.all_gather`` over the "p" axis
+  (O(K * k^2) bytes — tiny, rides ICI),
+* the reduced block-tridiagonal system is factored/solved *replicated* on
+  every chip (redundant flops instead of a scatter round-trip),
+* the Krylov-side banded SpMV exchanges k-wide boundary strips with
+  ``jax.lax.ppermute`` (nearest-neighbour ICI traffic only),
+* dot products psum over "p" (see solvers.krylov.set_collective_axis).
+
+Everything is expressed with ``jax.shard_map`` so the communication pattern
+is explicit and XLA compiles one fused multi-chip program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.band import BandedMatrix, pad_banded
+from ..ops.blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
+                            blocktri_factor, blocktri_matvec, blocktri_solve)
+from ..ops.spike import _local_band_mask, _partition_geometry
+from ..solvers import krylov
+from ..utils.registry import SOLVERS
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistSpikeFactor:
+    """Device-sharded SPIKE factorization (leading dim = partition axis)."""
+
+    blocks: BlockTridiagonal        # [K, nb, b, b] x3, sharded on K
+    fact: BlockTriFactor            # [K, ...], sharded on K
+    Btip: jax.Array                 # [K, k, k], sharded
+    Ctip: jax.Array                 # [K, k, k], sharded
+    red_fact: Optional[BlockTriFactor]  # replicated reduced factorization
+    red_Dinv: Optional[jax.Array]       # replicated truncated inverses
+    n: int = field(metadata=dict(static=True))
+    K: int = field(metadata=dict(static=True))
+    m: int = field(metadata=dict(static=True))
+    b: int = field(metadata=dict(static=True))
+    k: int = field(metadata=dict(static=True))
+    truncated: bool = field(metadata=dict(static=True))
+
+    @property
+    def nb(self) -> int:
+        return self.m // self.b
+
+
+def _local_tips(data_local: jax.Array, m: int, k: int, kl: int, ku: int,
+                axis: str):
+    """Per-device k x k coupling corners (same gather as ops.spike, but the
+    first/last-device zeroing uses the mesh position)."""
+    w = kl + ku + 1
+    r = jnp.arange(k)[:, None]
+    c = jnp.arange(k)[None, :]
+    idx = jax.lax.axis_index(axis)
+    K = jax.lax.axis_size(axis)
+
+    dB = c + k - r + kl
+    vB = (dB >= 0) & (dB < w)
+    Btip = jnp.where(vB, data_local[m - k:, :][r.repeat(k, 1),
+                                               jnp.clip(dB, 0, w - 1)], 0)
+    Btip = jnp.where(idx == K - 1, jnp.zeros_like(Btip), Btip)
+
+    dC = c - k - r + kl
+    vC = (dC >= 0) & (dC < w)
+    Ctip = jnp.where(vC, data_local[:k, :][r.repeat(k, 1),
+                                           jnp.clip(dC, 0, w - 1)], 0)
+    Ctip = jnp.where(idx == 0, jnp.zeros_like(Ctip), Ctip)
+    return Btip, Ctip
+
+
+def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
+                   method: str):
+    """Assemble + factor the reduced interface system from gathered tips.
+    Identical math to the single-chip path (ops.spike), executed replicated
+    on every device."""
+    dtype = Vt.dtype
+    eye = jnp.eye(k, dtype=dtype)
+    z = jnp.zeros((K - 1, k, k), dtype)
+    D = jnp.concatenate([
+        jnp.concatenate([jnp.broadcast_to(eye, (K - 1, k, k)), Vb[:-1]],
+                        axis=2),
+        jnp.concatenate([Wt[1:], jnp.broadcast_to(eye, (K - 1, k, k))],
+                        axis=2)], axis=1)
+    if truncated:
+        red_Dinv = jnp.linalg.solve(
+            D, jnp.broadcast_to(jnp.eye(2 * k, dtype=dtype),
+                                (K - 1, 2 * k, 2 * k)))
+        return None, red_Dinv
+    L = jnp.concatenate([
+        jnp.concatenate([Wb[:-1], z], axis=2),
+        jnp.concatenate([z, z], axis=2)], axis=1).at[0].set(0)
+    U = jnp.concatenate([
+        jnp.concatenate([z, z], axis=2),
+        jnp.concatenate([z, Vt[1:]], axis=2)], axis=1)
+    U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
+    red = BlockTridiagonal(D=D, L=L, U=U)
+    return blocktri_factor(red, method=method), None
+
+
+def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
+                      method: str = "inv", truncated: bool = False,
+                      block_b: Optional[int] = None) -> DistSpikeFactor:
+    """Factor a global banded matrix with one partition per mesh device."""
+    K = mesh.shape[axis]
+    kl, ku = band.kl, band.ku
+    n = band.n
+    k, b, m = _partition_geometry(n, K, kl, ku, block_b)
+    band = pad_banded(band, K * m)
+    w = band.width
+    data = jax.device_put(band.data.reshape(K, m, w),
+                          NamedSharding(mesh, P(axis)))
+
+    mask = _local_band_mask(m, kl, ku, band.data.dtype)
+
+    def local_setup(data_shard):
+        d = data_shard[0]                           # [m, w]
+        Btip, Ctip = _local_tips(d, m, k, kl, ku, axis)
+        local = d * mask
+        blocks = band_to_blocktri(BandedMatrix(data=local, kl=kl, ku=ku), b)
+        fact = blocktri_factor(blocks, method=method)
+        nb = m // b
+        # spikes (k RHS each)
+        rhsV = jnp.zeros((nb, b, k), d.dtype).at[nb - 1, b - k:, :].set(Btip)
+        rhsW = jnp.zeros((nb, b, k), d.dtype).at[0, :k, :].set(Ctip)
+        V = blocktri_solve(fact, rhsV)
+        W = blocktri_solve(fact, rhsW)
+        tips = jnp.stack([V[0, :k, :], V[nb - 1, b - k:, :],
+                          W[0, :k, :], W[nb - 1, b - k:, :]])   # [4, k, k]
+        all_tips = jax.lax.all_gather(tips, axis)               # [K, 4, k, k]
+        red_fact, red_Dinv = _build_reduced(
+            all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
+            K, k, truncated, method)
+        expand = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
+        return (expand(blocks), expand(fact), Btip[None], Ctip[None],
+                red_fact, red_Dinv)
+
+    specs_sharded = P(axis)
+    out_specs = (
+        jax.tree_util.tree_map(lambda _: specs_sharded, _blocktri_struct()),
+        jax.tree_util.tree_map(lambda _: specs_sharded,
+                               _factor_struct(method)),
+        specs_sharded, specs_sharded,
+        None if truncated else jax.tree_util.tree_map(
+            lambda _: P(), _factor_struct(method)),
+        P() if truncated else None,
+    )
+    blocks, fact, Btip, Ctip, red_fact, red_Dinv = jax.shard_map(
+        local_setup, mesh=mesh, in_specs=(P(axis),), out_specs=out_specs,
+        check_vma=False)(data)
+    return DistSpikeFactor(blocks=blocks, fact=fact, Btip=Btip, Ctip=Ctip,
+                           red_fact=red_fact, red_Dinv=red_Dinv, n=n, K=K,
+                           m=m, b=b, k=k, truncated=truncated)
+
+
+def _blocktri_struct():
+    return BlockTridiagonal(D=0, L=0, U=0)
+
+
+def _factor_struct(method):
+    return BlockTriFactor(F=0, U=0, Sinv=0, Slu=0, piv=0, method=method)
+
+
+# ---------------------------------------------------------------------------
+# Local (per-device) building blocks, usable inside shard_map
+# ---------------------------------------------------------------------------
+
+def local_interface_solve(dsf_local, g_top, g_bot, axis: str):
+    """All-gather interface values, replicated reduced solve, slice mine.
+    Returns (xbot_prev, xtop_next) of shape [k] each."""
+    K, k = dsf_local.K, dsf_local.k
+    idx = jax.lax.axis_index(axis)
+    gt = jax.lax.all_gather(g_top, axis)     # [K, k]
+    gb = jax.lax.all_gather(g_bot, axis)
+    rhs = jnp.concatenate([gb[:-1], gt[1:]], axis=1)      # [K-1, 2k]
+    if dsf_local.truncated:
+        z = jnp.einsum("jpq,jq->jp", dsf_local.red_Dinv, rhs)
+    else:
+        z = blocktri_solve(dsf_local.red_fact, rhs)
+    zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
+    # xtop_next[p] = z[p, k:] (p < K-1), xbot_prev[p] = z[p-1, :k] (p > 0)
+    xtop_next = zpad[jnp.minimum(idx, K - 1), k:] * (idx < K - 1)
+    prev = jnp.maximum(idx - 1, 0)
+    xbot_prev = zpad[prev, :k] * (idx > 0)
+    return xbot_prev, xtop_next
+
+
+def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str) -> jax.Array:
+    """Per-device SPIKE solve of the global system; rhs_local: [m]."""
+    nb, b, k = dsf_local.nb, dsf_local.b, dsf_local.k
+    rblk = rhs_local.reshape(nb, b)
+    g = blocktri_solve(dsf_local.fact, rblk)
+    if dsf_local.K == 1:
+        return g.reshape(-1)
+    xbot_prev, xtop_next = local_interface_solve(
+        dsf_local, g[0, :k], g[nb - 1, b - k:], axis)
+    corrB = dsf_local.Btip @ xtop_next
+    corrC = dsf_local.Ctip @ xbot_prev
+    r2 = rblk.at[nb - 1, b - k:].add(-corrB).at[0, :k].add(-corrC)
+    return blocktri_solve(dsf_local.fact, r2).reshape(-1)
+
+
+def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:
+    """Per-device banded SpMV with ppermute halo exchange of the k-wide
+    boundary strips (replacing VecScatter halo traffic,
+    /root/reference/src/wbm.c:270-273)."""
+    nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
+    y = blocktri_matvec(dsf_local.blocks, x_local.reshape(nb, b)).reshape(-1)
+    if K == 1:
+        return y
+    # top k of next device -> me;  bottom k of previous device -> me
+    top_from_next = jax.lax.ppermute(
+        x_local[:k], axis, [(i, (i - 1) % K) for i in range(K)])
+    bot_from_prev = jax.lax.ppermute(
+        x_local[-k:], axis, [(i, (i + 1) % K) for i in range(K)])
+    y = y.at[-k:].add(dsf_local.Btip @ top_from_next)
+    y = y.at[:k].add(dsf_local.Ctip @ bot_from_prev)
+    return y
+
+
+def _shard_view(dsf: DistSpikeFactor):
+    """Pytree of per-device leaves: inside shard_map each [K, ...] field
+    arrives as [1, ...]; squeeze to local."""
+    def squeeze(t):
+        return jax.tree_util.tree_map(lambda x: x[0], t)
+    return dsf.__class__(
+        blocks=squeeze(dsf.blocks), fact=squeeze(dsf.fact),
+        Btip=dsf.Btip[0], Ctip=dsf.Ctip[0], red_fact=dsf.red_fact,
+        red_Dinv=dsf.red_Dinv, n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
+        truncated=dsf.truncated)
+
+
+# ---------------------------------------------------------------------------
+# Global entry points
+# ---------------------------------------------------------------------------
+
+def _pad_shard_rhs(dsf: DistSpikeFactor, mesh: Mesh, axis: str, rhs):
+    rp = jnp.zeros((dsf.K * dsf.m,), rhs.dtype).at[:dsf.n].set(rhs)
+    return jax.device_put(rp.reshape(dsf.K, dsf.m),
+                          NamedSharding(mesh, P(axis)))
+
+
+def dist_spike_solve(dsf: DistSpikeFactor, rhs, mesh: Mesh,
+                     axis: str = "p") -> jax.Array:
+    """Direct SPIKE solve of A x = rhs across the mesh; rhs/result [n]."""
+    rhs_sh = _pad_shard_rhs(dsf, mesh, axis, jnp.asarray(rhs))
+
+    def local_fn(dsf_in, r_local):
+        local = _shard_view(dsf_in)
+        return local_spike_solve(local, r_local[0], axis)[None]
+
+    x = jax.shard_map(local_fn, mesh=mesh,
+                      in_specs=(_dsf_specs(dsf, axis), P(axis)),
+                      out_specs=P(axis), check_vma=False)(dsf, rhs_sh)
+    return x.reshape(-1)[:dsf.n]
+
+
+def _dsf_specs(dsf: DistSpikeFactor, axis: str):
+    """PartitionSpec pytree matching DistSpikeFactor: partition-sharded
+    local fields, replicated reduced-system fields."""
+    def spec_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+    return DistSpikeFactor(
+        blocks=spec_like(dsf.blocks, P(axis)),
+        fact=spec_like(dsf.fact, P(axis)),
+        Btip=P(axis), Ctip=P(axis),
+        red_fact=spec_like(dsf.red_fact, P()),
+        red_Dinv=None if dsf.red_Dinv is None else P(),
+        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k, truncated=dsf.truncated)
+
+
+def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
+                     ksp_type: str = "gmres", use_pc: bool = True,
+                     **params):
+    """Build a jitted multi-chip Krylov solver: SPIKE-preconditioned
+    iterations entirely inside one shard_map program (matvec halo exchange
+    via ppermute, reductions via psum, preconditioner = per-device SPIKE).
+
+    Returns solve(rhs[n]) -> KSPResult with x a global [n] array.
+    """
+    method = SOLVERS.get(ksp_type)
+
+    def local_fn(dsf_in, r_local):
+        local = _shard_view(dsf_in)
+        krylov.set_collective_axis(axis)
+        try:
+            matvec = lambda v: local_matvec(local, v, axis)
+            pc_apply = (lambda v: local_spike_solve(local, v, axis)) \
+                if use_pc else None
+            res = method(matvec, r_local[0], None, pc_apply, **params)
+        finally:
+            krylov.set_collective_axis(None)
+        return (res.x[None], res.its, res.reason, res.rnorm, res.history)
+
+    shmapped = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(_dsf_specs(dsf, axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P(), P()),
+        check_vma=False)
+
+    from ..solvers.types import KSPResult
+
+    @jax.jit
+    def solve_fn(rhs):
+        rhs_sh = _pad_shard_rhs(dsf, mesh, axis, rhs)
+        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh)
+        return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
+                         rnorm=rnorm, history=hist)
+
+    return solve_fn

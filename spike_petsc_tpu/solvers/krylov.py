@@ -33,12 +33,37 @@ def _identity_pc(x):
     return x
 
 
-def _norm(x):
-    return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+# Reductions are mesh-aware: under shard_map each solver sees only its local
+# shard of the vectors, and ``axis_name`` turns every inner product into a
+# psum over the partition axis — the ICI replacement for the MPI_Allreduce
+# dot products inside PETSc's KSP (/root/reference/src/wbm.c:546; SURVEY.md §2).
+_AXIS_NAME = None
+
+
+def set_collective_axis(axis_name):
+    """Set (or clear) the mesh axis over which Krylov reductions psum.
+    Call inside a shard_map-ed region before invoking a solver."""
+    global _AXIS_NAME
+    _AXIS_NAME = axis_name
 
 
 def _dot(a, b):
-    return jnp.vdot(a, b)
+    d = jnp.vdot(a, b)
+    if _AXIS_NAME is not None:
+        d = jax.lax.psum(d, _AXIS_NAME)
+    return d
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.real(_dot(x, x)))
+
+
+def _gram(V, w):
+    """Basis-projection row of dot products <V_i, w> (psum'd when sharded)."""
+    h = V @ w
+    if _AXIS_NAME is not None:
+        h = jax.lax.psum(h, _AXIS_NAME)
+    return h
 
 
 # ---------------------------------------------------------------------------
@@ -128,10 +153,10 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 
             # modified Gram-Schmidt against V[0..j] (vectorized, masked)
             mask = (jnp.arange(restart + 1) <= j).astype(dtype)
-            h = (V @ w) * mask
+            h = _gram(V, w) * mask
             w = w - h @ V
             # one reorthogonalization pass for robustness near breakdown
-            h2 = (V @ w) * mask
+            h2 = _gram(V, w) * mask
             w = w - h2 @ V
             h = h + h2
             hj1 = _norm(w)
