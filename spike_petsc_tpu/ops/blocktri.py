@@ -208,6 +208,18 @@ def blocktri_factor(t: BlockTridiagonal, method: str = "inv") -> BlockTriFactor:
     raise ValueError(f"unknown method {method!r} (use 'inv' or 'lu')")
 
 
+def cast_factor(fact: BlockTriFactor, dtype) -> BlockTriFactor:
+    """Store factors in a lower precision (e.g. bfloat16) while solves keep
+    f32 carries: F/Sinv/U are read-bandwidth-bound in the sweeps, so halving
+    their bytes nearly halves solve time; accuracy is recovered by iterative
+    refinement (solvers.krylov.richardson with the factorization as PC)."""
+    if fact.method != "inv":
+        raise ValueError("cast_factor supports method='inv' factors")
+    return BlockTriFactor(F=fact.F.astype(dtype), U=fact.U.astype(dtype),
+                          Sinv=fact.Sinv.astype(dtype), Slu=fact.Slu,
+                          piv=fact.piv, method=fact.method)
+
+
 def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array) -> jax.Array:
     """Solve T x = rhs given a block-Thomas factorization.
 

@@ -117,9 +117,10 @@ def _local_band_mask(m: int, kl: int, ku: int, dtype) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("K", "block_b", "method", "truncated",
-                                   "store_spikes", "kl", "ku", "n"))
+                                   "store_spikes", "kl", "ku", "n",
+                                   "store_dtype"))
 def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
-                       store_spikes):
+                       store_spikes, store_dtype=None):
     k, b, m = _partition_geometry(n, K, kl, ku, block_b)
     npad = K * m
     band = pad_banded(BandedMatrix(data=data, kl=kl, ku=ku), npad)
@@ -173,6 +174,13 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
             red = BlockTridiagonal(D=D, L=L, U=U)
             red_fact = blocktri_factor(red, method=method)
 
+    if store_dtype is not None:
+        from .blocktri import cast_factor
+        fact = cast_factor(fact, store_dtype)
+        if V is not None:
+            V = V.astype(store_dtype)
+            W = W.astype(store_dtype)
+
     return SpikeFactor(fact=fact, Btip=Btip, Ctip=Ctip, red_fact=red_fact,
                        red_Dinv=red_Dinv, V=V, W=W, n=n, K=K, m=m, b=b, k=k,
                        truncated=truncated)
@@ -180,7 +188,8 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
 
 def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
                  method: str = "inv", truncated: bool = False,
-                 store_spikes: bool = False) -> SpikeFactor:
+                 store_spikes: bool = False,
+                 store_dtype=None) -> SpikeFactor:
     """Factor a banded matrix for SPIKE solves over K partitions.
 
     Args:
@@ -191,10 +200,15 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
       truncated: drop the reduced system's inter-interface coupling — exact
         only in the diagonally-dominant limit (the classic truncated SPIKE).
       store_spikes: keep full V, W spikes for 1-sweep solves (memory K*m*k*2).
+      store_dtype: downcast stored factors (e.g. jnp.bfloat16): solve sweeps
+        are factor-read-bound, so this ~halves solve time; pair with
+        iterative refinement (richardson + this factorization as PC) to
+        recover accuracy.
     """
     return _spike_factor_impl(
         band.data, n=band.n, kl=band.kl, ku=band.ku, K=K, block_b=block_b,
-        method=method, truncated=truncated, store_spikes=store_spikes)
+        method=method, truncated=truncated, store_spikes=store_spikes,
+        store_dtype=store_dtype)
 
 
 # ---------------------------------------------------------------------------
