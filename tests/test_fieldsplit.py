@@ -1,0 +1,55 @@
+"""Composite / fieldsplit preconditioner tests — the testbed2 composability
+surface (/root/reference/src/testbed2.c:4)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from spike_petsc_tpu import Options, make_pc, solve
+from spike_petsc_tpu.models import problems
+
+
+def _problem(n=240, seed=2):
+    a = problems.spd_banded(n, 3, seed=seed)
+    u = np.random.default_rng(0).uniform(size=n)
+    return a, u, a @ u
+
+
+@pytest.mark.parametrize("ctype", ["additive", "multiplicative"])
+def test_composite_pc(ctype):
+    a, u, b = _problem()
+    opts = Options({"pc_composite_pcs": "jacobi,bjacobi",
+                    "pc_composite_type": ctype,
+                    "sub_1_pc_bjacobi_blocks": "4"})
+    pc = make_pc("composite", a, opts)
+    res = solve(a, jnp.asarray(b), pc=pc, ksp_type="gmres", rtol=1e-10,
+                maxit=500)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("ftype", ["additive", "multiplicative", "schur"])
+def test_fieldsplit_types(ftype):
+    a, u, b = _problem(n=300, seed=5)
+    opts = Options({"pc_fieldsplit_type": ftype,
+                    "fieldsplit_0_pc_type": "lu",
+                    "fieldsplit_1_pc_type": "lu"})
+    pc = make_pc("fieldsplit", a, opts)
+    assert pc.info["type"] == ftype
+    res = solve(a, jnp.asarray(b), pc=pc, ksp_type="fgmres", rtol=1e-10,
+                maxit=300)
+    assert int(res.reason) > 0, ftype
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+def test_fieldsplit_schur_fast_convergence():
+    """With exact inner solves and the selfp Schur approximation, fieldsplit
+    should converge in a handful of iterations on a dominant band."""
+    a, u, b = _problem(n=400, seed=7)
+    opts = Options({"pc_fieldsplit_type": "schur",
+                    "pc_fieldsplit_schur_precondition": "selfp"})
+    pc = make_pc("fieldsplit", a, opts)
+    res = solve(a, jnp.asarray(b), pc=pc, ksp_type="fgmres", rtol=1e-10,
+                maxit=100)
+    assert int(res.reason) > 0
+    assert int(res.its) <= 25
