@@ -76,7 +76,18 @@ def _reorder_pass(a, ordtype: str, opts: Options, scale: bool, second: bool):
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except (KeyError, ValueError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
     opts = Options.from_argv(sys.argv[1:] if argv is None else argv)
+    if opts.get_bool("x64", False):
+        import jax
+        jax.config.update("jax_enable_x64", True)
 
     matfile = opts.get_string("mat")
     problem = opts.get_string("problem")
