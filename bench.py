@@ -1,18 +1,25 @@
 """Benchmark: SPIKE banded solve at the BASELINE.json target config.
 
 Target metric (BASELINE.md): banded solve wall-clock + GFLOP/s at N=1e6,
-bandwidth 201 (kl=ku=100); reference baseline is LAPACK-on-CPU banded
-factor/solve (the PETSc-CPU ``-pc_type lu`` path of the reference's canned
-recipe, /root/reference/src/makefile:17-18), measured here with the same
-precision (f32 gbtrf/gbtrs) on this host.
+bandwidth 201 (kl=ku=100); baseline is LAPACK-on-CPU banded factor/solve
+(the PETSc-CPU ``-pc_type lu`` path of the reference's canned recipe,
+/root/reference/src/makefile:17-18), measured here in the same precision
+(f32 gbtrf/gbtrs) on this host.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <tpu solve ms>, "unit": "ms",
    "vs_baseline": <cpu_solve_ms / tpu_solve_ms>, ...extras}
 
-Runs on whatever jax's default platform is (the real TPU chip under axon).
+Timing methodology for the axon TPU tunnel (which adds tens of ms of
+per-dispatch latency, makes block_until_ready unreliable, and serializes
+jit closure constants into the remote-compile POST):
+  * factors are EXPLICIT jit arguments (never closure-captured),
+  * R chained solves run inside one lax.fori_loop dispatch,
+  * completion is forced by a small host readback of the result,
+  * per-solve time = (T(R_big) - T(R_small)) / (R_big - R_small).
+
 Env overrides: SPIKE_BENCH_N, SPIKE_BENCH_HALFBW, SPIKE_BENCH_PARTS,
-SPIKE_BENCH_REPS.
+SPIKE_BENCH_DTYPE (f32|bf16 factor storage).
 """
 
 from __future__ import annotations
@@ -24,45 +31,10 @@ import time
 import numpy as np
 
 
-def _time(fn, reps: int, warmup: int = 2) -> float:
-    for _ in range(warmup):
-        fn()
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
-def _time_chained(make_loop, r_small: int, r_big: int) -> float:
-    """Per-iteration device time with dispatch overhead cancelled.
-
-    The axon tunnel adds tens of ms of fixed per-dispatch latency, so single
-    calls cannot be timed.  We run R chained iterations inside ONE jitted
-    lax.fori_loop (each iteration consumes the previous result — no CSE), for
-    two values of R, and difference:   t_iter = (T(Rb) - T(Rs)) / (Rb - Rs).
-    """
-    import jax
-
-    loop_s = make_loop(r_small)
-    loop_b = make_loop(r_big)
-    jax.block_until_ready(loop_s())     # compile
-    jax.block_until_ready(loop_b())
-
-    def run(fn):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        return time.perf_counter() - t0
-
-    ts = min(run(loop_s) for _ in range(3))
-    tb = min(run(loop_b) for _ in range(3))
-    return max(tb - ts, 1e-9) / (r_big - r_small)
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
     from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
@@ -70,64 +42,56 @@ def main() -> None:
     n = int(os.environ.get("SPIKE_BENCH_N", 1_000_000))
     k = int(os.environ.get("SPIKE_BENCH_HALFBW", 100))      # bandwidth 2k+1
     K = int(os.environ.get("SPIKE_BENCH_PARTS", 64))
-    reps = int(os.environ.get("SPIKE_BENCH_REPS", 10))
+    store = os.environ.get("SPIKE_BENCH_DTYPE", "f32")
+    store_dtype = jnp.bfloat16 if store == "bf16" else None
     w = 2 * k + 1
     dtype = jnp.float32
-
     platform = jax.devices()[0].platform
 
     # diagonally dominant random band, built directly on device
     key = jax.random.PRNGKey(0)
     data = jax.random.uniform(key, (n, w), dtype, minval=-1.0, maxval=1.0)
-    rowsum = jnp.sum(jnp.abs(data), axis=1)
-    data = data.at[:, k].set(rowsum + 1.0)
+    data = data.at[:, k].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
     band = BandedMatrix(data=data, kl=k, ku=k)
-
     rhs = banded_matvec(band, jnp.ones((n,), dtype))
-    rhs.block_until_ready()
+    _ = np.asarray(rhs[:8])          # force materialization
 
-    # ---- TPU factor + solve ------------------------------------------------
-    factor = jax.jit(lambda d: spike_factor(
-        BandedMatrix(data=d, kl=k, ku=k), K=K, block_b=128, method="inv"))
-    t0 = time.perf_counter()
-    sf = factor(data)
+    @partial(jax.jit, static_argnames=("K", "kl", "ku"))
+    def factor_fn(d, K, kl, ku):
+        return spike_factor(BandedMatrix(data=d, kl=kl, ku=ku), K=K,
+                            block_b=128, method="inv",
+                            store_dtype=store_dtype)
+
+    @partial(jax.jit, static_argnames=("r",))
+    def solve_loop(sf, b, r):
+        return jax.lax.fori_loop(0, r, lambda i, y: spike_solve(sf, y), b)
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        return time.perf_counter() - t0
+
+    # ---- TPU factor ---------------------------------------------------------
+    factor_compile_s = timed(lambda: factor_fn(data, K, k, k))
+    sf = factor_fn(data, K, k, k)
     jax.block_until_ready(sf)
-    factor_compile_s = time.perf_counter() - t0
+    factor_s = min(timed(lambda: factor_fn(data, K, k, k)) for _ in range(3))
 
-    # chained-loop timing (see _time_chained): factor of data scaled by a
-    # value derived from the previous factor, defeating CSE
-    def make_factor_loop(r):
-        @jax.jit
-        def loop():
-            def body(i, d):
-                f = spike_factor(BandedMatrix(data=d, kl=k, ku=k), K=K,
-                                 block_b=128, method="inv")
-                eps = f.fact.Sinv[0, 0, 0, 0] * 0.0
-                return d * (1.0 + eps)
-            return jax.lax.fori_loop(0, r, body, data)
-        return loop
-    factor_s = _time_chained(make_factor_loop, 1, 1 + max(2, reps // 3))
+    # ---- TPU solve (chained-loop differenced timing) ------------------------
+    timed(lambda: solve_loop(sf, rhs, 2))       # compile
+    timed(lambda: solve_loop(sf, rhs, 12))      # compile
+    t_small = min(timed(lambda: solve_loop(sf, rhs, 2)) for _ in range(3))
+    t_big = min(timed(lambda: solve_loop(sf, rhs, 12)) for _ in range(3))
+    solve_s = max(t_big - t_small, 1e-9) / 10.0
 
-    def make_solve_loop(r):
-        @jax.jit
-        def loop():
-            def body(i, y):
-                x = spike_solve(sf, y)
-                return x / (1.0 + jnp.abs(x[0]) * 0.0)
-            return jax.lax.fori_loop(0, r, body, rhs)
-        return loop
-    solve_s = _time_chained(make_solve_loop, 2, 2 + reps)
-
-    x = spike_solve(sf, rhs)
-
-    # accuracy check (f32): relative residual of the direct solve
+    x = solve_loop(sf, rhs, 1)
     res = banded_matvec(band, x) - rhs
-    relres = float(jnp.linalg.norm(res) / jnp.linalg.norm(rhs))
+    rel = jnp.linalg.norm(res) / jnp.linalg.norm(rhs)
+    relres = float(np.asarray(rel))
 
     # ---- CPU LAPACK baseline (same precision) ------------------------------
     from scipy.linalg import lapack
 
-    # LAPACK banded storage with extra kl rows for fill
     ab = np.zeros((2 * k + k + 1, n), dtype=np.float32, order="F")
     data_np = np.asarray(data)
     for d in range(-k, k + 1):
@@ -145,7 +109,13 @@ def main() -> None:
         assert info2 == 0
         return xb
 
-    cpu_solve_s = _time(cpu_solve, max(2, reps // 3), warmup=1)
+    cpu_solve()  # warm
+    cpu_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cpu_solve()
+        cpu_times.append(time.perf_counter() - t0)
+    cpu_solve_s = min(cpu_times)
 
     # ---- report -------------------------------------------------------------
     solve_flops = 2 * 2 * 3 * n * 128        # two sweeps of block-Thomas
@@ -156,6 +126,7 @@ def main() -> None:
         "vs_baseline": round(cpu_solve_s / solve_s, 3),
         "platform": platform,
         "partitions": K,
+        "factor_store_dtype": store,
         "gflops": round(solve_flops / solve_s / 1e9, 2),
         "tpu_factor_ms": round(factor_s * 1e3, 3),
         "cpu_factor_ms": round(cpu_factor_s * 1e3, 3),

@@ -180,8 +180,10 @@ def blocktri_factor(t: BlockTridiagonal, method: str = "inv") -> BlockTriFactor:
             step, s0_inv, (t.D[1:], t.L[1:], u_shift[1:]))
         F = jnp.concatenate([jnp.zeros((1, b, b), dtype), f_rest], axis=0)
         Sinv = jnp.concatenate([s0_inv[None], sinv_rest], axis=0)
-        z = jnp.zeros((nb, b, b), dtype)
-        zp = jnp.zeros((nb, b), jnp.int32)
+        # zero-size placeholders: carrying full-size unused fields would
+        # waste GBs of HBM at production sizes
+        z = jnp.zeros((nb, 0, 0), dtype)
+        zp = jnp.zeros((nb, 0), jnp.int32)
         return BlockTriFactor(F=F, U=t.U, Sinv=Sinv, Slu=z, piv=zp, method="inv")
 
     elif method == "lu":
@@ -202,7 +204,7 @@ def blocktri_factor(t: BlockTridiagonal, method: str = "inv") -> BlockTriFactor:
         Slu = jnp.concatenate([s0_lu[None], slu_rest], axis=0)
         piv = jnp.concatenate([s0_piv[None].astype(jnp.int32),
                                piv_rest.astype(jnp.int32)], axis=0)
-        z = jnp.zeros((nb, b, b), dtype)
+        z = jnp.zeros((nb, 0, 0), dtype)
         return BlockTriFactor(F=F, U=t.U, Sinv=z, Slu=Slu, piv=piv, method="lu")
 
     raise ValueError(f"unknown method {method!r} (use 'inv' or 'lu')")

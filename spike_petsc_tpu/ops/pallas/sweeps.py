@@ -1,0 +1,139 @@
+"""Pallas TPU kernels for the block-Thomas solve sweeps.
+
+The solve's cost is streaming the factor blocks (F, Sinv, U) from HBM once
+per sweep; the math per step is a batched [K, b, b] @ [K, b] matvec.  XLA's
+``lax.scan`` version reaches only a fraction of HBM bandwidth (per-step
+overheads, no cross-iteration prefetch).  These kernels express each sweep as
+a Pallas grid over (partition-chunk, block index) with
+
+  * a chunk of Kt partitions processed per grid step (sized to VMEM: two
+    double-buffered [Kt, b, b] factor blocks must fit),
+  * factor blocks auto-pipelined by the Pallas BlockSpec machinery (the next
+    block's DMA overlaps the current step's compute),
+  * the running carry y_{i-1} / x_{i+1} held in VMEM scratch across the inner
+    grid dimension (TPU grids iterate the last dimension fastest, so the
+    carry is private to each partition chunk),
+
+i.e. the double-buffering pattern of the Pallas guide applied to a recurrence.
+Factor blocks may be stored bf16 (see blocktri.cast_factor): they are read at
+half the bytes and promoted in-register; carries stay f32.
+
+Forward sweep:   y_0 = r_0,            y_i = r_i - F_i y_{i-1}
+Backward sweep:  x_{nb-1} = S^{-1} y,  x_i = S^{-1}_i (y_i - U_i x_{i+1})
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _chunk_size(K: int, b: int, itemsize: int) -> int:
+    """Largest Kt dividing K with two double-buffered [Kt, b, b] factor
+    blocks inside the VMEM budget."""
+    per_part = 4 * b * b * itemsize          # 2 mats x 2 pipeline buffers
+    kt = max(1, min(K, _VMEM_BUDGET // per_part))
+    while K % kt:
+        kt -= 1
+    return kt
+
+
+def _batched_matvec(m, v):
+    return jax.lax.dot_general(
+        m, v[:, :, None],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=v.dtype)[:, :, 0]
+
+
+def _fwd_kernel(f_ref, r_ref, y_ref, carry_ref):
+    i = pl.program_id(1)
+    r = r_ref[:, 0, :]                                     # [Kt, b]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:, :] = r
+
+    @pl.when(i > 0)
+    def _():
+        f = f_ref[:, 0, :, :].astype(carry_ref.dtype)      # [Kt, b, b]
+        carry_ref[:, :] = r - _batched_matvec(f, carry_ref[:, :])
+
+    y_ref[:, 0, :] = carry_ref[:, :]
+
+
+def _bwd_kernel(sinv_ref, u_ref, y_ref, x_ref, carry_ref):
+    i = pl.program_id(1)
+    y = y_ref[:, 0, :]
+    sinv = sinv_ref[:, 0, :, :].astype(carry_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:, :] = _batched_matvec(sinv, y)
+
+    @pl.when(i > 0)
+    def _():
+        u = u_ref[:, 0, :, :].astype(carry_ref.dtype)
+        t = y - _batched_matvec(u, carry_ref[:, :])
+        carry_ref[:, :] = _batched_matvec(sinv, t)
+
+    x_ref[:, 0, :] = carry_ref[:, :]
+
+
+@jax.jit
+def blocktri_solve_batched_pallas(fact, rhs: jax.Array) -> jax.Array:
+    """Batched block-Thomas solve via Pallas sweep kernels.
+
+    fact: BlockTriFactor with leading partition dim K (method "inv").
+    rhs:  [K, nb, b].  Returns x: [K, nb, b] (f32, or f64 under x64).
+    """
+    if fact.method != "inv":
+        raise ValueError("pallas sweeps require method='inv' factors")
+    K, nb, b, _ = fact.F.shape
+    itemsize = jnp.dtype(fact.F.dtype).itemsize
+    kt = _chunk_size(K, b, itemsize)
+    kc = K // kt
+    interpret = _use_interpret()
+
+    def mat_spec(rev: bool):
+        return pl.BlockSpec(
+            (kt, 1, b, b),
+            (lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
+            (lambda c, i: (c, i, 0, 0)),
+            memory_space=pltpu.VMEM)
+
+    def vec_spec(rev: bool):
+        return pl.BlockSpec(
+            (kt, 1, b),
+            (lambda c, i: (c, nb - 1 - i, 0)) if rev else
+            (lambda c, i: (c, i, 0)),
+            memory_space=pltpu.VMEM)
+
+    cdtype = jnp.result_type(rhs.dtype, jnp.float32)
+    y = pl.pallas_call(
+        _fwd_kernel,
+        grid=(kc, nb),
+        in_specs=[mat_spec(False), vec_spec(False)],
+        out_specs=vec_spec(False),
+        out_shape=jax.ShapeDtypeStruct((K, nb, b), cdtype),
+        scratch_shapes=[pltpu.VMEM((kt, b), cdtype)],
+        interpret=interpret,
+    )(fact.F, rhs.astype(cdtype))
+
+    x = pl.pallas_call(
+        _bwd_kernel,
+        grid=(kc, nb),
+        in_specs=[mat_spec(True), mat_spec(True), vec_spec(True)],
+        out_specs=vec_spec(True),
+        out_shape=jax.ShapeDtypeStruct((K, nb, b), cdtype),
+        scratch_shapes=[pltpu.VMEM((kt, b), cdtype)],
+        interpret=interpret,
+    )(fact.Sinv, fact.U, y)
+    return x

@@ -233,14 +233,24 @@ def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
     return xbot_prev, xtop_next
 
 
-@jax.jit
-def spike_solve(sf: SpikeFactor, rhs: jax.Array) -> jax.Array:
-    """Solve A x = rhs with a SPIKE factorization.  rhs: [n] (original size)."""
+@partial(jax.jit, static_argnames=("impl",))
+def spike_solve(sf: SpikeFactor, rhs: jax.Array, impl: str = "xla") -> jax.Array:
+    """Solve A x = rhs with a SPIKE factorization.  rhs: [n] (original size).
+
+    impl: "xla" (lax.scan sweeps) or "pallas" (fused streaming sweep kernels,
+    ops/pallas/sweeps.py — method 'inv' factors only).
+    """
     K, m, b, k, nb = sf.K, sf.m, sf.b, sf.k, sf.nb
     rp = jnp.zeros((K * m,), rhs.dtype).at[:sf.n].set(rhs)
     rblk = rp.reshape(K, nb, b)
 
-    g = jax.vmap(blocktri_solve)(sf.fact, rblk)              # [K, nb, b]
+    if impl == "pallas":
+        from .pallas.sweeps import blocktri_solve_batched_pallas
+        batched_solve = partial(blocktri_solve_batched_pallas, sf.fact)
+    else:
+        batched_solve = partial(jax.vmap(blocktri_solve), sf.fact)
+
+    g = batched_solve(rblk)                                  # [K, nb, b]
     if K == 1:
         return g.reshape(-1)[:sf.n]
 
@@ -258,7 +268,7 @@ def spike_solve(sf: SpikeFactor, rhs: jax.Array) -> jax.Array:
         corrC = jnp.einsum("prc,pc->pr", sf.Ctip, xbot_prev)
         r2 = rblk.at[:, nb - 1, b - k:].add(-corrB)
         r2 = r2.at[:, 0, :k].add(-corrC)
-        x = jax.vmap(blocktri_solve)(sf.fact, r2)
+        x = batched_solve(r2)
     return x.reshape(-1)[:sf.n]
 
 

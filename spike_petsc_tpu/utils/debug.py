@@ -39,7 +39,8 @@ def factor_health(fact, growth_threshold: float = 1e12) -> FactorHealth:
     exploding pivots (the surface PETSc exposes via -pc_factor_shift checks).
     """
     leaves = [x for x in jax.tree_util.tree_leaves(fact)
-              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+              and x.size > 0]
     nonfinite = jnp.zeros((), bool)
     maxnorm = jnp.zeros(())
     for leaf in leaves:
