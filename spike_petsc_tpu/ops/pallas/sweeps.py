@@ -54,8 +54,10 @@ def _batched_matvec(m, v):
 
 
 def _fwd_kernel(f_ref, r_ref, y_ref, carry_ref):
+    # vectors carry a singleton axis ([Kt, 1, 1, b]) so their last two block
+    # dims equal the array dims — a Pallas TPU lowering requirement
     i = pl.program_id(1)
-    r = r_ref[:, 0, :]                                     # [Kt, b]
+    r = r_ref[:, 0, 0, :]                                  # [Kt, b]
 
     @pl.when(i == 0)
     def _():
@@ -66,12 +68,12 @@ def _fwd_kernel(f_ref, r_ref, y_ref, carry_ref):
         f = f_ref[:, 0, :, :].astype(carry_ref.dtype)      # [Kt, b, b]
         carry_ref[:, :] = r - _batched_matvec(f, carry_ref[:, :])
 
-    y_ref[:, 0, :] = carry_ref[:, :]
+    y_ref[:, 0, 0, :] = carry_ref[:, :]
 
 
 def _bwd_kernel(sinv_ref, u_ref, y_ref, x_ref, carry_ref):
     i = pl.program_id(1)
-    y = y_ref[:, 0, :]
+    y = y_ref[:, 0, 0, :]
     sinv = sinv_ref[:, 0, :, :].astype(carry_ref.dtype)
 
     @pl.when(i == 0)
@@ -84,7 +86,7 @@ def _bwd_kernel(sinv_ref, u_ref, y_ref, x_ref, carry_ref):
         t = y - _batched_matvec(u, carry_ref[:, :])
         carry_ref[:, :] = _batched_matvec(sinv, t)
 
-    x_ref[:, 0, :] = carry_ref[:, :]
+    x_ref[:, 0, 0, :] = carry_ref[:, :]
 
 
 @jax.jit
@@ -111,29 +113,30 @@ def blocktri_solve_batched_pallas(fact, rhs: jax.Array) -> jax.Array:
 
     def vec_spec(rev: bool):
         return pl.BlockSpec(
-            (kt, 1, b),
-            (lambda c, i: (c, nb - 1 - i, 0)) if rev else
-            (lambda c, i: (c, i, 0)),
+            (kt, 1, 1, b),
+            (lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
+            (lambda c, i: (c, i, 0, 0)),
             memory_space=pltpu.VMEM)
 
     cdtype = jnp.result_type(rhs.dtype, jnp.float32)
+    rhs4 = rhs.astype(cdtype).reshape(K, nb, 1, b)
     y = pl.pallas_call(
         _fwd_kernel,
         grid=(kc, nb),
         in_specs=[mat_spec(False), vec_spec(False)],
         out_specs=vec_spec(False),
-        out_shape=jax.ShapeDtypeStruct((K, nb, b), cdtype),
+        out_shape=jax.ShapeDtypeStruct((K, nb, 1, b), cdtype),
         scratch_shapes=[pltpu.VMEM((kt, b), cdtype)],
         interpret=interpret,
-    )(fact.F, rhs.astype(cdtype))
+    )(fact.F, rhs4)
 
     x = pl.pallas_call(
         _bwd_kernel,
         grid=(kc, nb),
         in_specs=[mat_spec(True), mat_spec(True), vec_spec(True)],
         out_specs=vec_spec(True),
-        out_shape=jax.ShapeDtypeStruct((K, nb, b), cdtype),
+        out_shape=jax.ShapeDtypeStruct((K, nb, 1, b), cdtype),
         scratch_shapes=[pltpu.VMEM((kt, b), cdtype)],
         interpret=interpret,
     )(fact.Sinv, fact.U, y)
-    return x
+    return x.reshape(K, nb, b)

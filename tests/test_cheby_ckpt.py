@@ -1,0 +1,70 @@
+"""Chebyshev KSP and factorization checkpoint/resume tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spike_petsc_tpu import sparse as hsp
+from spike_petsc_tpu.io import load_factorization, save_factorization
+from spike_petsc_tpu.models import problems
+from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
+from spike_petsc_tpu.solvers.krylov import chebyshev
+from spike_petsc_tpu import solve
+
+
+def _banded(a):
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    return BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+
+
+def test_chebyshev_jacobi_preconditioned():
+    a = problems.spd_banded(200, 2, seed=1)
+    bm = _banded(a)
+    u = np.ones(200)
+    b = jnp.asarray(a @ u)
+    d = jnp.asarray(a.diagonal())
+    # jacobi-preconditioned SPD: spectrum within (0, 2); dominant => near 1
+    res = chebyshev(lambda v: banded_matvec(bm, v), b, None,
+                    lambda v: v / d, emin=0.3, emax=1.7, rtol=1e-10,
+                    maxit=300)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-7)
+
+
+def test_chebyshev_registered():
+    a = problems.spd_banded(150, 2, seed=3)
+    u = np.ones(150)
+    res = solve(_banded(a), jnp.asarray(a @ u), ksp_type="chebyshev",
+                pc_type="jacobi", rtol=1e-9, maxit=400,
+                emin=0.3, emax=1.7)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+def test_factorization_checkpoint_roundtrip(tmp_path):
+    a = problems.nonsym_banded(300, 3, 3, seed=5)
+    bm = _banded(a)
+    sf = spike_factor(bm, K=4, block_b=8)
+    path = str(tmp_path / "factor.npz")
+    save_factorization(path, sf)
+    sf2 = load_factorization(path)
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal(300))
+    x1 = np.asarray(spike_solve(sf, rhs))
+    x2 = np.asarray(spike_solve(sf2, rhs))
+    np.testing.assert_allclose(x1, x2, rtol=1e-14)
+
+
+def test_factorization_checkpoint_truncated_and_k1(tmp_path):
+    a = problems.nonsym_banded(240, 2, 2, seed=7, dominance=20.0)
+    bm = _banded(a)
+    for kwargs, name in [(dict(K=1), "k1"),
+                         (dict(K=4, block_b=8, truncated=True), "trunc")]:
+        sf = spike_factor(bm, **kwargs)
+        path = str(tmp_path / f"f_{name}.npz")
+        save_factorization(path, sf)
+        sf2 = load_factorization(path)
+        rhs = jnp.asarray(np.random.default_rng(1).standard_normal(240))
+        np.testing.assert_allclose(np.asarray(spike_solve(sf, rhs)),
+                                   np.asarray(spike_solve(sf2, rhs)),
+                                   rtol=1e-14)
