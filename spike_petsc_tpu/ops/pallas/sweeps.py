@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+# conservative: besides the two double-buffered factor blocks, the compiler
+# stages in-register promotions/intermediates that also land in scoped vmem
+_VMEM_BUDGET = 6 * 1024 * 1024
 
 
 def _use_interpret() -> bool:
@@ -47,10 +49,13 @@ def _chunk_size(K: int, b: int, itemsize: int) -> int:
 
 
 def _batched_matvec(m, v):
+    # precision=HIGHEST: the MXU's default f32 path truncates inputs to
+    # bf16; the sweep is memory-bound, so the extra passes are free
     return jax.lax.dot_general(
         m, v[:, :, None],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=v.dtype)[:, :, 0]
+        preferred_element_type=v.dtype,
+        precision=jax.lax.Precision.HIGHEST)[:, :, 0]
 
 
 def _fwd_kernel(f_ref, r_ref, y_ref, carry_ref):

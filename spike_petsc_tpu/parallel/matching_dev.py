@@ -129,6 +129,146 @@ def _auction_rounds(rows, benefit, n: int, eps, max_rounds: int):
     return match, matchR, p, r
 
 
+def _auction_rounds_dist(rows_sh, benefit_sh, n: int, eps, max_rounds: int,
+                         mesh, axis: str):
+    """Mesh-distributed auction: columns sharded over ``axis``; row state
+    (owners, prices) replicated and updated identically on every device from
+    globally-reduced acceptances.
+
+    This is the TPU-native redesign of the reference's MPI matching
+    (`MatComputeMatching_MPIAIJ`, /root/reference/src/wbm.c:201-296): where
+    it reduces row duals with a VecScatter forward/reverse pair (:270-273),
+    here each bidding round does two O(n) collective reductions (pmax of the
+    best raise per row, pmin of the winning column id) and every device
+    replays the same row-state update — no scatter round-trip.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.shape[axis]
+    nl = rows_sh.shape[0] // ndev
+
+    def local_fn(rows_l, ben_l):
+        rows_l = rows_l.reshape(nl, -1)
+        ben_l = ben_l.reshape(nl, -1)
+        my = jax.lax.axis_index(axis)
+        gcol = my * nl + jnp.arange(nl)                    # global col ids
+        NEG = jnp.array(-jnp.inf, ben_l.dtype)
+
+        def cond(state):
+            match_l, matchR, p, r = state
+            local_un = jnp.sum(match_l < 0)
+            total_un = jax.lax.psum(local_un, axis)
+            return (r < max_rounds) & (total_un > 0)
+
+        def body(state):
+            match_l, matchR, p, r = state
+            pr = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+            vals = ben_l - pr[rows_l]
+            unmatched = match_l < 0
+            vals = jnp.where(unmatched[:, None], vals, NEG)
+            best_e = jnp.argmax(vals, axis=1)
+            best = jnp.take_along_axis(vals, best_e[:, None], 1)[:, 0]
+            vals2 = vals.at[jnp.arange(nl), best_e].set(NEG)
+            second = jnp.max(vals2, axis=1)
+            has_bid = unmatched & jnp.isfinite(best)
+            target = jnp.where(
+                has_bid, rows_l[jnp.arange(nl), best_e].astype(jnp.int32), n)
+            raise_amt = jnp.where(jnp.isfinite(second), best - second,
+                                  0.0) + eps
+
+            # global acceptance: per-row max raise (pmax), tie -> min col id
+            bid_key = jnp.where(has_bid, raise_amt, -jnp.inf)
+            row_best = jax.ops.segment_max(bid_key, target,
+                                           num_segments=n + 1)
+            row_best = jax.lax.pmax(row_best, axis)
+            is_top = has_bid & (bid_key >= row_best[target])
+            cand = jnp.where(is_top, gcol, n).astype(jnp.int32)
+            winner = jax.ops.segment_min(cand, target, num_segments=n + 1)
+            winner = jax.lax.pmin(winner, axis)[:n]
+
+            # replicated row-state update (identical on every device)
+            accepted_row = (winner < n) & jnp.isfinite(row_best[:n])
+            matchR = jnp.where(accepted_row, winner, matchR)
+            p = p + jnp.where(accepted_row, row_best[:n], 0.0)
+
+            # local column state: win where I am the winner of my target;
+            # evictions fall out of re-checking matchR consistency
+            tgt_c = jnp.clip(target, 0, n - 1)
+            i_won = has_bid & (target < n) & (winner[tgt_c] == gcol)
+            match_l = jnp.where(i_won, tgt_c.astype(match_l.dtype), match_l)
+            owned = match_l >= 0
+            still_mine = owned & (matchR[jnp.clip(match_l, 0, n - 1)] == gcol)
+            match_l = jnp.where(owned & ~still_mine, -1, match_l)
+            return match_l, matchR, p, r + 1
+
+        init = (jnp.full((nl,), -1, jnp.int32),
+                jnp.full((n,), -1, jnp.int32),
+                jnp.zeros((n,), ben_l.dtype), jnp.int32(0))
+        match_l, matchR, p, r = jax.lax.while_loop(cond, body, init)
+        return match_l, matchR, p, r
+
+    rows_dev = jax.device_put(rows_sh, NamedSharding(mesh, P(axis)))
+    ben_dev = jax.device_put(benefit_sh, NamedSharding(mesh, P(axis)))
+    shmapped = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P()), check_vma=False)
+    return shmapped(rows_dev, ben_dev)
+
+
+def auction_match_dist(a, mesh, axis: str = "p", eps: Optional[float] = None,
+                       max_rounds: Optional[int] = None) -> OrderingResult:
+    """Distributed MC64-job-5-objective matching across a device mesh."""
+    rows_np, logw_np, n = csc_to_ell(a)
+    ndev = mesh.shape[axis]
+    eps = eps if eps is not None else 1e-3 / max(n, 1)
+    max_rounds = max_rounds or 50 * n
+    n_pad = -(-max(n, 1) // ndev) * ndev
+    dmax = rows_np.shape[1] if n else 1
+    rows_pad = np.full((n_pad, dmax), n, dtype=np.int32)
+    ben_pad = np.full((n_pad, dmax), -np.inf)
+    if n:
+        rows_pad[:n] = rows_np
+        ben_pad[:n] = np.where(np.isfinite(logw_np), -logw_np, -np.inf)
+
+    match_l, matchR, prices, rounds = _auction_rounds_dist(
+        jnp.asarray(rows_pad), jnp.asarray(ben_pad), n=n, eps=eps,
+        max_rounds=max_rounds, mesh=mesh, axis=axis)
+    match = np.asarray(match_l, dtype=np.int64)[:n]
+    info = dict(type="auction_dist", rounds=int(rounds), eps=float(eps),
+                devices=ndev)
+    unmatched = np.flatnonzero(match < 0)
+    if unmatched.size:
+        used = np.zeros(n, dtype=bool)
+        used[match[match >= 0]] = True
+        free = np.flatnonzero(~used)
+        match[unmatched] = free[: unmatched.size]
+        info["completed"] = int(unmatched.size)
+    res = _scalings_from_prices(a, rows_np, logw_np, np.asarray(prices), n)
+    return OrderingResult(rperm=match, cperm=np.arange(n),
+                          row_scale=res[0], col_scale=res[1], info=info)
+
+
+def _scalings_from_prices(a, rows_np, logw_np, p, n):
+    """Shared dual->scaling derivation (see auction_match)."""
+    logw_flat = logw_np.ravel()
+    rows_flat = rows_np.ravel()
+    finite = np.isfinite(logw_flat) & (rows_flat < n)
+    q = np.full(n, -np.inf)
+    col_flat = np.repeat(np.arange(n), rows_np.shape[1])
+    np.maximum.at(q, col_flat[finite],
+                  -logw_flat[finite] - p[rows_flat[finite]])
+    q[~np.isfinite(q)] = 0.0
+    coo = sp.csc_matrix(a).tocoo()
+    colmax = np.zeros(n)
+    np.maximum.at(colmax, coo.col, np.abs(coo.data))
+    logmax = np.zeros(n)
+    np.log(colmax, out=logmax, where=colmax > 0)
+    row_scale = np.exp(np.clip(-p, -700, 700))
+    col_scale = np.exp(np.clip(-q - logmax, -700, 700))
+    return row_scale, col_scale
+
+
 def auction_match(a, eps: Optional[float] = None,
                   max_rounds: Optional[int] = None) -> OrderingResult:
     """MC64-job-5-objective matching computed entirely on device.
@@ -165,25 +305,8 @@ def auction_match(a, eps: Optional[float] = None,
     # rows carry prices p_i; column values q_j = max_e (-w_je - p_{row(je)}).
     # Then u_i = -p_i, v_j = -q_j satisfy u + v <= w (equality on matched,
     # within eps) — the same tightness MC64 job 5 uses for its scalings.
-    p = np.asarray(prices, dtype=np.float64)
-    logw_flat = logw_np.ravel()
-    rows_flat = rows_np.ravel()
-    finite = np.isfinite(logw_flat) & (rows_flat < n)
-    q = np.full(n, -np.inf)
-    col_flat = np.repeat(np.arange(n), rows_np.shape[1])
-    np.maximum.at(q, col_flat[finite],
-                  -logw_flat[finite] - p[rows_flat[finite]])
-    q[~np.isfinite(q)] = 0.0
-    u = -p
-    v = -q
-
-    coo = sp.csc_matrix(a).tocoo()
-    colmax = np.zeros(n)
-    np.maximum.at(colmax, coo.col, np.abs(coo.data))
-    logmax = np.zeros(n)
-    np.log(colmax, out=logmax, where=colmax > 0)
-    row_scale = np.exp(np.clip(u, -700, 700))
-    col_scale = np.exp(np.clip(v - logmax, -700, 700))
+    row_scale, col_scale = _scalings_from_prices(
+        a, rows_np, logw_np, np.asarray(prices, dtype=np.float64), n)
 
     return OrderingResult(rperm=match, cperm=np.arange(n),
                           row_scale=row_scale, col_scale=col_scale,
