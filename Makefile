@@ -1,0 +1,33 @@
+# Convenience targets mirroring the reference's makefile surface
+# (/root/reference/src/makefile:1-24: testbed/testbed2/spectralPartition/wbm
+# build targets and the canned `run` recipe).  This framework has no build
+# step (the C++ native engine compiles itself on first use), so the targets
+# run things instead.
+
+PY ?= python
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/test_band.py tests/test_ordering.py -q
+
+bench:
+	$(PY) bench.py
+
+native:
+	$(PY) -c "from spike_petsc_tpu.native import loader; \
+	          print(loader.get_lib() or 'native build unavailable')"
+
+# canned run recipe (reference makefile:17-18: GMRES + LU on a test matrix)
+run:
+	$(PY) -m spike_petsc_tpu.testbed -problem spd:100000:16 \
+	    -ksp_type gmres -ksp_rtol 1e-5 -pc_type lu -ksp_converged_reason
+
+wbm:
+	$(PY) -m spike_petsc_tpu.tools.wbm -matching mc64 -scale 1
+
+spectral:
+	$(PY) -m spike_petsc_tpu.tools.spectral -problem lap2d:20:20 -levels 2
+
+.PHONY: test test-fast bench native run wbm spectral

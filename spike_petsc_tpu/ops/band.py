@@ -186,3 +186,35 @@ def pad_banded(b: BandedMatrix, n_pad: int, unit_diagonal: bool = True) -> Bande
 
 def banded_from_numpy_dense(a: np.ndarray, kl: int, ku: int) -> BandedMatrix:
     return banded_from_dense(jnp.asarray(a), kl, ku)
+
+
+def extract_banded_device(rows, cols, vals, n: int, kmax: int = 50,
+                          frac: float = 0.95):
+    """Norm-fraction band selection + extraction entirely on device.
+
+    Jittable twin of sparse.extract_banded / MatCreateSubMatrixBanded
+    (/root/reference/src/matbanded.c:38-103): a segment-sum histogram of
+    |a_ij| by diagonal distance, cumulative-sum bandwidth pick (smallest
+    k < kmax reaching frac of the 1-norm, else kmax), then a masked scatter
+    into band storage of width 2*kmax+1 (static shape; entries beyond the
+    chosen k are zeroed).  Returns (BandedMatrix, k, achieved_frac);
+    note kl = ku = kmax statically — slice down on host if a tight band is
+    needed.
+    """
+    rows = jnp.asarray(rows)
+    cols = jnp.asarray(cols)
+    vals = jnp.asarray(vals)
+    dist = jnp.abs(rows - cols)
+    absval = jnp.abs(vals)
+    hist = jax.ops.segment_sum(absval, jnp.minimum(dist, n - 1),
+                               num_segments=n)
+    norm_a = jnp.sum(absval)
+    cum = jnp.cumsum(hist)
+    reached = cum >= frac * norm_a
+    first = jnp.argmax(reached)
+    k = jnp.where(jnp.any(reached[:kmax]), first, kmax).astype(jnp.int32)
+    norm_b = cum[jnp.minimum(k, n - 1)]
+    keep = dist <= k
+    bm = banded_from_coo(rows, cols, jnp.where(keep, vals, 0), n, kmax, kmax)
+    achieved = jnp.where(norm_a > 0, norm_b / norm_a, 1.0)
+    return bm, k, achieved

@@ -181,3 +181,29 @@ def test_diag_diagnostics():
     a = problems.mc64_doc_example()
     assert hsp.count_zero_diagonals(a) == 2  # rows 0 and 2 have no diagonal
     assert hsp.diagonal_norm1(a) == 2.0
+
+
+def test_extract_banded_device_matches_host():
+    import jax.numpy as jnp
+    a = problems.laplacian_2d(6, 6)
+    coo = a.tocoo()
+    bm, k, frac = B.extract_banded_device(
+        jnp.asarray(coo.row), jnp.asarray(coo.col), jnp.asarray(coo.data),
+        n=a.shape[0], kmax=50, frac=0.95)
+    host = hsp.extract_banded(a, kmax=50, frac=0.95)
+    assert int(k) == host.k
+    np.testing.assert_allclose(float(frac), host.frac, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(B.banded_to_dense(bm)),
+                               host.matrix.toarray(), atol=1e-14)
+
+
+def test_extract_banded_device_kmax_fallback():
+    import jax.numpy as jnp
+    a = problems.general_sparse(200, seed=4, band_heavy=False)
+    coo = a.tocoo()
+    bm, k, frac = B.extract_banded_device(
+        jnp.asarray(coo.row), jnp.asarray(coo.col), jnp.asarray(coo.data),
+        n=200, kmax=3, frac=0.9999)
+    assert int(k) == 3
+    kl_eff, ku_eff = B.banded_bandwidth(bm)
+    assert int(kl_eff) <= 3 and int(ku_eff) <= 3
