@@ -148,12 +148,10 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         return (expand(blocks), expand(fact), Btip[None], Ctip[None],
                 red_fact, red_Dinv)
 
-    specs_sharded = P(axis)
     out_specs = (
-        jax.tree_util.tree_map(lambda _: specs_sharded, _blocktri_struct()),
-        jax.tree_util.tree_map(lambda _: specs_sharded,
-                               _factor_struct(method)),
-        specs_sharded, specs_sharded,
+        jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
+        _factor_field_specs(method, axis),
+        P(axis), P(axis),
         None if truncated else jax.tree_util.tree_map(
             lambda _: P(), _factor_struct(method)),
         P() if truncated else None,
@@ -172,6 +170,18 @@ def _blocktri_struct():
 
 def _factor_struct(method):
     return BlockTriFactor(F=0, U=0, Sinv=0, Slu=0, piv=0, method=method)
+
+
+def _factor_field_specs(method, axis):
+    """Per-field PartitionSpecs for a partition-sharded BlockTriFactor:
+    the method's unused placeholder fields are zero-size (see
+    blocktri_factor) and must be replicated, not sharded."""
+    pax, rep = P(axis), P()
+    if method == "inv":
+        return BlockTriFactor(F=pax, U=pax, Sinv=pax, Slu=rep, piv=rep,
+                              method=method)
+    return BlockTriFactor(F=pax, U=pax, Sinv=rep, Slu=pax, piv=pax,
+                          method=method)
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +285,7 @@ def _dsf_specs(dsf: DistSpikeFactor, axis: str):
         return jax.tree_util.tree_map(lambda _: spec, tree)
     return DistSpikeFactor(
         blocks=spec_like(dsf.blocks, P(axis)),
-        fact=spec_like(dsf.fact, P(axis)),
+        fact=_factor_field_specs(dsf.fact.method, axis),
         Btip=P(axis), Ctip=P(axis),
         red_fact=spec_like(dsf.red_fact, P()),
         red_Dinv=None if dsf.red_Dinv is None else P(),
