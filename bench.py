@@ -89,6 +89,22 @@ def main() -> None:
     rel = jnp.linalg.norm(res) / jnp.linalg.norm(rhs)
     relres = float(np.asarray(rel))
 
+    # BASELINE's second metric: Krylov iterations with the SPIKE
+    # preconditioner (exact factorization -> direct-solve-quality PC; the
+    # preconditioned GMRES residual collapses immediately)
+    from spike_petsc_tpu.solvers.krylov import gmres
+
+    @jax.jit
+    def gmres_run(sf_in, b_in):
+        r = gmres(lambda v: banded_matvec(band, v), b_in, None,
+                  lambda v: spike_solve(sf_in, v), rtol=1e-8, maxit=30,
+                  restart=30)
+        return r.its, r.rnorm
+    g_its, g_rnorm = gmres_run(sf, rhs)
+    g_its = int(np.asarray(g_its))
+    g_rel = float(np.asarray(g_rnorm)) / float(np.asarray(
+        jnp.linalg.norm(rhs)))
+
     # ---- CPU LAPACK baseline (same precision) ------------------------------
     from scipy.linalg import lapack
 
@@ -135,6 +151,8 @@ def main() -> None:
         "factor_plus_solve_speedup": round(
             (cpu_factor_s + cpu_solve_s) / (factor_s + solve_s), 3),
         "rel_residual_f32": relres,
+        "gmres_spikepc_its_rtol1e8": g_its,
+        "gmres_final_relres": g_rel,
         "factor_compile_s": round(factor_compile_s, 2),
     }
     print(json.dumps(out))

@@ -48,17 +48,19 @@ def _chunk_size(K: int, b: int, itemsize: int) -> int:
     return kt
 
 
-def _batched_matvec(m, v):
-    # precision=HIGHEST: the MXU's default f32 path truncates inputs to
-    # bf16; the sweep is memory-bound, so the extra passes are free
+def _batched_matvec(m, v, precision):
+    # precision is chosen from the STORED factor dtype: f32 factors need
+    # HIGHEST (the MXU's default f32 path truncates inputs to bf16 — and the
+    # sweep is memory-bound, so the extra passes are free); bf16 factors are
+    # already bf16-native, single default-precision pass loses nothing
     return jax.lax.dot_general(
         m, v[:, :, None],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=v.dtype,
-        precision=jax.lax.Precision.HIGHEST)[:, :, 0]
+        precision=precision)[:, :, 0]
 
 
-def _fwd_kernel(f_ref, r_ref, y_ref, carry_ref):
+def _fwd_kernel(f_ref, r_ref, y_ref, carry_ref, *, precision):
     # vectors carry a singleton axis ([Kt, 1, 1, b]) so their last two block
     # dims equal the array dims — a Pallas TPU lowering requirement
     i = pl.program_id(1)
@@ -71,25 +73,25 @@ def _fwd_kernel(f_ref, r_ref, y_ref, carry_ref):
     @pl.when(i > 0)
     def _():
         f = f_ref[:, 0, :, :].astype(carry_ref.dtype)      # [Kt, b, b]
-        carry_ref[:, :] = r - _batched_matvec(f, carry_ref[:, :])
+        carry_ref[:, :] = r - _batched_matvec(f, carry_ref[:, :], precision)
 
     y_ref[:, 0, 0, :] = carry_ref[:, :]
 
 
-def _bwd_kernel(sinv_ref, u_ref, y_ref, x_ref, carry_ref):
+def _bwd_kernel(sinv_ref, u_ref, y_ref, x_ref, carry_ref, *, precision):
     i = pl.program_id(1)
     y = y_ref[:, 0, 0, :]
     sinv = sinv_ref[:, 0, :, :].astype(carry_ref.dtype)
 
     @pl.when(i == 0)
     def _():
-        carry_ref[:, :] = _batched_matvec(sinv, y)
+        carry_ref[:, :] = _batched_matvec(sinv, y, precision)
 
     @pl.when(i > 0)
     def _():
         u = u_ref[:, 0, :, :].astype(carry_ref.dtype)
-        t = y - _batched_matvec(u, carry_ref[:, :])
-        carry_ref[:, :] = _batched_matvec(sinv, t)
+        t = y - _batched_matvec(u, carry_ref[:, :], precision)
+        carry_ref[:, :] = _batched_matvec(sinv, t, precision)
 
     x_ref[:, 0, 0, :] = carry_ref[:, :]
 
@@ -124,9 +126,12 @@ def blocktri_solve_batched_pallas(fact, rhs: jax.Array) -> jax.Array:
             memory_space=pltpu.VMEM)
 
     cdtype = jnp.result_type(rhs.dtype, jnp.float32)
+    precision = (jax.lax.Precision.DEFAULT if itemsize < 4
+                 else jax.lax.Precision.HIGHEST)
+    from functools import partial as _partial
     rhs4 = rhs.astype(cdtype).reshape(K, nb, 1, b)
     y = pl.pallas_call(
-        _fwd_kernel,
+        _partial(_fwd_kernel, precision=precision),
         grid=(kc, nb),
         in_specs=[mat_spec(False), vec_spec(False)],
         out_specs=vec_spec(False),
@@ -136,7 +141,7 @@ def blocktri_solve_batched_pallas(fact, rhs: jax.Array) -> jax.Array:
     )(fact.F, rhs4)
 
     x = pl.pallas_call(
-        _bwd_kernel,
+        _partial(_bwd_kernel, precision=precision),
         grid=(kc, nb),
         in_specs=[mat_spec(True), mat_spec(True), vec_spec(True)],
         out_specs=vec_spec(True),
