@@ -49,13 +49,135 @@ def graph_laplacian(a, tol: float = 1e-12, weighted: bool = False) -> sp.csr_mat
     return (sp.diags(deg) - g).tocsr()
 
 
+def heavy_edge_coarsen(adj: sp.csr_matrix) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """One level of vectorized heavy-edge matching coarsening.
+
+    Mutual-heaviest-neighbor matching (two passes), singletons kept — the
+    standard multilevel building block MC73 uses internally (the reference
+    links hsl_mc73's multilevel Fiedler driver, /root/reference/src/
+    hslmc73f.F90:16 coarsest_size).  Returns (coarse_adj, parent[n]).
+    """
+    n = adj.shape[0]
+    adj = adj.tocsr()
+    indptr, indices, data = adj.indptr, adj.indices, np.abs(adj.data)
+    row_of = np.repeat(np.arange(n), np.diff(indptr))
+    matched = np.full(n, -1, dtype=np.int64)
+    NEG = -np.inf
+
+    for _ in range(3):   # mutual-heaviest passes (vectorized)
+        if (matched >= 0).all():
+            break
+        # mask edges whose endpoint (either side) is already matched
+        w = np.where((matched[row_of] < 0) & (matched[indices] < 0),
+                     data, NEG)
+        # per-row max weight (empty rows -> NEG)
+        rowmax = np.full(n, NEG)
+        np.maximum.at(rowmax, row_of, w)
+        # first edge achieving the row max -> heaviest free neighbor
+        hit = w >= rowmax[row_of]
+        hit &= np.isfinite(w)
+        eidx = np.where(hit, np.arange(len(w)), len(w))
+        first = np.full(n, len(w), dtype=np.int64)
+        np.minimum.at(first, row_of, eidx)
+        has = first < len(w)
+        best = np.full(n, -1, dtype=np.int64)
+        best[has] = indices[first[has]]
+        # mutual agreement
+        ok = best >= 0
+        mutual = ok & (best[np.clip(best, 0, n - 1)] == np.arange(n)) & \
+            (np.arange(n) < best)
+        vs = np.flatnonzero(mutual)
+        if vs.size == 0:
+            break
+        matched[vs] = best[vs]
+        matched[best[vs]] = vs
+
+    # parents (vectorized): roots = singletons + the smaller of each pair
+    is_root = (matched < 0) | (np.arange(n) < matched)
+    ids = np.cumsum(is_root) - 1
+    parent = np.where(is_root, ids,
+                      ids[np.clip(matched, 0, n - 1)]).astype(np.int64)
+    nc = int(is_root.sum())
+    s = sp.csr_matrix((np.ones(n), (np.arange(n), parent)), shape=(n, nc))
+    coarse = (s.T @ adj @ s).tocsr()
+    coarse.setdiag(0)
+    coarse.eliminate_zeros()
+    return coarse, parent
+
+
+def _fiedler_multilevel(lap: sp.csr_matrix, tol: float, seed: int,
+                        coarsest: int = 64,
+                        refine_iters: int = 40) -> Tuple[np.ndarray, float]:
+    """Multilevel Fiedler: heavy-edge coarsening, exact coarsest solve,
+    prolong + LOBPCG refinement per level (the MC73 job-3 scheme rebuilt
+    from the multilevel-spectral literature)."""
+    # adjacency from the Laplacian: off-diagonal magnitudes
+    adj = -lap.copy()
+    adj.setdiag(0)
+    adj.eliminate_zeros()
+    adj.data = np.abs(adj.data)
+
+    adjs, parents = [adj], []
+    while adjs[-1].shape[0] > coarsest:
+        coarse, parent = heavy_edge_coarsen(adjs[-1])
+        if coarse.shape[0] >= adjs[-1].shape[0]:   # no progress (disconnected)
+            break
+        parents.append(parent)
+        adjs.append(coarse)
+
+    # exact solve on the coarsest level
+    lap_c = _lap_of(adjs[-1])
+    evals, evecs = np.linalg.eigh(lap_c.toarray())
+    vec = evecs[:, 1] if lap_c.shape[0] > 1 else np.zeros(1)
+
+    # prolong + refine back up
+    for level in range(len(parents) - 1, -1, -1):
+        vec = vec[parents[level]]
+        lap_l = _lap_of(adjs[level])
+        vec = _refine_lobpcg(lap_l, vec, tol=tol, maxiter=refine_iters)
+    lap0 = _lap_of(adjs[0])
+    lam2 = float(vec @ (lap0 @ vec) / max(vec @ vec, 1e-300))
+    return vec, lam2
+
+
+def _lap_of(adj: sp.csr_matrix) -> sp.csr_matrix:
+    deg = np.asarray(adj.sum(axis=1)).ravel()
+    return (sp.diags(deg) - adj).tocsr()
+
+
+def _refine_lobpcg(lap: sp.csr_matrix, x0: np.ndarray, tol: float,
+                   maxiter: int) -> np.ndarray:
+    n = lap.shape[0]
+    x0 = x0 - x0.mean()
+    nrm = np.linalg.norm(x0)
+    if nrm < 1e-12:
+        x0 = np.random.default_rng(0).standard_normal(n)
+        x0 -= x0.mean()
+        nrm = np.linalg.norm(x0)
+    x0 = (x0 / nrm).reshape(-1, 1)
+    ones = np.ones((n, 1)) / np.sqrt(n)
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            vals, vecs = spla.lobpcg(lap.asfptype(), x0, Y=ones,
+                                     tol=tol, maxiter=maxiter, largest=False)
+        return vecs[:, 0]
+    except Exception:
+        return x0[:, 0]
+
+
 def fiedler_vector(lap: sp.csr_matrix, method: str = "auto",
                    tol: float = 1e-8, seed: int = 0,
                    maxiter: Optional[int] = None) -> Tuple[np.ndarray, float]:
     """Second-smallest eigenpair of the Laplacian. Returns (vector, lambda2)."""
     n = lap.shape[0]
     if method == "auto":
-        method = "dense" if n <= 512 else "lanczos"
+        method = "dense" if n <= 512 else \
+            ("lanczos" if n <= 20000 else "multilevel")
+
+    if method == "multilevel":
+        return _fiedler_multilevel(lap, tol=tol, seed=seed)
 
     if method == "dense":
         evals, evecs = np.linalg.eigh(lap.toarray())

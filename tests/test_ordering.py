@@ -239,3 +239,43 @@ def test_registry_dispatch():
     for name in ("natural", "wbm", "awbm", "rcm", "fiedler", "spectral"):
         res = get_ordering(a, name, Options())
         assert _is_perm(res.rperm), name
+
+
+def test_multilevel_fiedler_scrambled_path():
+    """MC73-parity scheme: heavy-edge coarsening + coarsest exact solve +
+    LOBPCG refinement must restore a 1D path's ordering."""
+    n = 3000
+    a = problems.tridiag_laplacian(n)
+    rng = np.random.default_rng(7)
+    p = rng.permutation(n)
+    scrambled = hsp.permute(a, p, p)
+    from spike_petsc_tpu.ordering.fiedler import fiedler
+    res = fiedler(scrambled, method="multilevel")
+    assert _is_perm(res.rperm)
+    assert res.info["bandwidth_out"] <= 5
+    assert res.info["bandwidth_in"] > 100
+
+
+def test_heavy_edge_coarsen_shrinks():
+    from spike_petsc_tpu.ordering.fiedler import heavy_edge_coarsen
+    a = problems.laplacian_2d(20, 20)
+    adj = -a.copy(); adj.setdiag(0); adj.eliminate_zeros()
+    adj.data = np.abs(adj.data)
+    coarse, parent = heavy_edge_coarsen(adj.tocsr())
+    n, nc = adj.shape[0], coarse.shape[0]
+    assert nc < n and nc >= n // 2
+    assert parent.max() == nc - 1
+    # coarse weights conserve fine edge weight across groups
+    assert coarse.sum() <= adj.sum() + 1e-9
+
+
+def test_multilevel_fiedler_2d_quality():
+    a = problems.laplacian_2d(40, 40)
+    rng = np.random.default_rng(9)
+    p = rng.permutation(a.shape[0])
+    scrambled = hsp.permute(a, p, p)
+    from spike_petsc_tpu.ordering.fiedler import fiedler
+    res_ml = fiedler(scrambled, method="multilevel")
+    res_exact = fiedler(scrambled, method="lanczos")
+    # multilevel within 2.5x of the exact spectral ordering's bandwidth
+    assert res_ml.info["bandwidth_out"] <= 2.5 * res_exact.info["bandwidth_out"] + 10
