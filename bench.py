@@ -95,12 +95,13 @@ def main() -> None:
     from spike_petsc_tpu.solvers.krylov import gmres
 
     @jax.jit
-    def gmres_run(sf_in, b_in):
-        r = gmres(lambda v: banded_matvec(band, v), b_in, None,
+    def gmres_run(band_data, sf_in, b_in):
+        bnd = BandedMatrix(data=band_data, kl=k, ku=k)
+        r = gmres(lambda v: banded_matvec(bnd, v), b_in, None,
                   lambda v: spike_solve(sf_in, v), rtol=1e-8, maxit=30,
                   restart=30)
         return r.its, r.rnorm
-    g_its, g_rnorm = gmres_run(sf, rhs)
+    g_its, g_rnorm = gmres_run(data, sf, rhs)
     g_its = int(np.asarray(g_its))
     g_rel = float(np.asarray(g_rnorm)) / float(np.asarray(
         jnp.linalg.norm(rhs)))
