@@ -222,11 +222,14 @@ def cast_factor(fact: BlockTriFactor, dtype) -> BlockTriFactor:
                           piv=fact.piv, method=fact.method)
 
 
-def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array) -> jax.Array:
+def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,
+                   unroll: int = 4) -> jax.Array:
     """Solve T x = rhs given a block-Thomas factorization.
 
     rhs: [nb, b] or [nb, b, r].  Forward scan eliminates with F, reverse scan
     back-substitutes with S^{-1} and U — all batched matmuls for method "inv".
+    ``unroll`` amortizes per-step scan overhead (the sweep is a stream of
+    tiny matvecs; unrolling keeps the DMA pipeline busy).
     """
     squeeze = rhs.ndim == 2
     if squeeze:
@@ -239,12 +242,10 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array) -> jax.Array:
         return y, y
 
     y0 = rhs[0]
-    _, y_rest = jax.lax.scan(fwd, y0, (fact.F[1:], rhs[1:]))
+    _, y_rest = jax.lax.scan(fwd, y0, (fact.F[1:], rhs[1:]), unroll=unroll)
     y = jnp.concatenate([y0[None], y_rest], axis=0)
 
     if fact.method == "inv":
-        def apply_sinv(i_sinv, v):
-            return i_sinv @ v
         def bwd(x_next, inputs):
             sinv, u, yi = inputs
             x = sinv @ (yi - u @ x_next)
@@ -253,7 +254,7 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array) -> jax.Array:
         _, x_rest = jax.lax.scan(
             bwd, x_last,
             (fact.Sinv[:-1], fact.U[:-1], y[:-1]),
-            reverse=True)
+            reverse=True, unroll=unroll)
     else:
         def bwd(x_next, inputs):
             slu, piv, u, yi = inputs
@@ -263,7 +264,7 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array) -> jax.Array:
         _, x_rest = jax.lax.scan(
             bwd, x_last,
             (fact.Slu[:-1], fact.piv[:-1], fact.U[:-1], y[:-1]),
-            reverse=True)
+            reverse=True, unroll=unroll)
 
     x = jnp.concatenate([x_rest, x_last[None]], axis=0)
     return x[..., 0] if squeeze else x
