@@ -272,6 +272,48 @@ def spike_solve(sf: SpikeFactor, rhs: jax.Array, impl: str = "xla") -> jax.Array
     return x.reshape(-1)[:sf.n]
 
 
-def spike_solve_many(sf: SpikeFactor, rhs: jax.Array) -> jax.Array:
-    """Multi-RHS solve; rhs [n, r]."""
-    return jax.vmap(spike_solve, in_axes=(None, 1), out_axes=1)(sf, rhs)
+@partial(jax.jit, static_argnames=("impl",))
+def spike_solve_many(sf: SpikeFactor, rhs: jax.Array,
+                     impl: str = "xla") -> jax.Array:
+    """Blocked multi-RHS solve; rhs [n, r] -> x [n, r].
+
+    Streams the factorization ONCE for all right-hand sides (the sweeps are
+    factor-read-bound, so r solves cost barely more than one) — the batched
+    solve mode of BASELINE config 2 and the serving path.
+    """
+    K, m, b, k, nb = sf.K, sf.m, sf.b, sf.k, sf.nb
+    r = rhs.shape[1]
+    rp = jnp.zeros((K * m, r), rhs.dtype).at[:sf.n].set(rhs)
+    rblk = rp.reshape(K, nb, b, r)
+
+    if impl == "pallas":
+        # pallas sweeps are single-vector; fall back to the XLA path which
+        # carries the RHS block through the same scans
+        impl = "xla"
+    batched_solve = partial(jax.vmap(blocktri_solve), sf.fact)
+
+    g = batched_solve(rblk)                                  # [K, nb, b, r]
+    if K == 1:
+        return g.reshape(K * m, r)[:sf.n]
+
+    g_bot = g[:, nb - 1, b - k:, :]                          # [K, k, r]
+    g_top = g[:, 0, :k, :]
+    red_rhs = jnp.concatenate([g_bot[:-1], g_top[1:]], axis=1)  # [K-1,2k,r]
+    if sf.truncated:
+        z = jnp.einsum("jpq,jqr->jpr", sf.red_Dinv, red_rhs)
+    else:
+        z = blocktri_solve(sf.red_fact, red_rhs)
+    zk = jnp.zeros((1, k, r), z.dtype)
+    xtop_next = jnp.concatenate([z[:, k:, :], zk], axis=0)   # [K, k, r]
+    xbot_prev = jnp.concatenate([zk, z[:, :k, :]], axis=0)
+
+    if sf.V is not None:
+        x = (g - jnp.einsum("pnbk,pkr->pnbr", sf.V, xtop_next)
+               - jnp.einsum("pnbk,pkr->pnbr", sf.W, xbot_prev))
+    else:
+        corrB = jnp.einsum("pcd,pdr->pcr", sf.Btip, xtop_next)
+        corrC = jnp.einsum("pcd,pdr->pcr", sf.Ctip, xbot_prev)
+        r2 = rblk.at[:, nb - 1, b - k:, :].add(-corrB)
+        r2 = r2.at[:, 0, :k, :].add(-corrC)
+        x = batched_solve(r2)
+    return x.reshape(K * m, r)[:sf.n]

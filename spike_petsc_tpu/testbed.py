@@ -143,8 +143,19 @@ def _main(argv=None) -> int:
     if opts.get_bool("view_exact_sol", False):
         print("Exact solution:", u)
 
+    if opts.get_bool("report_symmetry", False):
+        # symmetry check, as testbed2 performs
+        # (/root/reference/src/testbed2.c:97-99)
+        d = abs(a - a.T)
+        dev = float(d.max()) if d.nnz else 0.0
+        print("Matrix is " + ("symmetric" if dev == 0.0
+                              else f"non-symmetric (max |A-A^T| = {dev:g})"))
+
     pc_type = opts.get_string("pc_type", "none")
-    res = solve(operator, b, pmat=pmat if pc_type == "banded" else operator,
+    # PCs whose setup is host-side sparse analysis get the host matrix
+    host_setup_pcs = {"banded", "fieldsplit", "composite"}
+    res = solve(operator, b,
+                pmat=pmat if pc_type in host_setup_pcs else operator,
                 options=opts)
     if opts.get_bool("ksp_monitor", False) or \
             opts.get_bool("ksp_converged_reason", False):

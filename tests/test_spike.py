@@ -117,3 +117,21 @@ def test_spike_residual_via_matvec():
     x = spike_solve(sf, jnp.asarray(rhs))
     res = np.asarray(banded_matvec(bm, x)) - rhs
     assert np.linalg.norm(res) / np.linalg.norm(rhs) < 1e-10
+
+
+def test_spike_solve_many_blocked_matches_loop():
+    """Blocked multi-RHS path (factors streamed once) vs per-RHS solves."""
+    import jax
+    n = 500
+    a = problems.nonsym_banded(n, 4, 4, seed=21)
+    bm, _, _ = banded_of(a)
+    for kwargs in (dict(K=4, block_b=8), dict(K=1),
+                   dict(K=4, block_b=8, truncated=True),
+                   dict(K=4, block_b=8, store_spikes=True)):
+        sf = spike_factor(bm, **kwargs)
+        rng = np.random.default_rng(5)
+        rhs = jnp.asarray(rng.standard_normal((n, 3)))
+        blocked = np.asarray(spike_solve_many(sf, rhs))
+        looped = np.stack(
+            [np.asarray(spike_solve(sf, rhs[:, j])) for j in range(3)], axis=1)
+        np.testing.assert_allclose(blocked, looped, rtol=1e-11, atol=1e-12)
