@@ -223,13 +223,14 @@ def cast_factor(fact: BlockTriFactor, dtype) -> BlockTriFactor:
 
 
 def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,
-                   unroll: int = 4) -> jax.Array:
+                   unroll: int = 1) -> jax.Array:
     """Solve T x = rhs given a block-Thomas factorization.
 
     rhs: [nb, b] or [nb, b, r].  Forward scan eliminates with F, reverse scan
     back-substitutes with S^{-1} and U — all batched matmuls for method "inv".
-    ``unroll`` amortizes per-step scan overhead (the sweep is a stream of
-    tiny matvecs; unrolling keeps the DMA pipeline busy).
+    ``unroll`` is exposed for experimentation; measured on v5e, unroll > 1
+    REGRESSES the sweep (~10 ms -> 16 ms at N=1e6): the unrolled body breaks
+    XLA's cross-iteration prefetch pipelining. Keep 1.
     """
     squeeze = rhs.ndim == 2
     if squeeze:

@@ -1,15 +1,19 @@
-"""Multi-chip SPIKE: partition-per-device factorization, solves, and matvec.
+"""Multi-chip SPIKE: partitions-per-device factorization, solves, and matvec.
 
 This is the TPU-native replacement for the reference's MPI layer: where
 spike-petsc exchanges duals and assembles global quantities through
 ``VecScatter`` and ``MPI_Allreduce`` (/root/reference/src/wbm.c:270-273, 546),
-here every partition lives on a mesh device and
+here K = n_devices * parts_per_device band partitions live across a mesh
+axis and
 
+* each device factors its ``ppd`` partitions as one batched block-Thomas
+  sweep (the same MXU batching as the single-chip path),
 * tip/interface exchange is a ``jax.lax.all_gather`` over the "p" axis
   (O(K * k^2) bytes — tiny, rides ICI),
 * the reduced block-tridiagonal system is factored/solved *replicated* on
   every chip (redundant flops instead of a scatter round-trip),
-* the Krylov-side banded SpMV exchanges k-wide boundary strips with
+* the Krylov-side banded SpMV resolves intra-device partition coupling with
+  local slices and exchanges only the k-wide device-boundary strips with
   ``jax.lax.ppermute`` (nearest-neighbour ICI traffic only),
 * dot products psum over "p" (see solvers.krylov.set_collective_axis).
 
@@ -38,7 +42,8 @@ from ..utils.registry import SOLVERS
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DistSpikeFactor:
-    """Device-sharded SPIKE factorization (leading dim = partition axis)."""
+    """Device-sharded SPIKE factorization (leading dim = K global
+    partitions, sharded over the mesh axis in contiguous groups of ppd)."""
 
     blocks: BlockTridiagonal        # [K, nb, b, b] x3, sharded on K
     fact: BlockTriFactor            # [K, ...], sharded on K
@@ -51,6 +56,7 @@ class DistSpikeFactor:
     m: int = field(metadata=dict(static=True))
     b: int = field(metadata=dict(static=True))
     k: int = field(metadata=dict(static=True))
+    ppd: int = field(metadata=dict(static=True))     # partitions per device
     truncated: bool = field(metadata=dict(static=True))
 
     @property
@@ -58,27 +64,25 @@ class DistSpikeFactor:
         return self.m // self.b
 
 
-def _local_tips(data_local: jax.Array, m: int, k: int, kl: int, ku: int,
-                axis: str):
-    """Per-device k x k coupling corners (same gather as ops.spike, but the
-    first/last-device zeroing uses the mesh position)."""
+def _local_tips_one(data_one: jax.Array, gidx, m: int, k: int, kl: int,
+                    ku: int, K: int):
+    """k x k coupling corners of ONE partition; zeroed at the global edges
+    (same gather as ops.spike._extract_tips)."""
     w = kl + ku + 1
     r = jnp.arange(k)[:, None]
     c = jnp.arange(k)[None, :]
-    idx = jax.lax.axis_index(axis)
-    K = jax.lax.axis_size(axis)
 
     dB = c + k - r + kl
     vB = (dB >= 0) & (dB < w)
-    Btip = jnp.where(vB, data_local[m - k:, :][r.repeat(k, 1),
-                                               jnp.clip(dB, 0, w - 1)], 0)
-    Btip = jnp.where(idx == K - 1, jnp.zeros_like(Btip), Btip)
+    Btip = jnp.where(vB, data_one[m - k:, :][r.repeat(k, 1),
+                                             jnp.clip(dB, 0, w - 1)], 0)
+    Btip = jnp.where(gidx == K - 1, jnp.zeros_like(Btip), Btip)
 
     dC = c - k - r + kl
     vC = (dC >= 0) & (dC < w)
-    Ctip = jnp.where(vC, data_local[:k, :][r.repeat(k, 1),
-                                           jnp.clip(dC, 0, w - 1)], 0)
-    Ctip = jnp.where(idx == 0, jnp.zeros_like(Ctip), Ctip)
+    Ctip = jnp.where(vC, data_one[:k, :][r.repeat(k, 1),
+                                         jnp.clip(dC, 0, w - 1)], 0)
+    Ctip = jnp.where(gidx == 0, jnp.zeros_like(Ctip), Ctip)
     return Btip, Ctip
 
 
@@ -113,9 +117,13 @@ def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
 
 def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
                       method: str = "inv", truncated: bool = False,
-                      block_b: Optional[int] = None) -> DistSpikeFactor:
-    """Factor a global banded matrix with one partition per mesh device."""
-    K = mesh.shape[axis]
+                      block_b: Optional[int] = None,
+                      parts_per_device: int = 1) -> DistSpikeFactor:
+    """Factor a global banded matrix over the mesh with
+    K = n_devices * parts_per_device partitions."""
+    ndev = mesh.shape[axis]
+    ppd = parts_per_device
+    K = ndev * ppd
     kl, ku = band.kl, band.ku
     n = band.n
     k, b, m = _partition_geometry(n, K, kl, ku, block_b)
@@ -125,28 +133,33 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
                           NamedSharding(mesh, P(axis)))
 
     mask = _local_band_mask(m, kl, ku, band.data.dtype)
+    nb = m // b
 
-    def local_setup(data_shard):
-        d = data_shard[0]                           # [m, w]
-        Btip, Ctip = _local_tips(d, m, k, kl, ku, axis)
-        local = d * mask
-        blocks = band_to_blocktri(BandedMatrix(data=local, kl=kl, ku=ku), b)
-        fact = blocktri_factor(blocks, method=method)
-        nb = m // b
-        # spikes (k RHS each)
-        rhsV = jnp.zeros((nb, b, k), d.dtype).at[nb - 1, b - k:, :].set(Btip)
-        rhsW = jnp.zeros((nb, b, k), d.dtype).at[0, :k, :].set(Ctip)
-        V = blocktri_solve(fact, rhsV)
-        W = blocktri_solve(fact, rhsW)
-        tips = jnp.stack([V[0, :k, :], V[nb - 1, b - k:, :],
-                          W[0, :k, :], W[nb - 1, b - k:, :]])   # [4, k, k]
-        all_tips = jax.lax.all_gather(tips, axis)               # [K, 4, k, k]
+    def local_setup(data_shard):                    # [ppd, m, w]
+        gidx = jax.lax.axis_index(axis) * ppd + jnp.arange(ppd)
+        Btip, Ctip = jax.vmap(
+            lambda d, g: _local_tips_one(d, g, m, k, kl, ku, K))(
+                data_shard, gidx)                   # [ppd, k, k] x2
+        local = data_shard * mask[None]
+        blocks = jax.vmap(
+            lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
+                                       b))(local)
+        fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+        # spikes (k RHS per partition)
+        dt = data_shard.dtype
+        rhsV = jnp.zeros((ppd, nb, b, k), dt).at[:, nb - 1, b - k:, :].set(Btip)
+        rhsW = jnp.zeros((ppd, nb, b, k), dt).at[:, 0, :k, :].set(Ctip)
+        V = jax.vmap(blocktri_solve)(fact, rhsV)
+        W = jax.vmap(blocktri_solve)(fact, rhsW)
+        tips = jnp.stack([V[:, 0, :k, :], V[:, nb - 1, b - k:, :],
+                          W[:, 0, :k, :], W[:, nb - 1, b - k:, :]],
+                         axis=1)                     # [ppd, 4, k, k]
+        all_tips = jax.lax.all_gather(tips, axis)    # [ndev, ppd, 4, k, k]
+        all_tips = all_tips.reshape(K, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
             K, k, truncated, method)
-        expand = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
-        return (expand(blocks), expand(fact), Btip[None], Ctip[None],
-                red_fact, red_Dinv)
+        return blocks, fact, Btip, Ctip, red_fact, red_Dinv
 
     out_specs = (
         jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
@@ -161,7 +174,7 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         check_vma=False)(data)
     return DistSpikeFactor(blocks=blocks, fact=fact, Btip=Btip, Ctip=Ctip,
                            red_fact=red_fact, red_Dinv=red_Dinv, n=n, K=K,
-                           m=m, b=b, k=k, truncated=truncated)
+                           m=m, b=b, k=k, ppd=ppd, truncated=truncated)
 
 
 def _blocktri_struct():
@@ -185,72 +198,68 @@ def _factor_field_specs(method, axis):
 
 
 # ---------------------------------------------------------------------------
-# Local (per-device) building blocks, usable inside shard_map
+# Local (per-device) building blocks, usable inside shard_map.
+# Local arrays carry the [ppd, ...] partition batch of this device.
 # ---------------------------------------------------------------------------
 
 def local_interface_solve(dsf_local, g_top, g_bot, axis: str):
     """All-gather interface values, replicated reduced solve, slice mine.
-    Returns (xbot_prev, xtop_next) of shape [k] each."""
-    K, k = dsf_local.K, dsf_local.k
-    idx = jax.lax.axis_index(axis)
-    gt = jax.lax.all_gather(g_top, axis)     # [K, k]
-    gb = jax.lax.all_gather(g_bot, axis)
-    rhs = jnp.concatenate([gb[:-1], gt[1:]], axis=1)      # [K-1, 2k]
+    g_top/g_bot: [ppd, k].  Returns (xbot_prev, xtop_next): [ppd, k]."""
+    K, k, ppd = dsf_local.K, dsf_local.k, dsf_local.ppd
+    gp = jax.lax.axis_index(axis) * ppd + jnp.arange(ppd)   # global ids
+    gt = jax.lax.all_gather(g_top, axis).reshape(K, k)
+    gb = jax.lax.all_gather(g_bot, axis).reshape(K, k)
+    rhs = jnp.concatenate([gb[:-1], gt[1:]], axis=1)        # [K-1, 2k]
     if dsf_local.truncated:
         z = jnp.einsum("jpq,jq->jp", dsf_local.red_Dinv, rhs)
     else:
         z = blocktri_solve(dsf_local.red_fact, rhs)
     zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
     # xtop_next[p] = z[p, k:] (p < K-1), xbot_prev[p] = z[p-1, :k] (p > 0)
-    xtop_next = zpad[jnp.minimum(idx, K - 1), k:] * (idx < K - 1)
-    prev = jnp.maximum(idx - 1, 0)
-    xbot_prev = zpad[prev, :k] * (idx > 0)
+    xtop_next = zpad[jnp.minimum(gp, K - 1), k:] * (gp < K - 1)[:, None]
+    xbot_prev = zpad[jnp.maximum(gp - 1, 0), :k] * (gp > 0)[:, None]
     return xbot_prev, xtop_next
 
 
 def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str) -> jax.Array:
-    """Per-device SPIKE solve of the global system; rhs_local: [m]."""
-    nb, b, k = dsf_local.nb, dsf_local.b, dsf_local.k
-    rblk = rhs_local.reshape(nb, b)
-    g = blocktri_solve(dsf_local.fact, rblk)
+    """Per-device SPIKE solve of the global system; rhs_local: [ppd * m]."""
+    nb, b, k, ppd = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.ppd
+    rblk = rhs_local.reshape(ppd, nb, b)
+    g = jax.vmap(blocktri_solve)(dsf_local.fact, rblk)
     if dsf_local.K == 1:
         return g.reshape(-1)
     xbot_prev, xtop_next = local_interface_solve(
-        dsf_local, g[0, :k], g[nb - 1, b - k:], axis)
-    corrB = dsf_local.Btip @ xtop_next
-    corrC = dsf_local.Ctip @ xbot_prev
-    r2 = rblk.at[nb - 1, b - k:].add(-corrB).at[0, :k].add(-corrC)
-    return blocktri_solve(dsf_local.fact, r2).reshape(-1)
+        dsf_local, g[:, 0, :k], g[:, nb - 1, b - k:], axis)
+    corrB = jnp.einsum("pcd,pd->pc", dsf_local.Btip, xtop_next)
+    corrC = jnp.einsum("pcd,pd->pc", dsf_local.Ctip, xbot_prev)
+    r2 = rblk.at[:, nb - 1, b - k:].add(-corrB).at[:, 0, :k].add(-corrC)
+    return jax.vmap(blocktri_solve)(dsf_local.fact, r2).reshape(-1)
 
 
 def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:
-    """Per-device banded SpMV with ppermute halo exchange of the k-wide
-    boundary strips (replacing VecScatter halo traffic,
-    /root/reference/src/wbm.c:270-273)."""
+    """Per-device banded SpMV: intra-device partition coupling via local
+    slices; only the k-wide device-boundary strips ride ppermute (replacing
+    VecScatter halo traffic, /root/reference/src/wbm.c:270-273)."""
     nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
-    y = blocktri_matvec(dsf_local.blocks, x_local.reshape(nb, b)).reshape(-1)
+    ppd, m = dsf_local.ppd, dsf_local.m
+    xp = x_local.reshape(ppd, m)
+    y = jax.vmap(blocktri_matvec)(
+        dsf_local.blocks, xp.reshape(ppd, nb, b)).reshape(ppd, m)
     if K == 1:
-        return y
-    # top k of next device -> me;  bottom k of previous device -> me
-    top_from_next = jax.lax.ppermute(
-        x_local[:k], axis, [(i, (i - 1) % K) for i in range(K)])
-    bot_from_prev = jax.lax.ppermute(
-        x_local[-k:], axis, [(i, (i + 1) % K) for i in range(K)])
-    y = y.at[-k:].add(dsf_local.Btip @ top_from_next)
-    y = y.at[:k].add(dsf_local.Ctip @ bot_from_prev)
-    return y
-
-
-def _shard_view(dsf: DistSpikeFactor):
-    """Pytree of per-device leaves: inside shard_map each [K, ...] field
-    arrives as [1, ...]; squeeze to local."""
-    def squeeze(t):
-        return jax.tree_util.tree_map(lambda x: x[0], t)
-    return dsf.__class__(
-        blocks=squeeze(dsf.blocks), fact=squeeze(dsf.fact),
-        Btip=dsf.Btip[0], Ctip=dsf.Ctip[0], red_fact=dsf.red_fact,
-        red_Dinv=dsf.red_Dinv, n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
-        truncated=dsf.truncated)
+        return y.reshape(-1)
+    ndev = K // ppd
+    # device halo: my first partition's top goes to the previous device; my
+    # last partition's bottom goes to the next device
+    top_from_next_dev = jax.lax.ppermute(
+        xp[0, :k], axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+    bot_from_prev_dev = jax.lax.ppermute(
+        xp[-1, -k:], axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+    next_tops = jnp.concatenate([xp[1:, :k], top_from_next_dev[None]], axis=0)
+    prev_bots = jnp.concatenate([bot_from_prev_dev[None], xp[:-1, -k:]],
+                                axis=0)
+    y = y.at[:, -k:].add(jnp.einsum("pcd,pd->pc", dsf_local.Btip, next_tops))
+    y = y.at[:, :k].add(jnp.einsum("pcd,pd->pc", dsf_local.Ctip, prev_bots))
+    return y.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -267,10 +276,11 @@ def dist_spike_solve(dsf: DistSpikeFactor, rhs, mesh: Mesh,
                      axis: str = "p") -> jax.Array:
     """Direct SPIKE solve of A x = rhs across the mesh; rhs/result [n]."""
     rhs_sh = _pad_shard_rhs(dsf, mesh, axis, jnp.asarray(rhs))
+    ppd, m = dsf.ppd, dsf.m
 
     def local_fn(dsf_in, r_local):
-        local = _shard_view(dsf_in)
-        return local_spike_solve(local, r_local[0], axis)[None]
+        x = local_spike_solve(dsf_in, r_local.reshape(-1), axis)
+        return x.reshape(ppd, m)
 
     x = jax.shard_map(local_fn, mesh=mesh,
                       in_specs=(_dsf_specs(dsf, axis), P(axis)),
@@ -289,7 +299,8 @@ def _dsf_specs(dsf: DistSpikeFactor, axis: str):
         Btip=P(axis), Ctip=P(axis),
         red_fact=spec_like(dsf.red_fact, P()),
         red_Dinv=None if dsf.red_Dinv is None else P(),
-        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k, truncated=dsf.truncated)
+        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k, ppd=dsf.ppd,
+        truncated=dsf.truncated)
 
 
 def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
@@ -302,18 +313,20 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     Returns solve(rhs[n]) -> KSPResult with x a global [n] array.
     """
     method = SOLVERS.get(ksp_type)
+    ppd, m = dsf.ppd, dsf.m
 
     def local_fn(dsf_in, r_local):
-        local = _shard_view(dsf_in)
         krylov.set_collective_axis(axis)
         try:
-            matvec = lambda v: local_matvec(local, v, axis)
-            pc_apply = (lambda v: local_spike_solve(local, v, axis)) \
+            matvec = lambda v: local_matvec(dsf_in, v, axis)
+            pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
                 if use_pc else None
-            res = method(matvec, r_local[0], None, pc_apply, **params)
+            res = method(matvec, r_local.reshape(-1), None, pc_apply,
+                         **params)
         finally:
             krylov.set_collective_axis(None)
-        return (res.x[None], res.its, res.reason, res.rnorm, res.history)
+        return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
+                res.history)
 
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,

@@ -46,26 +46,49 @@ def test_dist_factor_matches_single_chip(mesh):
     np.testing.assert_allclose(x_dist, x_single, rtol=1e-10, atol=1e-12)
 
 
-def test_dist_matvec_halo_exchange(mesh):
-    from spike_petsc_tpu.parallel.spike_dist import (_dsf_specs, _shard_view,
-                                                     local_matvec,
+@pytest.mark.parametrize("ppd", [1, 2])
+def test_dist_matvec_halo_exchange(mesh, ppd):
+    from spike_petsc_tpu.parallel.spike_dist import (_dsf_specs, local_matvec,
                                                      _pad_shard_rhs)
     n = 400
     a = problems.nonsym_banded(n, 3, 2, seed=3)
     bm = banded_of(a)
-    dsf = dist_spike_factor(bm, mesh, block_b=4)
+    dsf = dist_spike_factor(bm, mesh, block_b=4, parts_per_device=ppd)
     rng = np.random.default_rng(2)
     x = rng.standard_normal(n)
     x_sh = _pad_shard_rhs(dsf, mesh, "p", jnp.asarray(x))
 
     def local_fn(dsf_in, xl):
-        return local_matvec(_shard_view(dsf_in), xl[0], "p")[None]
+        return local_matvec(dsf_in, xl.reshape(-1), "p").reshape(ppd, dsf.m)
 
     y = jax.shard_map(local_fn, mesh=mesh,
                       in_specs=(_dsf_specs(dsf, "p"), P("p")),
                       out_specs=P("p"), check_vma=False)(dsf, x_sh)
     y = np.asarray(y).reshape(-1)[:n]
     np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_parts_per_device(mesh):
+    """K = 32 partitions over 8 devices (4 per device) — the v5p-8
+    deployment shape."""
+    n = 1280
+    a = problems.spd_banded(n, 4, seed=11)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=8, parts_per_device=4)
+    assert dsf.K == 32 and dsf.ppd == 4
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal(n)
+    x = np.asarray(dist_spike_solve(dsf, jnp.asarray(a @ u), mesh))
+    np.testing.assert_allclose(x, u, rtol=1e-8, atol=1e-9)
+    # matches the single-chip K=32 factorization
+    sf = spike_factor(bm, K=32, block_b=8)
+    x_single = np.asarray(spike_solve(sf, jnp.asarray(a @ u)))
+    np.testing.assert_allclose(x, x_single, rtol=1e-10, atol=1e-11)
+    # and the in-mesh Krylov solver works with ppd > 1
+    solver = make_dist_solver(dsf, mesh, ksp_type="gmres", rtol=1e-10,
+                              maxit=20)
+    res = solver(jnp.asarray(a @ u))
+    assert int(res.reason) > 0 and int(res.its) <= 3
 
 
 def test_dist_truncated_variant(mesh):
