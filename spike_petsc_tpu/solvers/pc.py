@@ -24,7 +24,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from .. import sparse as hsp
 from ..ops.band import BandedMatrix, banded_diagonal

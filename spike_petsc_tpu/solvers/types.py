@@ -8,7 +8,7 @@ output (/root/reference/src/HOWTO:2).  Inside jit the reason is an int32;
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

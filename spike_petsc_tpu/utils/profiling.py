@@ -20,7 +20,7 @@ import contextlib
 import json
 import time
 from collections import defaultdict
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 

@@ -11,7 +11,7 @@ framework pre-registers its built-ins and user code can add more at runtime.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List
+from typing import Callable, Dict, List
 
 
 class Registry:
