@@ -99,9 +99,20 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     store = opts.get_bool(f"pc_{name}_store_spikes", False)
     sf = spike_factor(band, K=K, block_b=block, method=method,
                       truncated=truncated, store_spikes=store)
-    return PC(name=name, apply=partial(spike_solve, sf),
-              info=dict(partitions=K, block=sf.b, tip=sf.k, method=method,
-                        truncated=truncated))
+    info = dict(partitions=K, block=sf.b, tip=sf.k, method=method,
+                truncated=truncated)
+    if opts.get_bool(f"pc_{name}_check", False):
+        # typed factorization status (MC64 INFO(1)-style; SURVEY.md §5):
+        # fail fast on singular pivots instead of silently producing NaNs
+        from ..utils.debug import OK, factor_health, SINGULAR
+        h = factor_health(sf.fact)
+        status = int(h.status)
+        info["health"] = status
+        if status == SINGULAR:
+            raise FloatingPointError(
+                f"pc '{name}': factorization has singular Schur pivots "
+                f"(reorder/scale the matrix first)")
+    return PC(name=name, apply=partial(spike_solve, sf), info=info)
 
 
 @register_pc("lu")

@@ -71,6 +71,18 @@ class Options:
                 i += 1
         return cls(db)
 
+    @classmethod
+    def from_file(cls, path: str) -> "Options":
+        """Load options from a file of '-key value' lines (PETSc
+        -options_file equivalent); '#' starts a comment."""
+        toks: List[str] = []
+        with open(path) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    toks.extend(line.split())
+        return cls.from_argv(toks)
+
     def scoped(self, prefix: str) -> "Options":
         """A view of the same database with ``prefix`` prepended to queries.
 

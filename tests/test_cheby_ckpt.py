@@ -68,3 +68,32 @@ def test_factorization_checkpoint_truncated_and_k1(tmp_path):
         np.testing.assert_allclose(np.asarray(spike_solve(sf, rhs)),
                                    np.asarray(spike_solve(sf2, rhs)),
                                    rtol=1e-14)
+
+
+def test_options_file(tmp_path):
+    from spike_petsc_tpu.utils.options import Options
+    p = tmp_path / "opts.txt"
+    p.write_text("# solver settings\n-ksp_type cg -ksp_rtol 1e-9\n"
+                 "-pc_type jacobi  # inline comment\n-flag\n")
+    o = Options.from_file(str(p))
+    assert o.get_string("ksp_type") == "cg"
+    assert o.get_real("ksp_rtol") == 1e-9
+    assert o.get_string("pc_type") == "jacobi"
+    assert o.get_bool("flag") is True
+
+
+def test_pc_check_detects_singular():
+    import pytest as _pytest
+    import scipy.sparse as sp
+    from spike_petsc_tpu import Options, make_pc
+    # matrix with a zero diagonal block -> singular Schur pivot
+    n = 64
+    a = problems.tridiag_laplacian(n).tolil()
+    a[0, 0] = 0.0
+    a[0, 1] = 0.0
+    a[1, 0] = 0.0
+    a = a.tocsr()
+    with _pytest.raises(FloatingPointError):
+        make_pc("spike", a, Options({"pc_spike_check": "1",
+                                     "pc_spike_partitions": "4",
+                                     "pc_spike_block": "4"}))
