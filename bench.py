@@ -107,6 +107,17 @@ def main() -> None:
         jnp.linalg.norm(rhs)))
 
     # ---- CPU LAPACK baseline (same precision) ------------------------------
+    if os.environ.get("SPIKE_BENCH_SKIP_CPU") == "1":
+        # quick TPU-only iteration mode
+        print(json.dumps({
+            "metric": f"spike_banded_solve_n{n}_bw{w}_wallclock",
+            "value": round(solve_s * 1e3, 4), "unit": "ms",
+            "vs_baseline": None, "partitions": K,
+            "tpu_factor_ms": round(factor_s * 1e3, 3),
+            "rel_residual_f32": relres,
+            "gmres_spikepc_its_rtol1e8": g_its}))
+        return
+
     from scipy.linalg import lapack
 
     ab = np.zeros((2 * k + k + 1, n), dtype=np.float32, order="F")

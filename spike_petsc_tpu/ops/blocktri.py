@@ -210,6 +210,25 @@ def blocktri_factor(t: BlockTridiagonal, method: str = "inv") -> BlockTriFactor:
     raise ValueError(f"unknown method {method!r} (use 'inv' or 'lu')")
 
 
+# Sweep matvec engine: "mxu" routes b x b @ b x r through dot (127/128 MXU
+# columns idle at r=1 — per-pass latency dominates); "vpu" uses an
+# elementwise multiply + lane reduction, full f32 on the vector unit.
+_SWEEP_MATVEC_MODE = "mxu"
+
+
+def set_sweep_matvec(mode: str) -> None:
+    global _SWEEP_MATVEC_MODE
+    assert mode in ("mxu", "vpu")
+    _SWEEP_MATVEC_MODE = mode
+
+
+def _sweep_matvec(m, v):
+    """y[a, r] = sum_b m[a, b] v[b, r] (plus leading batch dims via vmap)."""
+    if _SWEEP_MATVEC_MODE == "vpu":
+        return jnp.sum(m[..., :, :, None] * v[..., None, :, :], axis=-2)
+    return m @ v
+
+
 def cast_factor(fact: BlockTriFactor, dtype) -> BlockTriFactor:
     """Store factors in a lower precision (e.g. bfloat16) while solves keep
     f32 carries: F/Sinv/U are read-bandwidth-bound in the sweeps, so halving
@@ -236,10 +255,12 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,
     if squeeze:
         rhs = rhs[..., None]
 
+    mv = _sweep_matvec
+
     # forward: y_0 = rhs_0, y_i = rhs_i - F_i y_{i-1}
     def fwd(y_prev, inputs):
         f, bi = inputs
-        y = bi - f @ y_prev
+        y = bi - mv(f, y_prev)
         return y, y
 
     y0 = rhs[0]
@@ -249,9 +270,9 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,
     if fact.method == "inv":
         def bwd(x_next, inputs):
             sinv, u, yi = inputs
-            x = sinv @ (yi - u @ x_next)
+            x = mv(sinv, yi - mv(u, x_next))
             return x, x
-        x_last = fact.Sinv[-1] @ y[-1]
+        x_last = mv(fact.Sinv[-1], y[-1])
         _, x_rest = jax.lax.scan(
             bwd, x_last,
             (fact.Sinv[:-1], fact.U[:-1], y[:-1]),

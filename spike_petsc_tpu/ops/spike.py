@@ -118,9 +118,9 @@ def _local_band_mask(m: int, kl: int, ku: int, dtype) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("K", "block_b", "method", "truncated",
                                    "store_spikes", "kl", "ku", "n",
-                                   "store_dtype"))
+                                   "store_dtype", "reduced"))
 def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
-                       store_spikes, store_dtype=None):
+                       store_spikes, store_dtype=None, reduced="auto"):
     k, b, m = _partition_geometry(n, K, kl, ku, block_b)
     npad = K * m
     band = pad_banded(BandedMatrix(data=data, kl=kl, ku=ku), npad)
@@ -172,7 +172,15 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
                 jnp.concatenate([z, V_top[1:]], axis=2)], axis=1)
             U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
             red = BlockTridiagonal(D=D, L=L, U=U)
-            red_fact = blocktri_factor(red, method=method)
+            # large partition counts: the Thomas scan over K-1 reduced
+            # blocks dominates solve latency; cyclic reduction solves it in
+            # log2(K) levels of batched MXU work (ops/cyclic.py)
+            use_cr = reduced == "cr" or (reduced == "auto" and K - 1 >= 33)
+            if use_cr:
+                from .cyclic import cr_factor
+                red_fact = cr_factor(red)
+            else:
+                red_fact = blocktri_factor(red, method=method)
 
     if store_dtype is not None:
         from .blocktri import cast_factor
@@ -188,8 +196,8 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
 
 def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
                  method: str = "inv", truncated: bool = False,
-                 store_spikes: bool = False,
-                 store_dtype=None) -> SpikeFactor:
+                 store_spikes: bool = False, store_dtype=None,
+                 reduced: str = "auto") -> SpikeFactor:
     """Factor a banded matrix for SPIKE solves over K partitions.
 
     Args:
@@ -204,16 +212,26 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
         are factor-read-bound, so this ~halves solve time; pair with
         iterative refinement (richardson + this factorization as PC) to
         recover accuracy.
+      reduced: interface-system solver — "thomas" (sequential scan),
+        "cr" (cyclic reduction, log-depth), or "auto" (cr when K > 33).
     """
     return _spike_factor_impl(
         band.data, n=band.n, kl=band.kl, ku=band.ku, K=K, block_b=block_b,
         method=method, truncated=truncated, store_spikes=store_spikes,
-        store_dtype=store_dtype)
+        store_dtype=store_dtype, reduced=reduced)
 
 
 # ---------------------------------------------------------------------------
 # Solve
 # ---------------------------------------------------------------------------
+
+def _solve_reduced_system(red_fact, rhs):
+    """Dispatch on the stored reduced factorization type (Thomas vs CR)."""
+    from .cyclic import CRFactor, cr_solve
+    if isinstance(red_fact, CRFactor):
+        return cr_solve(red_fact, rhs)
+    return blocktri_solve(red_fact, rhs)
+
 
 def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
     """Solve for interface unknowns. Returns (xbot_prev, xtop_next):
@@ -224,7 +242,7 @@ def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
     if sf.truncated:
         z = jnp.einsum("jpq,jq->jp", sf.red_Dinv, rhs)
     else:
-        z = blocktri_solve(sf.red_fact, rhs)
+        z = _solve_reduced_system(sf.red_fact, rhs)
     x_bot = z[:, :k]        # x_p^bot for p = 0..K-2
     x_top = z[:, k:]        # x_{p+1}^top for p = 0..K-2
     zk = jnp.zeros((1, k), z.dtype)
@@ -302,7 +320,7 @@ def spike_solve_many(sf: SpikeFactor, rhs: jax.Array,
     if sf.truncated:
         z = jnp.einsum("jpq,jqr->jpr", sf.red_Dinv, red_rhs)
     else:
-        z = blocktri_solve(sf.red_fact, red_rhs)
+        z = _solve_reduced_system(sf.red_fact, red_rhs)
     zk = jnp.zeros((1, k, r), z.dtype)
     xtop_next = jnp.concatenate([z[:, k:, :], zk], axis=0)   # [K, k, r]
     xbot_prev = jnp.concatenate([zk, z[:, :k, :]], axis=0)
