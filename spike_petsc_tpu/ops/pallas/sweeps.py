@@ -38,10 +38,11 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _chunk_size(K: int, b: int, itemsize: int) -> int:
-    """Largest Kt dividing K with two double-buffered [Kt, b, b] factor
-    blocks inside the VMEM budget."""
-    per_part = 4 * b * b * itemsize          # 2 mats x 2 pipeline buffers
+def _chunk_size(K: int, b: int, itemsize: int, n_mats: int = 2) -> int:
+    """Largest Kt dividing K with ``n_mats`` double-buffered [Kt, b, b]
+    factor blocks inside the VMEM budget.  The forward sweep streams one
+    matrix (F) and can take twice the chunk of the backward sweep (Sinv+U)."""
+    per_part = 2 * n_mats * b * b * itemsize   # n_mats x 2 pipeline buffers
     kt = max(1, min(K, _VMEM_BUDGET // per_part))
     while K % kt:
         kt -= 1
@@ -107,18 +108,18 @@ def blocktri_solve_batched_pallas(fact, rhs: jax.Array) -> jax.Array:
         raise ValueError("pallas sweeps require method='inv' factors")
     K, nb, b, _ = fact.F.shape
     itemsize = jnp.dtype(fact.F.dtype).itemsize
-    kt = _chunk_size(K, b, itemsize)
-    kc = K // kt
+    kt_f = _chunk_size(K, b, itemsize, n_mats=1)
+    kt_b = _chunk_size(K, b, itemsize, n_mats=2)
     interpret = _use_interpret()
 
-    def mat_spec(rev: bool):
+    def mat_spec(kt: int, rev: bool):
         return pl.BlockSpec(
             (kt, 1, b, b),
             (lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
             (lambda c, i: (c, i, 0, 0)),
             memory_space=pltpu.VMEM)
 
-    def vec_spec(rev: bool):
+    def vec_spec(kt: int, rev: bool):
         return pl.BlockSpec(
             (kt, 1, 1, b),
             (lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
@@ -132,21 +133,22 @@ def blocktri_solve_batched_pallas(fact, rhs: jax.Array) -> jax.Array:
     rhs4 = rhs.astype(cdtype).reshape(K, nb, 1, b)
     y = pl.pallas_call(
         _partial(_fwd_kernel, precision=precision),
-        grid=(kc, nb),
-        in_specs=[mat_spec(False), vec_spec(False)],
-        out_specs=vec_spec(False),
+        grid=(K // kt_f, nb),
+        in_specs=[mat_spec(kt_f, False), vec_spec(kt_f, False)],
+        out_specs=vec_spec(kt_f, False),
         out_shape=jax.ShapeDtypeStruct((K, nb, 1, b), cdtype),
-        scratch_shapes=[pltpu.VMEM((kt, b), cdtype)],
+        scratch_shapes=[pltpu.VMEM((kt_f, b), cdtype)],
         interpret=interpret,
     )(fact.F, rhs4)
 
     x = pl.pallas_call(
         _partial(_bwd_kernel, precision=precision),
-        grid=(kc, nb),
-        in_specs=[mat_spec(True), mat_spec(True), vec_spec(True)],
-        out_specs=vec_spec(True),
+        grid=(K // kt_b, nb),
+        in_specs=[mat_spec(kt_b, True), mat_spec(kt_b, True),
+                  vec_spec(kt_b, True)],
+        out_specs=vec_spec(kt_b, True),
         out_shape=jax.ShapeDtypeStruct((K, nb, 1, b), cdtype),
-        scratch_shapes=[pltpu.VMEM((kt, b), cdtype)],
+        scratch_shapes=[pltpu.VMEM((kt_b, b), cdtype)],
         interpret=interpret,
     )(fact.Sinv, fact.U, y)
     return x.reshape(K, nb, b)

@@ -61,7 +61,10 @@ def test_pallas_sweeps_bf16_factors():
 
 def test_chunking_respects_vmem_budget():
     from spike_petsc_tpu.ops.pallas.sweeps import _chunk_size
-    assert _chunk_size(64, 128, 4) * 4 * 128 * 128 * 4 <= 6 * 1024 * 1024
+    # bwd (2 streamed matrices): 4 buffers of kt*b*b*itemsize within budget
+    assert _chunk_size(64, 128, 4, n_mats=2) * 4 * 128 * 128 * 4 <= 6 * 1024 * 1024
+    # fwd (1 matrix) gets a larger chunk
+    assert _chunk_size(64, 128, 4, n_mats=1) >= 2 * _chunk_size(64, 128, 4, n_mats=2)
     assert 64 % _chunk_size(64, 128, 4) == 0
     assert _chunk_size(3, 8, 4) == 3
     assert _chunk_size(64, 128, 2) == 2 * _chunk_size(64, 128, 4)
