@@ -303,6 +303,56 @@ def _dsf_specs(dsf: DistSpikeFactor, axis: str):
         truncated=dsf.truncated)
 
 
+def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
+                             axis_p: str = "p", axis_rhs: str = "rhs",
+                             ksp_type: str = "gmres", use_pc: bool = True,
+                             **params):
+    """Multi-RHS serving over a 2-D mesh (axis_rhs x axis_p): each rhs-row
+    of the mesh holds a replica of the factorization and solves its own
+    batch of right-hand sides on its partition sub-axis — the data-parallel
+    x model-parallel composition of this framework.
+
+    Returns solve(rhs[R, n]) -> x[R, n] with R divisible by the rhs axis.
+    """
+    method = SOLVERS.get(ksp_type)
+    ppd, m = dsf.ppd, dsf.m
+
+    def local_fn(dsf_in, r_local):
+        # r_local: [R/n_rhs_dev, ppd, m]
+        krylov.set_collective_axis(axis_p)
+        try:
+            matvec = lambda v: local_matvec(dsf_in, v, axis_p)
+            pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis_p)) \
+                if use_pc else None
+
+            def one(rl):
+                return method(matvec, rl.reshape(-1), None, pc_apply,
+                              **params).x.reshape(ppd, m)
+            xs = jax.lax.map(one, r_local)
+        finally:
+            krylov.set_collective_axis(None)
+        return xs
+
+    # factor fields are sharded over axis_p only (replicated across axis_rhs)
+    fact_specs = _dsf_specs(dsf, axis_p)
+    rhs_spec = P(axis_rhs, axis_p)
+    shmapped = jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=(fact_specs, rhs_spec),
+                             out_specs=rhs_spec, check_vma=False)
+
+    @jax.jit
+    def solve_fn(rhs):
+        R = rhs.shape[0]
+        rp = jnp.zeros((R, dsf.K * dsf.m), rhs.dtype).at[:, :dsf.n].set(rhs)
+        rhs_sh = jax.device_put(
+            rp.reshape(R, dsf.K, dsf.m),
+            NamedSharding(mesh, P(axis_rhs, axis_p)))
+        x = shmapped(dsf, rhs_sh)
+        return x.reshape(R, dsf.K * dsf.m)[:, :dsf.n]
+
+    return solve_fn
+
+
 def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
                      ksp_type: str = "gmres", use_pc: bool = True,
                      **params):

@@ -136,3 +136,26 @@ def test_dist_krylov_spike_preconditioned(mesh, ksp_type):
     assert int(res.reason) > 0
     assert int(res.its) <= 3  # exact-factorization PC
     np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7, atol=1e-8)
+
+
+def test_dist_solver_2d_mesh_rhs_batch():
+    """dp x tp composition: 2-D mesh (rhs=2, p=4), factor replicated across
+    the rhs axis, each rhs-row solves its own batch on its partition
+    sub-axis."""
+    from spike_petsc_tpu.parallel import make_mesh_2d
+    from spike_petsc_tpu.parallel.spike_dist import (dist_spike_factor,
+                                                     make_dist_solver_batched)
+    mesh2 = make_mesh_2d((2, 4), axes=("rhs", "p"))
+    n = 512
+    a = problems.spd_banded(n, 3, seed=13)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh2, axis="p", block_b=8,
+                            parts_per_device=2)
+    assert dsf.K == 8
+    solver = make_dist_solver_batched(dsf, mesh2, ksp_type="gmres",
+                                      rtol=1e-10, maxit=20)
+    rng = np.random.default_rng(7)
+    U = rng.standard_normal((4, n))
+    B = np.stack([a @ U[i] for i in range(4)])
+    X = np.asarray(solver(jnp.asarray(B)))
+    np.testing.assert_allclose(X, U, rtol=1e-6, atol=1e-7)
