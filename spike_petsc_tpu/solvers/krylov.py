@@ -59,8 +59,9 @@ def _norm(x):
 
 
 def _gram(V, w):
-    """Basis-projection row of dot products <V_i, w> (psum'd when sharded)."""
-    h = V @ w
+    """Basis-projection row of dot products <V_i, w> (psum'd when sharded;
+    conjugated for complex scalars)."""
+    h = V.conj() @ w
     if _AXIS_NAME is not None:
         h = jax.lax.psum(h, _AXIS_NAME)
     return h
@@ -107,6 +108,7 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
     psolve = pc_apply or _identity_pc
     n = b.shape[0]
     dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype   # residual norms are real
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
     # Reference norm for the relative tolerance: preconditioned rhs norm for
@@ -116,7 +118,7 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
-    hist0 = jnp.full((maxit + 1,), jnp.nan, dtype)
+    hist0 = jnp.full((maxit + 1,), jnp.nan, rdtype)
 
     def residual(x):
         r = b - matvec(x)
@@ -163,24 +165,30 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
             V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
             col = h.at[j + 1].set(hj1)
 
-            # apply accumulated Givens rotations to the new column
+            # apply accumulated unitary Givens rotations to the new column:
+            # G_i = [[c_i, s_i], [-conj(s_i), conj(c_i)]] (real case reduces
+            # to the classical rotations)
             def rot(i, colc):
                 t1 = cs[i] * colc[i] + sn[i] * colc[i + 1]
-                t2 = -sn[i] * colc[i] + cs[i] * colc[i + 1]
+                t2 = -jnp.conj(sn[i]) * colc[i] + jnp.conj(cs[i]) * colc[i + 1]
                 apply = i < j
                 colc = colc.at[i].set(jnp.where(apply, t1, colc[i]))
                 colc = colc.at[i + 1].set(jnp.where(apply, t2, colc[i + 1]))
                 return colc
             col = jax.lax.fori_loop(0, restart, rot, col)
 
-            # new rotation eliminating col[j+1]
-            denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+            # new rotation eliminating col[j+1]:
+            # c = conj(a)/r, s = conj(b)/r with r = sqrt(|a|^2 + |b|^2)
+            denom = jnp.sqrt(jnp.abs(col[j]) ** 2 + jnp.abs(col[j + 1]) ** 2)
             ok = denom > 0
-            c_new = jnp.where(ok, col[j] / jnp.where(ok, denom, 1.0), 1.0)
-            s_new = jnp.where(ok, col[j + 1] / jnp.where(ok, denom, 1.0), 0.0)
-            col = col.at[j].set(denom).at[j + 1].set(0.0)
+            safe = jnp.where(ok, denom, 1.0)
+            c_new = jnp.where(ok, jnp.conj(col[j]) / safe,
+                              jnp.ones((), dtype))
+            s_new = jnp.where(ok, jnp.conj(col[j + 1]) / safe,
+                              jnp.zeros((), dtype))
+            col = col.at[j].set(denom.astype(dtype)).at[j + 1].set(0.0)
             gj = g[j]
-            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-jnp.conj(s_new) * gj)
             H = H.at[:, j].set(col)
             cs = cs.at[j].set(c_new)
             sn = sn.at[j].set(s_new)
@@ -244,10 +252,11 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
+    rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
     rtilde = r0
     rnorm0 = _norm(r0)
-    hist = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(rnorm0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
@@ -304,10 +313,11 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
+    rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
     z0 = psolve(r0)
     rnorm0 = _norm(r0)
-    hist = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(rnorm0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
@@ -354,9 +364,10 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     bnorm = _norm(b)
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
+    rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
     rnorm0 = _norm(r0)
-    hist = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(rnorm0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
@@ -396,9 +407,10 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     delta = 0.5 * (emax - emin)
     sigma1 = theta / delta if delta != 0 else 0.0
 
+    rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
     rnorm0 = _norm(r0)
-    hist = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(rnorm0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
