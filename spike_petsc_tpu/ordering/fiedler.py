@@ -64,7 +64,18 @@ def heavy_edge_coarsen(adj: sp.csr_matrix) -> Tuple[sp.csr_matrix, np.ndarray]:
     matched = np.full(n, -1, dtype=np.int64)
     NEG = -np.inf
 
-    for _ in range(3):   # mutual-heaviest passes (vectorized)
+    # symmetric pseudo-random tie-break: on equal-weight graphs (e.g.
+    # unweighted grids) a deterministic "first max neighbour" almost never
+    # yields mutual pairs and coarsening stalls; a per-undirected-edge jitter
+    # makes both endpoints agree on which incident edge is "heaviest"
+    lo = np.minimum(row_of, indices).astype(np.uint64)
+    hi = np.maximum(row_of, indices).astype(np.uint64)
+    key = (lo * np.uint64(2654435761) ^ hi * np.uint64(40503)) \
+        % np.uint64(1 << 20)
+    scale = data.max() if data.size else 1.0
+    data = data + (0.01 * scale / float(1 << 20)) * key.astype(np.float64)
+
+    for _ in range(4):   # mutual-heaviest passes (vectorized)
         if (matched >= 0).all():
             break
         # mask edges whose endpoint (either side) is already matched
@@ -118,9 +129,9 @@ def _fiedler_multilevel(lap: sp.csr_matrix, tol: float, seed: int,
     adj.data = np.abs(adj.data)
 
     adjs, parents = [adj], []
-    while adjs[-1].shape[0] > coarsest:
+    while adjs[-1].shape[0] > coarsest and len(adjs) < 60:
         coarse, parent = heavy_edge_coarsen(adjs[-1])
-        if coarse.shape[0] >= adjs[-1].shape[0]:   # no progress (disconnected)
+        if coarse.shape[0] >= 0.95 * adjs[-1].shape[0]:   # stalled
             break
         parents.append(parent)
         adjs.append(coarse)

@@ -86,10 +86,7 @@ def mc64(a, job: int = 5) -> OrderingResult:
             absval = np.abs(csc.data.astype(np.float64))
 
         colmax = np.zeros(n)
-        for j in range(n):
-            s, e = ptr[j], ptr[j + 1]
-            if e > s:
-                colmax[j] = absval[s:e].max()
+        np.maximum.at(colmax, np.repeat(np.arange(n), np.diff(ptr)), absval)
         logmax = np.zeros(n)
         np.log(colmax, out=logmax, where=colmax > 0)
         if job == 4:
