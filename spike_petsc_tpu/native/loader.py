@@ -24,7 +24,7 @@ _LOCK = threading.Lock()
 _lib = None
 _tried = False
 
-_SOURCES = ["assignment.cpp"]
+_SOURCES = ["assignment.cpp", "hopcroft_karp.cpp"]
 
 
 def _compile() -> Optional[str]:
@@ -61,6 +61,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.spike_assignment.restype = ctypes.c_int
         lib.spike_assignment.argtypes = [
             ctypes.c_int64, i64p, i64p, f64p, i64p, f64p, f64p]
+        lib.spike_hopcroft_karp.restype = ctypes.c_int64
+        lib.spike_hopcroft_karp.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_double,
+            i64p]
         _lib = lib
         return _lib
 
@@ -83,3 +87,27 @@ def get_assignment():
         return match, u, v, bool(ok)
 
     return assignment
+
+
+def get_hopcroft_karp():
+    """Returns fn(n, col_ptr, row_ind, weights=None, threshold=-inf)
+    -> (match, cardinality), or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    def hopcroft_karp(n, col_ptr, row_ind, weights=None,
+                      threshold=float("-inf")):
+        col_ptr = np.ascontiguousarray(col_ptr, np.int64)
+        row_ind = np.ascontiguousarray(row_ind, np.int64)
+        match = np.empty(n, np.int64)
+        if weights is None:
+            wptr = None
+        else:
+            weights = np.ascontiguousarray(weights, np.float64)
+            wptr = weights.ctypes.data_as(ctypes.c_void_p)
+        card = lib.spike_hopcroft_karp(n, col_ptr, row_ind, wptr,
+                                       float(threshold), match)
+        return match, int(card)
+
+    return hopcroft_karp

@@ -33,13 +33,26 @@ def _to_csc_abs(a) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
 # Maximum-cardinality matching (MC64 job 1 equivalent)
 # ---------------------------------------------------------------------------
 
+def _native_hk():
+    try:
+        from ..native import loader
+        return loader.get_hopcroft_karp()
+    except Exception:
+        return None
+
+
 def max_cardinality_match(a) -> Tuple[np.ndarray, int]:
     """match[j] = row matched to column j (-1 if unmatched); returns
-    (match, cardinality).  Engine: SciPy's Hopcroft-Karp."""
+    (match, cardinality).  Engine: native C++ Hopcroft-Karp
+    (native/src/hopcroft_karp.cpp) with SciPy fallback."""
     csc = sp.csc_matrix(a)
     csc.eliminate_zeros()
+    hk = _native_hk()
+    if hk is not None:
+        match, card = hk(csc.shape[0], csc.indptr.astype(np.int64),
+                         csc.indices.astype(np.int64))
+        return match, card
     match = sp.csgraph.maximum_bipartite_matching(csc.tocsr(), perm_type="row")
-    # scipy returns, per column, the matching row for the CSR graph
     card = int((match >= 0).sum())
     return match.astype(np.int64), card
 
@@ -58,17 +71,24 @@ def bottleneck_match(a) -> Tuple[np.ndarray, float]:
     data structures.
     """
     n, ptr, rows, w = _to_csc_abs(a)
-    coo = sp.csc_matrix((w, rows, ptr), shape=(n, n)).tocoo()
-    vals = np.unique(coo.data)
+    vals = np.unique(w)
     lo, hi = 0, len(vals) - 1
     best_match, best_t = None, 0.0
+    hk = _native_hk()
 
-    def feasible(t):
-        keep = coo.data >= t
-        g = sp.csr_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
-                          shape=(n, n))
-        m = sp.csgraph.maximum_bipartite_matching(g, perm_type="row")
-        return (m >= 0).all(), m
+    if hk is not None:
+        def feasible(t):
+            m, card = hk(n, ptr, rows, weights=w, threshold=t)
+            return card == n, m
+    else:
+        coo = sp.csc_matrix((w, rows, ptr), shape=(n, n)).tocoo()
+
+        def feasible(t):
+            keep = coo.data >= t
+            g = sp.csr_matrix((coo.data[keep],
+                               (coo.row[keep], coo.col[keep])), shape=(n, n))
+            m = sp.csgraph.maximum_bipartite_matching(g, perm_type="row")
+            return (m >= 0).all(), m
 
     ok, m = feasible(vals[0])
     if not ok:

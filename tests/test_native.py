@@ -71,3 +71,53 @@ def test_native_speed_advantage():
     sparse_assignment(n, ptr, rows, cost)
     t_python = time.perf_counter() - t0
     assert t_native < t_python  # typically 50-500x
+
+
+def test_hopcroft_karp_matches_scipy():
+    from spike_petsc_tpu.native.loader import get_hopcroft_karp
+    hk = get_hopcroft_karp()
+    if hk is None:
+        pytest.skip("native toolchain unavailable")
+    for seed in (0, 1, 2):
+        n = 120
+        rng = np.random.default_rng(seed)
+        a = sp.random(n, n, density=0.05, random_state=rng,
+                      data_rvs=lambda k: rng.uniform(0.1, 10, k)).tocsc()
+        a.eliminate_zeros()
+        m, card = hk(n, a.indptr.astype(np.int64), a.indices.astype(np.int64))
+        ref = sp.csgraph.maximum_bipartite_matching(a.tocsr(),
+                                                    perm_type="row")
+        assert card == int((ref >= 0).sum())
+        # validity: matched rows unique, edges exist
+        used = m[m >= 0]
+        assert len(np.unique(used)) == len(used)
+        dense = a.toarray()
+        for j in range(n):
+            if m[j] >= 0:
+                assert dense[m[j], j] != 0
+
+
+def test_hopcroft_karp_threshold():
+    from spike_petsc_tpu.native.loader import get_hopcroft_karp
+    hk = get_hopcroft_karp()
+    if hk is None:
+        pytest.skip("native toolchain unavailable")
+    # 2x2: strong diagonal, weak off-diagonal
+    ptr = np.array([0, 2, 4], dtype=np.int64)
+    rows = np.array([0, 1, 0, 1], dtype=np.int64)
+    w = np.array([5.0, 0.1, 0.1, 5.0])
+    m, card = hk(2, ptr, rows, weights=w, threshold=1.0)
+    assert card == 2 and m[0] == 0 and m[1] == 1
+    m2, card2 = hk(2, ptr, rows, weights=w, threshold=6.0)
+    assert card2 == 0
+
+
+def test_bottleneck_uses_native_and_agrees():
+    from spike_petsc_tpu.ordering.matching import bottleneck_match
+    a = sp.random(80, 80, density=0.1,
+                  random_state=np.random.default_rng(3),
+                  data_rvs=lambda k: np.random.default_rng(4).uniform(0.1, 10, k))
+    a = a + sp.identity(80) * 0.5
+    m, t = bottleneck_match(a.tocsr())
+    assert np.array_equal(np.sort(m[m >= 0]), np.unique(m[m >= 0]))
+    assert t > 0
