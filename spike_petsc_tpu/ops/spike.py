@@ -133,7 +133,16 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     to_blocks = jax.vmap(
         lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku), b))
     blocks = to_blocks(local)                               # [K, nb, b, b] x3
-    fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+    if method == "cr":
+        # cyclic reduction: log2(nb) levels, one large batched inversion
+        # call per level (vs nb sequential calls in block-Thomas) — trades
+        # ~2x stored blocks for factor latency
+        from .cyclic import cr_factor
+        fact = jax.vmap(cr_factor)(blocks)
+        if store_dtype is not None:
+            raise ValueError("store_dtype is not supported with method='cr'")
+    else:
+        fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
     nb = m // b
 
     V = W = None
@@ -143,8 +152,8 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
         dtype = band.dtype
         rhsV = jnp.zeros((K, nb, b, k), dtype).at[:, nb - 1, b - k:, :].set(Btip)
         rhsW = jnp.zeros((K, nb, b, k), dtype).at[:, 0, :k, :].set(Ctip)
-        Vfull = jax.vmap(blocktri_solve)(fact, rhsV)
-        Wfull = jax.vmap(blocktri_solve)(fact, rhsW)
+        Vfull = _batched_tri_solve(fact, rhsV)
+        Wfull = _batched_tri_solve(fact, rhsW)
         V_top, V_bot = Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :]
         W_top, W_bot = Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]
         if store_spikes:
@@ -175,7 +184,8 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
             # large partition counts: the Thomas scan over K-1 reduced
             # blocks dominates solve latency; cyclic reduction solves it in
             # log2(K) levels of batched MXU work (ops/cyclic.py)
-            use_cr = reduced == "cr" or (reduced == "auto" and K - 1 >= 33)
+            use_cr = reduced == "cr" or method == "cr" or (
+                reduced == "auto" and K - 1 >= 33)
             if use_cr:
                 from .cyclic import cr_factor
                 red_fact = cr_factor(red)
@@ -204,7 +214,10 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
       band: banded matrix in diagonal-offset storage.
       K: number of partitions (1 = plain block-Thomas direct solve).
       block_b: MXU block size (defaults to the tip size; use 128 on TPU).
-      method: per-block Schur handling, "inv" (MXU-fast) or "lu" (f64 parity).
+      method: per-partition factorization — "inv" (block-Thomas with stored
+        Schur inverses, MXU-fast solves), "lu" (pivoted LU factors, f64
+        parity), or "cr" (cyclic reduction: log-depth factor latency,
+        ~2x stored blocks).
       truncated: drop the reduced system's inter-interface coupling — exact
         only in the diagonally-dominant limit (the classic truncated SPIKE).
       store_spikes: keep full V, W spikes for 1-sweep solves (memory K*m*k*2).
@@ -231,6 +244,15 @@ def _solve_reduced_system(red_fact, rhs):
     if isinstance(red_fact, CRFactor):
         return cr_solve(red_fact, rhs)
     return blocktri_solve(red_fact, rhs)
+
+
+def _batched_tri_solve(fact, rhs):
+    """Per-partition batched solve, dispatching on factorization type
+    (block-Thomas BlockTriFactor vs cyclic-reduction CRFactor)."""
+    from .cyclic import CRFactor, cr_solve
+    if isinstance(fact, CRFactor):
+        return jax.vmap(cr_solve)(fact, rhs)
+    return jax.vmap(blocktri_solve)(fact, rhs)
 
 
 def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
@@ -266,7 +288,7 @@ def spike_solve(sf: SpikeFactor, rhs: jax.Array, impl: str = "xla") -> jax.Array
         from .pallas.sweeps import blocktri_solve_batched_pallas
         batched_solve = partial(blocktri_solve_batched_pallas, sf.fact)
     else:
-        batched_solve = partial(jax.vmap(blocktri_solve), sf.fact)
+        batched_solve = partial(_batched_tri_solve, sf.fact)
 
     g = batched_solve(rblk)                                  # [K, nb, b]
     if K == 1:
@@ -308,7 +330,7 @@ def spike_solve_many(sf: SpikeFactor, rhs: jax.Array,
         # pallas sweeps are single-vector; fall back to the XLA path which
         # carries the RHS block through the same scans
         impl = "xla"
-    batched_solve = partial(jax.vmap(blocktri_solve), sf.fact)
+    batched_solve = partial(_batched_tri_solve, sf.fact)
 
     g = batched_solve(rblk)                                  # [K, nb, b, r]
     if K == 1:

@@ -71,3 +71,36 @@ def test_cr_jittable():
     ref = blocktri_solve(blocktri_factor(t, method="lu"), rhs)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-9,
                                atol=1e-10)
+
+
+def test_spike_method_cr_matches_scipy():
+    """Full SPIKE with cyclic-reduction partition factorizations."""
+    import scipy.linalg as sla
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
+    n, k = 400, 3
+    a = problems.nonsym_banded(n, k, k, seed=9)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    sf = spike_factor(bm, K=4, block_b=8, method="cr")
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal(n)
+    x = np.asarray(spike_solve(sf, jnp.asarray(rhs)))
+    ab = np.zeros((2 * k + 1, n))
+    dense = a.toarray()
+    for d in range(-k, k + 1):
+        ab[k - d, max(0, d):n + min(0, d)] = np.diag(dense, d)
+    xs = sla.solve_banded((k, k), ab, rhs)
+    np.testing.assert_allclose(x, xs, rtol=1e-8, atol=1e-9)
+
+
+def test_spike_method_cr_multi_rhs():
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve_many
+    n = 300
+    a = problems.spd_banded(n, 4, seed=11)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    sf = spike_factor(bm, K=4, block_b=8, method="cr")
+    rng = np.random.default_rng(3)
+    U = rng.standard_normal((n, 3))
+    X = np.asarray(spike_solve_many(sf, jnp.asarray(a @ U)))
+    np.testing.assert_allclose(X, U, rtol=1e-8, atol=1e-9)
