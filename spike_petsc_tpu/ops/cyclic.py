@@ -102,6 +102,18 @@ def cr_factor(t: BlockTridiagonal) -> CRFactor:
                     n_pad=n_pad)
 
 
+def cast_cr_factor(fact: CRFactor, dtype) -> CRFactor:
+    """Downcast stored CR blocks (e.g. bfloat16): the solve sweeps promote
+    in-register while carries stay f32 — same trade as blocktri.cast_factor."""
+    def cast(lv: CRLevel) -> CRLevel:
+        return CRLevel(Dinv_e=lv.Dinv_e.astype(dtype), P=lv.P.astype(dtype),
+                       Q=lv.Q.astype(dtype), L_e=lv.L_e.astype(dtype),
+                       U_e=lv.U_e.astype(dtype))
+    return CRFactor(levels=tuple(cast(lv) for lv in fact.levels),
+                    root_Dinv=fact.root_Dinv.astype(dtype), nb=fact.nb,
+                    n_pad=fact.n_pad)
+
+
 def cr_solve(fact: CRFactor, rhs: jax.Array) -> jax.Array:
     """Solve T x = rhs; rhs [nb, b] or [nb, b, r]."""
     squeeze = rhs.ndim == 2

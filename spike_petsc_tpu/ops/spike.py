@@ -139,8 +139,6 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
         # ~2x stored blocks for factor latency
         from .cyclic import cr_factor
         fact = jax.vmap(cr_factor)(blocks)
-        if store_dtype is not None:
-            raise ValueError("store_dtype is not supported with method='cr'")
     else:
         fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
     nb = m // b
@@ -193,8 +191,12 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
                 red_fact = blocktri_factor(red, method=method)
 
     if store_dtype is not None:
-        from .blocktri import cast_factor
-        fact = cast_factor(fact, store_dtype)
+        if method == "cr":
+            from .cyclic import cast_cr_factor
+            fact = cast_cr_factor(fact, store_dtype)
+        else:
+            from .blocktri import cast_factor
+            fact = cast_factor(fact, store_dtype)
         if V is not None:
             V = V.astype(store_dtype)
             W = W.astype(store_dtype)

@@ -104,3 +104,18 @@ def test_spike_method_cr_multi_rhs():
     U = rng.standard_normal((n, 3))
     X = np.asarray(spike_solve_many(sf, jnp.asarray(a @ U)))
     np.testing.assert_allclose(X, U, rtol=1e-8, atol=1e-9)
+
+
+def test_spike_cr_bf16_factors():
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
+    from spike_petsc_tpu.ops.band import banded_matvec
+    n = 400
+    a = problems.spd_banded(n, 3, seed=15)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data, jnp.float32), kl=kl, ku=ku)
+    sf = spike_factor(bm, K=4, block_b=8, method="cr",
+                      store_dtype=jnp.bfloat16)
+    u = np.random.default_rng(4).standard_normal(n).astype(np.float32)
+    x = np.asarray(spike_solve(sf, banded_matvec(bm, jnp.asarray(u))))
+    rel = np.linalg.norm(x - u) / np.linalg.norm(u)
+    assert rel < 5e-2
