@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.band import BandedMatrix, pad_banded
 from ..ops.blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
                             blocktri_factor, blocktri_matvec, blocktri_solve)
-from ..ops.spike import _local_band_mask, _partition_geometry
+from ..ops.spike import (_batched_tri_solve, _local_band_mask,
+                         _partition_geometry)
 from ..solvers import krylov
 from ..utils.registry import SOLVERS
 
@@ -112,7 +113,8 @@ def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
         jnp.concatenate([z, Vt[1:]], axis=2)], axis=1)
     U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
     red = BlockTridiagonal(D=D, L=L, U=U)
-    return blocktri_factor(red, method=method), None
+    red_method = "inv" if method == "cr" else method
+    return blocktri_factor(red, method=red_method), None
 
 
 def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
@@ -144,13 +146,17 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         blocks = jax.vmap(
             lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
                                        b))(local)
-        fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+        if method == "cr":
+            from ..ops.cyclic import cr_factor
+            fact = jax.vmap(cr_factor)(blocks)
+        else:
+            fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
         # spikes (k RHS per partition)
         dt = data_shard.dtype
         rhsV = jnp.zeros((ppd, nb, b, k), dt).at[:, nb - 1, b - k:, :].set(Btip)
         rhsW = jnp.zeros((ppd, nb, b, k), dt).at[:, 0, :k, :].set(Ctip)
-        V = jax.vmap(blocktri_solve)(fact, rhsV)
-        W = jax.vmap(blocktri_solve)(fact, rhsW)
+        V = _batched_tri_solve(fact, rhsV)
+        W = _batched_tri_solve(fact, rhsW)
         tips = jnp.stack([V[:, 0, :k, :], V[:, nb - 1, b - k:, :],
                           W[:, 0, :k, :], W[:, nb - 1, b - k:, :]],
                          axis=1)                     # [ppd, 4, k, k]
@@ -161,12 +167,23 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
             K, k, truncated, method)
         return blocks, fact, Btip, Ctip, red_fact, red_Dinv
 
+    if method == "cr":
+        from ..ops.cyclic import cr_factor
+        blocks_struct = BlockTridiagonal(
+            D=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
+            L=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
+            U=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype))
+        fact_struct = jax.eval_shape(jax.vmap(cr_factor), blocks_struct)
+        fact_specs = jax.tree_util.tree_map(lambda _: P(axis), fact_struct)
+    else:
+        fact_specs = _factor_field_specs(method, axis)
+    red_method = "inv" if method == "cr" else method
     out_specs = (
         jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
-        _factor_field_specs(method, axis),
+        fact_specs,
         P(axis), P(axis),
         None if truncated else jax.tree_util.tree_map(
-            lambda _: P(), _factor_struct(method)),
+            lambda _: P(), _factor_struct(red_method)),
         P() if truncated else None,
     )
     blocks, fact, Btip, Ctip, red_fact, red_Dinv = jax.shard_map(
@@ -186,9 +203,10 @@ def _factor_struct(method):
 
 
 def _factor_field_specs(method, axis):
-    """Per-field PartitionSpecs for a partition-sharded BlockTriFactor:
-    the method's unused placeholder fields are zero-size (see
-    blocktri_factor) and must be replicated, not sharded."""
+    """Per-field PartitionSpecs for a partition-sharded factorization:
+    block-Thomas methods have zero-size placeholder fields (see
+    blocktri_factor) that must be replicated, not sharded; CR factors are
+    sharded on every leaf."""
     pax, rep = P(axis), P()
     if method == "inv":
         return BlockTriFactor(F=pax, U=pax, Sinv=pax, Slu=rep, piv=rep,
@@ -225,7 +243,7 @@ def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str) -> jax.Array:
     """Per-device SPIKE solve of the global system; rhs_local: [ppd * m]."""
     nb, b, k, ppd = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.ppd
     rblk = rhs_local.reshape(ppd, nb, b)
-    g = jax.vmap(blocktri_solve)(dsf_local.fact, rblk)
+    g = _batched_tri_solve(dsf_local.fact, rblk)
     if dsf_local.K == 1:
         return g.reshape(-1)
     xbot_prev, xtop_next = local_interface_solve(
@@ -233,7 +251,7 @@ def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str) -> jax.Array:
     corrB = jnp.einsum("pcd,pd->pc", dsf_local.Btip, xtop_next)
     corrC = jnp.einsum("pcd,pd->pc", dsf_local.Ctip, xbot_prev)
     r2 = rblk.at[:, nb - 1, b - k:].add(-corrB).at[:, 0, :k].add(-corrC)
-    return jax.vmap(blocktri_solve)(dsf_local.fact, r2).reshape(-1)
+    return _batched_tri_solve(dsf_local.fact, r2).reshape(-1)
 
 
 def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:
@@ -291,11 +309,17 @@ def dist_spike_solve(dsf: DistSpikeFactor, rhs, mesh: Mesh,
 def _dsf_specs(dsf: DistSpikeFactor, axis: str):
     """PartitionSpec pytree matching DistSpikeFactor: partition-sharded
     local fields, replicated reduced-system fields."""
+    from ..ops.cyclic import CRFactor
+
     def spec_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
+    if isinstance(dsf.fact, CRFactor):
+        fact_specs = spec_like(dsf.fact, P(axis))
+    else:
+        fact_specs = _factor_field_specs(dsf.fact.method, axis)
     return DistSpikeFactor(
         blocks=spec_like(dsf.blocks, P(axis)),
-        fact=_factor_field_specs(dsf.fact.method, axis),
+        fact=fact_specs,
         Btip=P(axis), Ctip=P(axis),
         red_fact=spec_like(dsf.red_fact, P()),
         red_Dinv=None if dsf.red_Dinv is None else P(),

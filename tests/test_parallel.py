@@ -159,3 +159,20 @@ def test_dist_solver_2d_mesh_rhs_batch():
     B = np.stack([a @ U[i] for i in range(4)])
     X = np.asarray(solver(jnp.asarray(B)))
     np.testing.assert_allclose(X, U, rtol=1e-6, atol=1e-7)
+
+
+def test_dist_spike_cr_method(mesh):
+    """Distributed SPIKE with cyclic-reduction local factorizations."""
+    n = 768
+    a = problems.spd_banded(n, 4, seed=17)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=8, method="cr",
+                            parts_per_device=2)
+    rng = np.random.default_rng(9)
+    u = rng.standard_normal(n)
+    x = np.asarray(dist_spike_solve(dsf, jnp.asarray(a @ u), mesh))
+    np.testing.assert_allclose(x, u, rtol=1e-8, atol=1e-9)
+    solver = make_dist_solver(dsf, mesh, ksp_type="gmres", rtol=1e-10,
+                              maxit=20)
+    res = solver(jnp.asarray(a @ u))
+    assert int(res.reason) > 0 and int(res.its) <= 3
