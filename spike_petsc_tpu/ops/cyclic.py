@@ -32,7 +32,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .blocktri import BlockTridiagonal
+from .blocktri import BlockTridiagonal, batched_inverse
 
 
 @jax.tree_util.register_dataclass
@@ -88,7 +88,7 @@ def cr_factor(t: BlockTridiagonal) -> CRFactor:
         De, Do = D[0::2], D[1::2]
         Le, Lo = L[0::2], L[1::2]
         Ue, Uo = U[0::2], U[1::2]
-        Dinv_e = jnp.linalg.solve(De, jnp.broadcast_to(eye, De.shape))
+        Dinv_e = batched_inverse(De)
         # odd row j = 2t+1: left even t, right even t+1
         P = Lo @ Dinv_e[:-1]
         Q = Uo @ Dinv_e[1:]
@@ -97,7 +97,7 @@ def cr_factor(t: BlockTridiagonal) -> CRFactor:
         U_new = -(Q @ Ue[1:])
         levels.append(CRLevel(Dinv_e=Dinv_e, P=P, Q=Q, L_e=Le, U_e=Ue))
         D, L, U = D_new, L_new, U_new
-    root_Dinv = jnp.linalg.solve(D[0], eye)
+    root_Dinv = batched_inverse(D[0][None])[0]
     return CRFactor(levels=tuple(levels), root_Dinv=root_Dinv, nb=nb,
                     n_pad=n_pad)
 
