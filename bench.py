@@ -69,15 +69,28 @@ def main() -> None:
     def solve_loop(sf, b, r):
         return jax.lax.fori_loop(0, r, lambda i, y: spike_solve(sf, y), b)
 
+    # block_until_ready is UNRELIABLE through the axon tunnel (some processes
+    # return immediately); force completion by reading back a tiny derived
+    # array computed from the result.  The fixed readback latency cancels in
+    # the chained-loop difference.
+    @jax.jit
+    def _digest(x):
+        return x.ravel()[:1024] * 1.0
+
+    def sync(tree):
+        leaf = next(l for l in jax.tree_util.tree_leaves(tree)
+                    if hasattr(l, "ravel") and getattr(l, "size", 0))
+        return np.asarray(_digest(leaf))
+
     def timed(fn):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        sync(fn())
         return time.perf_counter() - t0
 
     # ---- TPU factor ---------------------------------------------------------
     factor_compile_s = timed(lambda: factor_fn(data, K, k, k))
     sf = factor_fn(data, K, k, k)
-    jax.block_until_ready(sf)
+    sync(sf)
     factor_s = min(timed(lambda: factor_fn(data, K, k, k)) for _ in range(3))
 
     # ---- TPU solve (chained-loop differenced timing) ------------------------
@@ -86,6 +99,10 @@ def main() -> None:
     t_small = min(timed(lambda: solve_loop(sf, rhs, 2)) for _ in range(3))
     t_big = min(timed(lambda: solve_loop(sf, rhs, 12)) for _ in range(3))
     solve_s = max(t_big - t_small, 1e-9) / 10.0
+    # sanity guard: if the difference collapsed (tunnel anomaly), report the
+    # conservative single-loop estimate instead of a bogus near-zero number
+    if solve_s < 1e-5:
+        solve_s = max(t_big / 12.0, t_small / 2.0)
 
     x = solve_loop(sf, rhs, 1)
     res = banded_matvec(band, x) - rhs
