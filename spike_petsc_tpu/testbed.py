@@ -85,9 +85,21 @@ def main(argv=None) -> int:
 
 def _main(argv=None) -> int:
     opts = Options.from_argv(sys.argv[1:] if argv is None else argv)
+    platform = opts.get_string("platform")
     if opts.get_bool("x64", False):
         import jax
         jax.config.update("jax_enable_x64", True)
+        # TPU XLA implements LuDecomposition only for f32/c64; f64 runs (the
+        # PETSc-parity configuration) route to the host CPU backend unless the
+        # user explicitly pins a platform.
+        if not platform:
+            platform = "cpu"
+            print("x64 requested: running on cpu backend "
+                  "(TPU has no f64 factorization path; override with "
+                  "-platform tpu)", file=sys.stderr)
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
 
     matfile = opts.get_string("mat")
     problem = opts.get_string("problem")
