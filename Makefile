@@ -12,6 +12,10 @@ test:
 test-fast:
 	$(PY) -m pytest tests/test_band.py tests/test_ordering.py -q
 
+# iteration tier: skips the compile-heavy shard_map/benchmark-config modules
+test-quick:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
 bench:
 	$(PY) bench.py
 
@@ -30,4 +34,4 @@ wbm:
 spectral:
 	$(PY) -m spike_petsc_tpu.tools.spectral -problem lap2d:20:20 -levels 2
 
-.PHONY: test test-fast bench native run wbm spectral
+.PHONY: test test-fast test-quick bench native run wbm spectral

@@ -166,7 +166,25 @@ def main() -> None:
     cpu_solve_s = min(cpu_times)
 
     # ---- report -------------------------------------------------------------
-    solve_flops = 2 * 2 * 3 * n * 128        # two sweeps of block-Thomas
+    # Flop models (labeled separately — ADVICE r1): the blocked-algorithm
+    # rate counts the flops the b-blocked kernel actually executes (method-
+    # dependent, from the real block size sf.b); the useful-band rate counts
+    # only the 2*n*(kl+ku+1)-per-sweep-pair flops of an ideal scalar banded
+    # solve.  recompute-SPIKE applies the partition solver twice per solve.
+    sweeps = 2 if K > 1 else 1
+    bb = sf.b
+    if method == "cr":
+        alg_flops_per_sweep = 10.0 * n * bb   # CR: down 4 + up 6 matmuls/elt
+    else:
+        alg_flops_per_sweep = 6.0 * n * bb    # block-Thomas: fwd 2 + bwd 4
+    alg_flops = sweeps * alg_flops_per_sweep
+    band_flops = sweeps * 2.0 * n * w
+    # effective factor-streaming bandwidth: the sweeps are read-bound on the
+    # stored factor blocks, streamed once per sweep
+    import jax as _jax
+    fact_bytes = sum(l.size * l.dtype.itemsize
+                     for l in _jax.tree_util.tree_leaves(sf.fact))
+    eff_gbs = sweeps * fact_bytes / solve_s / 1e9
     out = {
         "metric": f"spike_banded_solve_n{n}_bw{w}_wallclock",
         "value": round(solve_s * 1e3, 4),
@@ -176,7 +194,9 @@ def main() -> None:
         "partitions": K,
         "factor_store_dtype": store,
         "method": method,
-        "gflops": round(solve_flops / solve_s / 1e9, 2),
+        "gflops_blocked_alg": round(alg_flops / solve_s / 1e9, 2),
+        "gflops_useful_band": round(band_flops / solve_s / 1e9, 2),
+        "factor_stream_gbs": round(eff_gbs, 1),
         "tpu_factor_ms": round(factor_s * 1e3, 3),
         "cpu_factor_ms": round(cpu_factor_s * 1e3, 3),
         "cpu_solve_ms": round(cpu_solve_s * 1e3, 3),

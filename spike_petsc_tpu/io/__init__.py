@@ -51,10 +51,36 @@ def load_banded(path: str):
                         ku=int(z["ku"]))
 
 
+def _describe_tri_factor(f) -> dict:
+    """Structural descriptor of a per-partition factorization (enough to
+    rebuild a skeleton pytree with the same treedef)."""
+    from ..ops.cyclic import CRFactor
+    if isinstance(f, CRFactor):
+        return dict(type="cr", levels=len(f.levels), nb=f.nb, n_pad=f.n_pad,
+                    nshift=f.nshift is not None)
+    return dict(type="blocktri", method=f.method,
+                nshift=f.nshift is not None)
+
+
+def _tri_factor_template(desc: dict):
+    nshift = 0 if desc.get("nshift") else None
+    if desc["type"] == "cr":
+        from ..ops.cyclic import CRFactor, CRLevel
+        lv = CRLevel(Dinv_e=0, P=0, Q=0, L_e=0, U_e=0)
+        return CRFactor(levels=tuple(lv for _ in range(desc["levels"])),
+                        root_Dinv=0, nb=desc["nb"], n_pad=desc["n_pad"],
+                        nshift=nshift)
+    from ..ops.blocktri import BlockTriFactor
+    return BlockTriFactor(F=0, U=0, Sinv=0, Slu=0, piv=0,
+                          method=desc["method"], nshift=nshift)
+
+
 def save_factorization(path: str, sf) -> None:
     """Checkpoint a SpikeFactor (pytree -> npz): amortize setup across runs —
     a capability the reference lacks entirely (SURVEY.md §5 checkpoint/resume:
-    'none')."""
+    'none').  Every spike_factor variant round-trips: block-Thomas (inv/lu)
+    and cyclic-reduction partition factors, Thomas/CR/truncated reduced
+    systems, with or without stored spikes."""
     import json
 
     import jax
@@ -62,7 +88,12 @@ def save_factorization(path: str, sf) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(sf)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = dict(n=sf.n, K=sf.K, m=sf.m, b=sf.b, k=sf.k,
-                truncated=sf.truncated, method=sf.fact.method)
+                truncated=sf.truncated,
+                fact=_describe_tri_factor(sf.fact),
+                red_fact=(None if sf.red_fact is None
+                          else _describe_tri_factor(sf.red_fact)),
+                has_red_dinv=sf.red_Dinv is not None,
+                has_spikes=sf.V is not None)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -81,20 +112,24 @@ def load_factorization(path: str):
     n_leaves = len([k for k in z.files if k.startswith("leaf_")])
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
 
-    from ..ops.blocktri import BlockTriFactor
-    method = meta["method"]
-    # the leaf order of SpikeFactor is deterministic given which optional
-    # fields are present; reconstruct by unflattening against a template
+    if "fact" not in meta:
+        # legacy (round-1) checkpoint: block-Thomas factors, reduced system
+        # type inferred from K/truncated
+        meta["fact"] = dict(type="blocktri", method=meta["method"])
+        meta["red_fact"] = (meta["fact"]
+                            if meta["K"] > 1 and not meta["truncated"]
+                            else None)
+        meta["has_red_dinv"] = meta["K"] > 1 and meta["truncated"]
+        meta["has_spikes"] = False
+
     def template():
-        fact = BlockTriFactor(F=0, U=0, Sinv=0, Slu=0, piv=0, method=method)
-        if meta["K"] == 1:
-            red, red_dinv = None, None
-        elif meta["truncated"]:
-            red, red_dinv = None, 0
-        else:
-            red, red_dinv = fact, None
+        fact = _tri_factor_template(meta["fact"])
+        red = (None if meta["red_fact"] is None
+               else _tri_factor_template(meta["red_fact"]))
+        red_dinv = 0 if meta["has_red_dinv"] else None
+        spike = 0 if meta["has_spikes"] else None
         return SpikeFactor(fact=fact, Btip=0, Ctip=0, red_fact=red,
-                           red_Dinv=red_dinv, V=None, W=None,
+                           red_Dinv=red_dinv, V=spike, W=spike,
                            n=meta["n"], K=meta["K"], m=meta["m"],
                            b=meta["b"], k=meta["k"],
                            truncated=meta["truncated"])
@@ -103,6 +138,5 @@ def load_factorization(path: str):
     if treedef.num_leaves != n_leaves:
         raise ValueError(
             f"{path}: factor layout mismatch ({treedef.num_leaves} vs "
-            f"{n_leaves} leaves; stored with store_spikes or different "
-            f"variant?)")
+            f"{n_leaves} leaves; checkpoint from an incompatible version?)")
     return jax.tree_util.tree_unflatten(treedef, leaves)

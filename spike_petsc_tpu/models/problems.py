@@ -32,6 +32,19 @@ def tridiag_laplacian(n: int, dtype=np.float64) -> sp.csr_matrix:
         offsets=[-1, 0, 1], format="csr", dtype=dtype)
 
 
+def zero_diag_tridiag(n: int, dtype=np.float64) -> sp.csr_matrix:
+    """Tridiagonal [-1, 0, -1] with an all-zero diagonal: nonsingular for
+    even n, but every diagonal pivot is zero — the case the reference's
+    testbed explicitly counts (/root/reference/src/testbed.c:266-272) and
+    PETSc survives only with -pc_factor_shift_type nonzero
+    (/root/reference/src/makefile:18)."""
+    if n % 2:
+        raise ValueError("zero_diag_tridiag needs even n for nonsingularity")
+    return sp.diags(
+        [-np.ones(n - 1), np.zeros(n), -np.ones(n - 1)],
+        offsets=[-1, 0, 1], format="csr", dtype=dtype)
+
+
 def spd_banded(n: int, k: int, seed: int = 0, dtype=np.float64) -> sp.csr_matrix:
     """Random SPD banded matrix with half-bandwidth k (BASELINE config 2).
 

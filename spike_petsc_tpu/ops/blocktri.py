@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +73,10 @@ class BlockTriFactor:
     Slu: jax.Array          # [nb, b, b] or zeros if method == "inv"
     piv: jax.Array          # [nb, b] int32
     method: str = field(metadata=dict(static=True))
+    # number of Schur pivots boosted by the diagonal shift (int32 scalar);
+    # None when factoring with shift="none" — PETSc -pc_factor_shift_type
+    # diagnostics surface (/root/reference/src/makefile:18)
+    nshift: Optional[jax.Array] = None
 
     @property
     def nb(self) -> int:
@@ -153,59 +158,110 @@ def blocktri_matvec(t: BlockTridiagonal, x: jax.Array) -> jax.Array:
 # Factorization
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("method",))
-def blocktri_factor(t: BlockTridiagonal, method: str = "inv") -> BlockTriFactor:
+def boost_diag(s: jax.Array, shift_amount, zeropivot: float = 1e-10):
+    """Diagonal-shift guard for a batch of blocks [..., b, b]: pivots whose
+    magnitude falls below max(shift_amount, zeropivot * max|block|) are
+    raised to that floor (keeping their sign/phase) — the blocked analogue of
+    PETSc's ``-pc_factor_shift_type nonzero`` pivot repair used by the
+    reference's canned recipe (/root/reference/src/makefile:18).
+
+    Returns (boosted_blocks, n_boosted).
+    """
+    d = jnp.diagonal(s, axis1=-2, axis2=-1)                  # [..., b]
+    ad = jnp.abs(d)
+    smax = jnp.max(jnp.abs(s), axis=(-2, -1))[..., None]     # [..., 1]
+    floor = jnp.maximum(shift_amount, zeropivot * smax)
+    floor = jnp.maximum(floor, jnp.finfo(ad.dtype).tiny)
+    bad = ad < floor
+    unit = jnp.where(ad > 0, d / jnp.where(ad > 0, ad, 1.0).astype(d.dtype),
+                     jnp.ones_like(d))
+    dnew = jnp.where(bad, unit * floor.astype(d.dtype), d)
+    eye = jnp.eye(s.shape[-1], dtype=s.dtype)
+    s2 = s + (dnew - d)[..., :, None] * eye
+    return s2, jnp.sum(bad).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("method", "shift"))
+def blocktri_factor(t: BlockTridiagonal, method: str = "inv",
+                    shift: str = "none",
+                    shift_amount: float = 0.0) -> BlockTriFactor:
     """Block-Thomas factorization via lax.scan.
 
     Scan carry is the previous Schur complement (or its inverse); each step is
     MXU matmuls plus one b x b inversion/LU.  No outer pivoting — the
     reordering/scaling pipeline (MC64/AWBM, §ordering) is responsible for
     diagonal dominance, exactly as in the reference solve pipeline.
+
+    ``shift="nonzero"`` enables in-scan pivot-magnitude monitoring with
+    inline diagonal boosting (see ``boost_diag``); the boosted-pivot count is
+    returned in ``.nshift`` and surfaced by ``utils.debug.factor_health``.
     """
     nb, b = t.nb, t.b
     dtype = t.dtype
     eye = jnp.eye(b, dtype=dtype)
+    shifting = shift != "none"
+    if shifting:
+        # default absolute floor is relative to the global matrix scale, so
+        # even an all-zero pivot block gets a usable O(scale) boost
+        gscale = jnp.maximum(jnp.max(jnp.abs(t.D)),
+                             jnp.maximum(jnp.max(jnp.abs(t.L)),
+                                         jnp.max(jnp.abs(t.U))))
+        shift_amount = jnp.where(shift_amount > 0, shift_amount,
+                                 1e-8 * gscale)
+
+    def guard(s):
+        if shifting:
+            s1, nbad = boost_diag(s, shift_amount)
+            return s1, nbad
+        return s, jnp.zeros((), jnp.int32)
 
     if method == "inv":
-        def step(s_prev_inv, blocks):
+        def step(carry, blocks):
+            s_prev_inv, nsh = carry
             d, l, u_prev = blocks
             f = l @ s_prev_inv
             s = d - f @ u_prev
+            s, nbad = guard(s)
             s_inv = batched_inverse(s[None])[0]
-            return s_inv, (f, s_inv)
+            return (s_inv, nsh + nbad), (f, s_inv)
 
-        s0_inv = batched_inverse(t.D[0][None])[0]
+        s0, nsh0 = guard(t.D[0])
+        s0_inv = batched_inverse(s0[None])[0]
         u_shift = jnp.concatenate([jnp.zeros_like(t.U[:1]), t.U[:-1]], axis=0)
-        _, (f_rest, sinv_rest) = jax.lax.scan(
-            step, s0_inv, (t.D[1:], t.L[1:], u_shift[1:]))
+        (_, nsh), (f_rest, sinv_rest) = jax.lax.scan(
+            step, (s0_inv, nsh0), (t.D[1:], t.L[1:], u_shift[1:]))
         F = jnp.concatenate([jnp.zeros((1, b, b), dtype), f_rest], axis=0)
         Sinv = jnp.concatenate([s0_inv[None], sinv_rest], axis=0)
         # zero-size placeholders: carrying full-size unused fields would
         # waste GBs of HBM at production sizes
         z = jnp.zeros((nb, 0, 0), dtype)
         zp = jnp.zeros((nb, 0), jnp.int32)
-        return BlockTriFactor(F=F, U=t.U, Sinv=Sinv, Slu=z, piv=zp, method="inv")
+        return BlockTriFactor(F=F, U=t.U, Sinv=Sinv, Slu=z, piv=zp,
+                              method="inv", nshift=nsh if shifting else None)
 
     elif method == "lu":
         def step(carry, blocks):
-            s_prev_lu, s_prev_piv = carry
+            s_prev_lu, s_prev_piv, nsh = carry
             d, l, u_prev = blocks
             # F_i = L_i @ inv(S_{i-1})  ==  solve(S_{i-1}^T, L_i^T)^T
             f = jsl.lu_solve((s_prev_lu, s_prev_piv), l.T, trans=1).T
             s = d - f @ u_prev
+            s, nbad = guard(s)
             s_lu, s_piv = jsl.lu_factor(s)
-            return (s_lu, s_piv), (f, s_lu, s_piv)
+            return (s_lu, s_piv, nsh + nbad), (f, s_lu, s_piv)
 
-        s0_lu, s0_piv = jsl.lu_factor(t.D[0])
+        s0, nsh0 = guard(t.D[0])
+        s0_lu, s0_piv = jsl.lu_factor(s0)
         u_shift = jnp.concatenate([jnp.zeros_like(t.U[:1]), t.U[:-1]], axis=0)
-        _, (f_rest, slu_rest, piv_rest) = jax.lax.scan(
-            step, (s0_lu, s0_piv), (t.D[1:], t.L[1:], u_shift[1:]))
+        (_, _, nsh), (f_rest, slu_rest, piv_rest) = jax.lax.scan(
+            step, (s0_lu, s0_piv, nsh0), (t.D[1:], t.L[1:], u_shift[1:]))
         F = jnp.concatenate([jnp.zeros((1, b, b), dtype), f_rest], axis=0)
         Slu = jnp.concatenate([s0_lu[None], slu_rest], axis=0)
         piv = jnp.concatenate([s0_piv[None].astype(jnp.int32),
                                piv_rest.astype(jnp.int32)], axis=0)
         z = jnp.zeros((nb, 0, 0), dtype)
-        return BlockTriFactor(F=F, U=t.U, Sinv=z, Slu=Slu, piv=piv, method="lu")
+        return BlockTriFactor(F=F, U=t.U, Sinv=z, Slu=Slu, piv=piv,
+                              method="lu", nshift=nsh if shifting else None)
 
     raise ValueError(f"unknown method {method!r} (use 'inv' or 'lu')")
 
@@ -281,7 +337,8 @@ def cast_factor(fact: BlockTriFactor, dtype) -> BlockTriFactor:
         raise ValueError("cast_factor supports method='inv' factors")
     return BlockTriFactor(F=fact.F.astype(dtype), U=fact.U.astype(dtype),
                           Sinv=fact.Sinv.astype(dtype), Slu=fact.Slu,
-                          piv=fact.piv, method=fact.method)
+                          piv=fact.piv, method=fact.method,
+                          nshift=fact.nshift)
 
 
 def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,

@@ -27,12 +27,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .blocktri import BlockTridiagonal, batched_inverse
+from .blocktri import BlockTridiagonal, batched_inverse, boost_diag
 
 
 @jax.tree_util.register_dataclass
@@ -52,6 +52,8 @@ class CRFactor:
     root_Dinv: jax.Array          # [b, b]
     nb: int = field(metadata=dict(static=True))       # original block count
     n_pad: int = field(metadata=dict(static=True))    # 2^L - 1
+    # boosted-pivot count when factored with shift="nonzero"; None otherwise
+    nshift: Optional[jax.Array] = None
 
     @property
     def b(self) -> int:
@@ -75,19 +77,32 @@ def _pad_pow2m1(t: BlockTridiagonal) -> Tuple[BlockTridiagonal, int]:
                           axis=0)), n_pad
 
 
-def cr_factor(t: BlockTridiagonal) -> CRFactor:
+def cr_factor(t: BlockTridiagonal, shift: str = "none",
+              shift_amount: float = 0.0) -> CRFactor:
     """Cyclic-reduction factorization: log2(nb) levels, each with ONE
-    batched inversion call."""
+    batched inversion call.  ``shift="nonzero"`` boosts small diagonal
+    pivots before each level's inversion (see blocktri.boost_diag)."""
     nb = t.nb
     b = t.b
     tp, n_pad = _pad_pow2m1(t)
     D, L, U = tp.D, tp.L, tp.U
     eye = jnp.eye(b, dtype=t.dtype)
+    shifting = shift != "none"
+    if shifting:
+        gscale = jnp.maximum(jnp.max(jnp.abs(tp.D)),
+                             jnp.maximum(jnp.max(jnp.abs(tp.L)),
+                                         jnp.max(jnp.abs(tp.U))))
+        shift_amount = jnp.where(shift_amount > 0, shift_amount,
+                                 1e-8 * gscale)
+    nsh = jnp.zeros((), jnp.int32)
     levels = []
     while D.shape[0] > 1:
         De, Do = D[0::2], D[1::2]
         Le, Lo = L[0::2], L[1::2]
         Ue, Uo = U[0::2], U[1::2]
+        if shifting:
+            De, nbad = boost_diag(De, shift_amount)
+            nsh = nsh + nbad
         Dinv_e = batched_inverse(De)
         # odd row j = 2t+1: left even t, right even t+1
         P = Lo @ Dinv_e[:-1]
@@ -97,9 +112,13 @@ def cr_factor(t: BlockTridiagonal) -> CRFactor:
         U_new = -(Q @ Ue[1:])
         levels.append(CRLevel(Dinv_e=Dinv_e, P=P, Q=Q, L_e=Le, U_e=Ue))
         D, L, U = D_new, L_new, U_new
-    root_Dinv = batched_inverse(D[0][None])[0]
+    Droot = D[0]
+    if shifting:
+        Droot, nbad = boost_diag(Droot, shift_amount)
+        nsh = nsh + nbad
+    root_Dinv = batched_inverse(Droot[None])[0]
     return CRFactor(levels=tuple(levels), root_Dinv=root_Dinv, nb=nb,
-                    n_pad=n_pad)
+                    n_pad=n_pad, nshift=nsh if shifting else None)
 
 
 def cast_cr_factor(fact: CRFactor, dtype) -> CRFactor:
@@ -111,7 +130,7 @@ def cast_cr_factor(fact: CRFactor, dtype) -> CRFactor:
                        U_e=lv.U_e.astype(dtype))
     return CRFactor(levels=tuple(cast(lv) for lv in fact.levels),
                     root_Dinv=fact.root_Dinv.astype(dtype), nb=fact.nb,
-                    n_pad=fact.n_pad)
+                    n_pad=fact.n_pad, nshift=fact.nshift)
 
 
 def cr_solve(fact: CRFactor, rhs: jax.Array) -> jax.Array:

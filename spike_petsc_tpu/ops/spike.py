@@ -118,9 +118,10 @@ def _local_band_mask(m: int, kl: int, ku: int, dtype) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("K", "block_b", "method", "truncated",
                                    "store_spikes", "kl", "ku", "n",
-                                   "store_dtype", "reduced"))
+                                   "store_dtype", "reduced", "shift"))
 def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
-                       store_spikes, store_dtype=None, reduced="auto"):
+                       store_spikes, store_dtype=None, reduced="auto",
+                       shift="none", shift_amount=0.0):
     k, b, m = _partition_geometry(n, K, kl, ku, block_b)
     npad = K * m
     band = pad_banded(BandedMatrix(data=data, kl=kl, ku=ku), npad)
@@ -138,9 +139,11 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
         # call per level (vs nb sequential calls in block-Thomas) — trades
         # ~2x stored blocks for factor latency
         from .cyclic import cr_factor
-        fact = jax.vmap(cr_factor)(blocks)
+        fact = jax.vmap(partial(cr_factor, shift=shift,
+                                shift_amount=shift_amount))(blocks)
     else:
-        fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+        fact = jax.vmap(partial(blocktri_factor, method=method, shift=shift,
+                                shift_amount=shift_amount))(blocks)
     nb = m // b
 
     V = W = None
@@ -209,7 +212,8 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
 def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
                  method: str = "inv", truncated: bool = False,
                  store_spikes: bool = False, store_dtype=None,
-                 reduced: str = "auto") -> SpikeFactor:
+                 reduced: str = "auto", shift: str = "none",
+                 shift_amount: float = 0.0) -> SpikeFactor:
     """Factor a banded matrix for SPIKE solves over K partitions.
 
     Args:
@@ -229,11 +233,17 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
         recover accuracy.
       reduced: interface-system solver — "thomas" (sequential scan),
         "cr" (cyclic reduction, log-depth), or "auto" (cr when K > 33).
+      shift: "none" or "nonzero" — in-scan diagonal-pivot boosting (PETSc
+        ``-pc_factor_shift_type nonzero`` parity; the boosted count lands in
+        ``fact.nshift`` and in factor_health reports).
+      shift_amount: absolute pivot floor for shift="nonzero" (0 = relative
+        floor only: 1e-10 * max|block|).
     """
     return _spike_factor_impl(
         band.data, n=band.n, kl=band.kl, ku=band.ku, K=K, block_b=block_b,
         method=method, truncated=truncated, store_spikes=store_spikes,
-        store_dtype=store_dtype, reduced=reduced)
+        store_dtype=store_dtype, reduced=reduced, shift=shift,
+        shift_amount=shift_amount)
 
 
 # ---------------------------------------------------------------------------

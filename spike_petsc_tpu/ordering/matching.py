@@ -106,6 +106,158 @@ def bottleneck_match(a) -> Tuple[np.ndarray, float]:
     return best_match.astype(np.int64), best_t
 
 
+def bottleneck_match_sorted(a) -> Tuple[np.ndarray, float]:
+    """Bottleneck matching via the MC64 job-3 strategy: sort + threshold
+    bisection with REPEATED MAX-MATCHING REUSE.
+
+    Same objective as ``bottleneck_match`` (job 2), different algorithm —
+    mirroring the reference's two strategies (HSLmc64BD
+    /root/reference/src/hslmc64.c:1002 vs the sort (mc64RD :4294) +
+    bisection (HSLmc64SD :1432) + repeated-max-matching (HSLmc64UD :1698)
+    family).  Each bisection probe warm-starts from the best feasible
+    matching found at a lower threshold: matched edges whose weight survives
+    the new threshold are kept and only the broken columns are re-augmented
+    (Kuhn augmenting DFS over per-column weight-sorted adjacency prefixes),
+    instead of recomputing a maximum matching from scratch per probe.
+    """
+    n, ptr, rows, w = _to_csc_abs(a)
+    if n == 0:
+        return np.empty(0, np.int64), 0.0
+
+    # per-column adjacency sorted by weight descending: the admissible edges
+    # at threshold t are then a prefix of each column's list (mc64RD's sort)
+    rows_s = np.empty_like(rows)
+    w_s = np.empty_like(w)
+    for j in range(n):
+        s, e = ptr[j], ptr[j + 1]
+        idx = np.argsort(-w[s:e], kind="stable")
+        rows_s[s:e] = rows[s:e][idx]
+        w_s[s:e] = w[s:e][idx]
+
+    vals = np.unique(w)                       # ascending distinct weights
+    col_match = np.full(n, -1, np.int64)
+    row_match = np.full(n, -1, np.int64)
+    matched_w = np.zeros(n)                   # weight of column j's edge
+    visited = np.full(n, -1, np.int64)        # row visit stamps
+    stamp = 0
+
+    def active_ends(t: float) -> np.ndarray:
+        ends = np.empty(n, np.int64)
+        for j in range(n):
+            s, e = ptr[j], ptr[j + 1]
+            # w_s[s:e] is descending; admissible prefix = entries >= t
+            ends[j] = s + np.searchsorted(-w_s[s:e], -t, side="right")
+        return ends
+
+    def try_augment(j0: int, ends: np.ndarray, st: int) -> bool:
+        """Iterative Kuhn DFS from unmatched column j0 over the admissible
+        prefixes; applies the augmenting path in place."""
+        cols = [j0]
+        pos = [int(ptr[j0])]
+        taken: list = []                      # row chosen at each depth
+        while cols:
+            j = cols[-1]
+            t = pos[-1]
+            descended = False
+            while t < ends[j]:
+                i = int(rows_s[t])
+                wt = w_s[t]
+                t += 1
+                if visited[i] == st:
+                    continue
+                visited[i] = st
+                if row_match[i] < 0:
+                    # free row: unwind, flipping the alternating path
+                    pos[-1] = t
+                    cur, cw = i, wt
+                    for d in range(len(cols) - 1, -1, -1):
+                        jj = cols[d]
+                        row_match[cur] = jj
+                        col_match[jj] = cur
+                        matched_w[jj] = cw
+                        if d > 0:
+                            cur = taken[d - 1][0]
+                            cw = taken[d - 1][1]
+                    return True
+                pos[-1] = t
+                taken.append((i, wt))
+                nxt = int(row_match[i])
+                cols.append(nxt)
+                pos.append(int(ptr[nxt]))
+                descended = True
+                break
+            if not descended:
+                cols.pop()
+                pos.pop()
+                if taken:
+                    taken.pop()
+        return False
+
+    def probe(t: float) -> bool:
+        """Feasibility of threshold t, warm-started from the current
+        matching (HSLmc64UD's repeated-max-matching reuse)."""
+        nonlocal stamp
+        ends = active_ends(t)
+        # drop matched edges that fall below the new threshold
+        for j in range(n):
+            if col_match[j] >= 0 and matched_w[j] < t:
+                row_match[col_match[j]] = -1
+                col_match[j] = -1
+        ok = True
+        for j in range(n):
+            if col_match[j] < 0:
+                stamp += 1
+                if not try_augment(j, ends, stamp):
+                    ok = False
+        return ok
+
+    if not probe(float(vals[0])):
+        # structurally singular: best effort at the smallest threshold
+        return col_match.copy(), 0.0
+    best = (col_match.copy(), float(vals[0]))
+
+    lo, hi = 1, len(vals) - 1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if probe(float(vals[mid])):
+            best = (col_match.copy(), float(vals[mid]))
+            lo = mid + 1
+        else:
+            # restore the best feasible matching as the next warm start
+            col_match[:] = best[0]
+            row_match.fill(-1)
+            for j in range(n):
+                if col_match[j] >= 0:
+                    row_match[col_match[j]] = j
+            # matched weights need recomputing only for correctness of the
+            # next drop pass; they equal the weight of (col_match[j], j)
+            for j in range(n):
+                i = col_match[j]
+                if i >= 0:
+                    s, e = ptr[j], ptr[j + 1]
+                    k = np.flatnonzero(rows_s[s:e] == i)
+                    matched_w[j] = w_s[s + k[0]]
+            hi = mid - 1
+    return best
+
+
+def symmetric_expand(a) -> sp.csr_matrix:
+    """mc34AD-style symmetric expansion (/root/reference/src/hslmc64.c:2680):
+    mirror stored entries across the diagonal so a triangular-stored
+    symmetric matrix presents its full pattern to the matching engines —
+    the reference's WBM adapter requests the symmetrized pattern
+    (symmetric=TRUE MatGetRowIJ, /root/reference/src/petsc_mat_wbm.c:29).
+    Where both (i,j) and (j,i) are stored, stored values win (no summing).
+    """
+    c = sp.csr_matrix(a)
+    c.eliminate_zeros()
+    t = c.T.tocsr()
+    pattern = sp.csr_matrix(
+        (np.ones_like(c.data), c.indices, c.indptr), shape=c.shape)
+    missing = t - t.multiply(pattern)      # transpose entries absent from c
+    return (c + missing).tocsr()
+
+
 # ---------------------------------------------------------------------------
 # Min-cost assignment via shortest augmenting paths (MC64 jobs 4/5 engine)
 # ---------------------------------------------------------------------------

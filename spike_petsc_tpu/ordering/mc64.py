@@ -6,10 +6,18 @@ Functional parity with the HSL MC64 driver the reference wraps
 
   job=1  maximum-cardinality matching
   job=2  bottleneck: maximize the smallest |a_ij| on the matched diagonal
-  job=3  same objective as 2 (MC64 offers a second algorithm; one suffices)
+         (threshold bisection with from-scratch feasibility probes, the
+         HSLmc64BD strategy /root/reference/src/hslmc64.c:1002)
+  job=3  same objective, second algorithm: sorted-threshold bisection with
+         repeated-max-matching reuse (HSLmc64SD/mc64RD/HSLmc64UD
+         /root/reference/src/hslmc64.c:1432,4294,1698)
   job=4  maximize the sum of |a_ij| on the diagonal (assignment problem)
   job=5  maximize the product of |a_ij|, with row/column scaling vectors
          making the permuted scaled diagonal 1 and off-diagonals <= 1
+
+``symmetrize=True`` applies an mc34AD-style symmetric expansion first
+(mirroring /root/reference/src/petsc_mat_wbm.c:29's symmetrized MatGetRowIJ
+and hslmc64.c:2680), so triangular-stored symmetric inputs match correctly.
 
 Jobs 4/5 use the shortest-augmenting-path engine in ``matching.py`` (native
 C++ version used automatically when built); jobs 1-3 use cardinality /
@@ -53,8 +61,10 @@ def _result_from_match(match: np.ndarray, info: dict,
                           row_scale=row_scale, col_scale=col_scale, info=info)
 
 
-def mc64(a, job: int = 5) -> OrderingResult:
+def mc64(a, job: int = 5, symmetrize: bool = False) -> OrderingResult:
     """Compute the MC64-family ordering for host sparse matrix ``a``."""
+    if symmetrize:
+        a = matching.symmetric_expand(a)
     csc = sp.csc_matrix(a)
     csc.eliminate_zeros()
     n = csc.shape[0]
@@ -66,9 +76,14 @@ def mc64(a, job: int = 5) -> OrderingResult:
         return _result_from_match(match, dict(type="mc64", job=1,
                                               cardinality=card))
 
-    if job in (2, 3):
+    if job == 2:
         match, t = matching.bottleneck_match(csc)
-        return _result_from_match(match, dict(type="mc64", job=job,
+        return _result_from_match(match, dict(type="mc64", job=2,
+                                              bottleneck=t))
+
+    if job == 3:
+        match, t = matching.bottleneck_match_sorted(csc)
+        return _result_from_match(match, dict(type="mc64", job=3,
                                               bottleneck=t))
 
     if job in (4, 5):
@@ -133,8 +148,13 @@ def _assign(n, ptr, rows, cost):
 @register_ordering("wbm")
 def ordering_wbm(a, options=None) -> OrderingResult:
     """'wbm' MatOrdering: MC64 job 5, the reference's default choice
-    (/root/reference/src/petsc_mat_wbm.c:34-52)."""
+    (/root/reference/src/petsc_mat_wbm.c:34-52).
+
+    -mat_ordering_wbm_symmetrize 1 applies the mc34-style symmetric expand
+    first (the reference adapter's symmetrized MatGetRowIJ, :29)."""
     job = 5
+    symmetrize = False
     if options is not None:
         job = options.get_int("mat_ordering_wbm_job", 5)
-    return mc64(a, job=job)
+        symmetrize = options.get_bool("mat_ordering_wbm_symmetrize", False)
+    return mc64(a, job=job, symmetrize=symmetrize)

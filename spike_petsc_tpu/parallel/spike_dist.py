@@ -15,7 +15,7 @@ axis and
 * the Krylov-side banded SpMV resolves intra-device partition coupling with
   local slices and exchanges only the k-wide device-boundary strips with
   ``jax.lax.ppermute`` (nearest-neighbour ICI traffic only),
-* dot products psum over "p" (see solvers.krylov.set_collective_axis).
+* dot products psum over "p" (solvers pass ``axis_name`` to the KSP).
 
 Everything is expressed with ``jax.shard_map`` so the communication pattern
 is explicit and XLA compiles one fused multi-chip program.
@@ -343,19 +343,14 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
 
     def local_fn(dsf_in, r_local):
         # r_local: [R/n_rhs_dev, ppd, m]
-        krylov.set_collective_axis(axis_p)
-        try:
-            matvec = lambda v: local_matvec(dsf_in, v, axis_p)
-            pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis_p)) \
-                if use_pc else None
+        matvec = lambda v: local_matvec(dsf_in, v, axis_p)
+        pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis_p)) \
+            if use_pc else None
 
-            def one(rl):
-                return method(matvec, rl.reshape(-1), None, pc_apply,
-                              **params).x.reshape(ppd, m)
-            xs = jax.lax.map(one, r_local)
-        finally:
-            krylov.set_collective_axis(None)
-        return xs
+        def one(rl):
+            return method(matvec, rl.reshape(-1), None, pc_apply,
+                          axis_name=axis_p, **params).x.reshape(ppd, m)
+        return jax.lax.map(one, r_local)
 
     # factor fields are sharded over axis_p only (replicated across axis_rhs)
     fact_specs = _dsf_specs(dsf, axis_p)
@@ -390,15 +385,11 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     ppd, m = dsf.ppd, dsf.m
 
     def local_fn(dsf_in, r_local):
-        krylov.set_collective_axis(axis)
-        try:
-            matvec = lambda v: local_matvec(dsf_in, v, axis)
-            pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
-                if use_pc else None
-            res = method(matvec, r_local.reshape(-1), None, pc_apply,
-                         **params)
-        finally:
-            krylov.set_collective_axis(None)
+        matvec = lambda v: local_matvec(dsf_in, v, axis)
+        pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
+            if use_pc else None
+        res = method(matvec, r_local.reshape(-1), None, pc_apply,
+                     axis_name=axis, **params)
         return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
                 res.history)
 

@@ -2,7 +2,7 @@
 
 from .ksp import make_solver, print_monitor, solve
 from .krylov import (bicgstab, cg, chebyshev, fgmres, gmres, preonly,
-                     richardson, set_collective_axis)
+                     richardson)
 from .pc import PC, make_pc
 from .reorder import solve_reordered
 from .types import KSPResult, reason_str
@@ -10,6 +10,5 @@ from .types import KSPResult, reason_str
 __all__ = [
     "solve", "make_solver", "print_monitor", "solve_reordered",
     "gmres", "fgmres", "bicgstab", "cg", "chebyshev", "richardson",
-    "preonly", "set_collective_axis", "PC", "make_pc", "KSPResult",
-    "reason_str",
+    "preonly", "PC", "make_pc", "KSPResult", "reason_str",
 ]

@@ -12,6 +12,13 @@ iteration: on TPU the GMRES inner loop is a single compiled program, and under
 ``shard_map`` the same code runs multi-chip with ``psum`` reductions supplied
 by the sharded matvec closures.
 
+Reductions are mesh-aware: every solver takes ``axis_name``; under shard_map
+each solver sees only its local shard of the vectors and ``axis_name`` turns
+every inner product into a psum over the partition axis — the ICI replacement
+for the MPI_Allreduce dot products inside PETSc's KSP
+(/root/reference/src/wbm.c:546; SURVEY.md §2).  The axis is an explicit
+parameter (no module state), so two meshes/axes can trace concurrently.
+
 Fixed-shape state everywhere (Krylov basis [restart+1, n], history buffer
 [maxit+1]) — the XLA tracing contract.
 """
@@ -26,44 +33,30 @@ import jax.numpy as jnp
 
 from ..utils.registry import register_ksp
 from .types import (CONVERGED_ITERATING, CONVERGED_ITS, DIVERGED_BREAKDOWN,
-                    KSPResult, default_convergence_check)
+                    DIVERGED_NANORINF, KSPResult, default_convergence_check)
 
 
 def _identity_pc(x):
     return x
 
 
-# Reductions are mesh-aware: under shard_map each solver sees only its local
-# shard of the vectors, and ``axis_name`` turns every inner product into a
-# psum over the partition axis — the ICI replacement for the MPI_Allreduce
-# dot products inside PETSc's KSP (/root/reference/src/wbm.c:546; SURVEY.md §2).
-_AXIS_NAME = None
-
-
-def set_collective_axis(axis_name):
-    """Set (or clear) the mesh axis over which Krylov reductions psum.
-    Call inside a shard_map-ed region before invoking a solver."""
-    global _AXIS_NAME
-    _AXIS_NAME = axis_name
-
-
-def _dot(a, b):
+def _dot(a, b, axis_name=None):
     d = jnp.vdot(a, b)
-    if _AXIS_NAME is not None:
-        d = jax.lax.psum(d, _AXIS_NAME)
+    if axis_name is not None:
+        d = jax.lax.psum(d, axis_name)
     return d
 
 
-def _norm(x):
-    return jnp.sqrt(jnp.real(_dot(x, x)))
+def _norm(x, axis_name=None):
+    return jnp.sqrt(jnp.real(_dot(x, x, axis_name)))
 
 
-def _gram(V, w):
+def _gram(V, w, axis_name=None):
     """Basis-projection row of dot products <V_i, w> (psum'd when sharded;
     conjugated for complex scalars)."""
     h = V.conj() @ w
-    if _AXIS_NAME is not None:
-        h = jax.lax.psum(h, _AXIS_NAME)
+    if axis_name is not None:
+        h = jax.lax.psum(h, axis_name)
     return h
 
 
@@ -74,60 +67,82 @@ def _gram(V, w):
 def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
           pc_apply: Optional[Callable] = None, *, restart: int = 30,
           rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
-          maxit: int = 10000, side: str = "left") -> KSPResult:
+          maxit: int = 10000, side: str = "left",
+          monitor_true: bool = False,
+          axis_name: Optional[str] = None) -> KSPResult:
     """Restarted GMRES with left (default) or right preconditioning.
 
     Matches PETSc KSPGMRES defaults (restart 30, rtol 1e-5, classical Givens
     least-squares update, preconditioned residual monitoring for left pc) —
     the solver behind the reference's canned run recipe
     (/root/reference/src/makefile:18).
+
+    ``monitor_true=True`` additionally records the UNPRECONDITIONED residual
+    norm per iteration in ``result.true_history`` (PETSc
+    ``-ksp_monitor_true_residual``, /root/reference/src/makefile:18) at the
+    cost of one extra matvec (+pc apply for right pc) per iteration.
     """
-    if side == "right":
-        return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
-                           atol=atol, divtol=divtol, maxit=maxit,
-                           flexible=False, right=True)
     return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
                        atol=atol, divtol=divtol, maxit=maxit,
-                       flexible=False, right=False)
+                       flexible=False, right=(side == "right"),
+                       monitor_true=monitor_true, axis_name=axis_name)
 
 
 def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
            pc_apply: Optional[Callable] = None, *, restart: int = 30,
            rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
-           maxit: int = 10000, **_) -> KSPResult:
+           maxit: int = 10000, monitor_true: bool = False,
+           axis_name: Optional[str] = None, **_) -> KSPResult:
     """Flexible GMRES (right-preconditioned, stores the preconditioned basis;
     tolerates nonlinear/iterative preconditioners such as inner Krylov
     solves — the analogue of nesting KSPs under PETSc prefixes)."""
     return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
                        atol=atol, divtol=divtol, maxit=maxit,
-                       flexible=True, right=True)
+                       flexible=True, right=True,
+                       monitor_true=monitor_true, axis_name=axis_name)
 
 
 def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
-                maxit, flexible, right):
+                maxit, flexible, right, monitor_true=False, axis_name=None):
     psolve = pc_apply or _identity_pc
     n = b.shape[0]
     dtype = b.dtype
     rdtype = jnp.zeros((), dtype).real.dtype   # residual norms are real
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
+    dot = partial(_dot, axis_name=axis_name)
+    norm = partial(_norm, axis_name=axis_name)
+    gram = partial(_gram, axis_name=axis_name)
+
     # Reference norm for the relative tolerance: preconditioned rhs norm for
     # left preconditioning (PETSc KSP_NORM_PRECONDITIONED default), plain
     # ||b|| for right.
-    bnorm = _norm(b) if right else _norm(psolve(b))
+    bnorm = norm(b) if right else norm(psolve(b))
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
     hist0 = jnp.full((maxit + 1,), jnp.nan, rdtype)
+    thist0 = jnp.full((maxit + 1,), jnp.nan, rdtype) if monitor_true else None
 
     def residual(x):
         r = b - matvec(x)
         return r if right else psolve(r)
 
+    def _lsq_update(H, g, j_end):
+        """Solve the rotated-Hessenberg least-squares for the current basis
+        size (masked to identity beyond j_end) -> coefficient vector y."""
+        idx = jnp.arange(restart)
+        used = idx < j_end
+        Hm = jnp.where(used[:, None] & used[None, :], H[:restart, :],
+                       jnp.eye(restart, dtype=dtype))
+        gm = jnp.where(used, g[:restart], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+        return jnp.where(used, y, 0.0)
+
     def cycle(state):
-        x, its, rnorm, reason, hist = state
+        x, its, rnorm, reason, hist, thist = state
         r = residual(x)
-        beta = _norm(r)
+        beta = norm(r)
         safe_beta = jnp.where(beta > 0, beta, 1.0)
 
         V = jnp.zeros((restart + 1, n), dtype).at[0].set(r / safe_beta)
@@ -138,11 +153,11 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
         sn = jnp.zeros((restart,), dtype)
 
         def inner_cond(c):
-            _, _, _, _, _, _, j, its_i, _, reason_i, _ = c
+            _, _, _, _, _, _, j, its_i, _, reason_i, _, _ = c
             return (j < restart) & (reason_i == CONVERGED_ITERATING)
 
         def inner_body(c):
-            V, Z, H, g, cs, sn, j, its_i, rn, reason_i, hist_i = c
+            V, Z, H, g, cs, sn, j, its_i, rn, reason_i, hist_i, thist_i = c
             vj = V[j]
             if flexible:
                 z = psolve(vj)
@@ -155,13 +170,13 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 
             # modified Gram-Schmidt against V[0..j] (vectorized, masked)
             mask = (jnp.arange(restart + 1) <= j).astype(dtype)
-            h = _gram(V, w) * mask
+            h = gram(V, w) * mask
             w = w - h @ V
             # one reorthogonalization pass for robustness near breakdown
-            h2 = _gram(V, w) * mask
+            h2 = gram(V, w) * mask
             w = w - h2 @ V
             h = h + h2
-            hj1 = _norm(w)
+            hj1 = norm(w)
             V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
             col = h.at[j + 1].set(hj1)
 
@@ -196,23 +211,31 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
             rn = jnp.abs(g[j + 1])
             its_i = its_i + 1
             hist_i = hist_i.at[its_i].set(rn)
+            if monitor_true:
+                # build the current solution estimate and its true residual
+                # (what PETSc's -ksp_monitor_true_residual reports); one
+                # extra matvec per iteration, opt-in
+                y = _lsq_update(H, g, j + 1)
+                if flexible:
+                    dx = y @ Z
+                else:
+                    dx = y @ V[:restart]
+                    if right:
+                        dx = psolve(dx)
+                true_rn = norm(b - matvec(x + dx))
+                thist_i = thist_i.at[its_i].set(true_rn)
             reason_i = check(rn, bnorm, its_i)
-            return (V, Z, H, g, cs, sn, j + 1, its_i, rn, reason_i, hist_i)
+            return (V, Z, H, g, cs, sn, j + 1, its_i, rn, reason_i, hist_i,
+                    thist_i)
 
-        init = (V, Z, H, g, cs, sn, jnp.int32(0), its, rnorm, reason, hist)
-        V, Z, H, g, cs, sn, j_end, its, rnorm, reason, hist = \
+        init = (V, Z, H, g, cs, sn, jnp.int32(0), its, rnorm, reason, hist,
+                thist)
+        V, Z, H, g, cs, sn, j_end, its, rnorm, reason, hist, thist = \
             jax.lax.while_loop(inner_cond, inner_body, init)
 
         # least-squares solve on the rotated Hessenberg: H is upper
         # triangular in its leading j_end columns; mask the rest to identity
-        idx = jnp.arange(restart)
-        used = idx < j_end
-        Ht = H[:restart, :]
-        Hm = jnp.where(used[:, None] & used[None, :], Ht,
-                       jnp.eye(restart, dtype=dtype))
-        gm = jnp.where(used, g[:restart], 0.0)
-        y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
-        y = jnp.where(used, y, 0.0)
+        y = _lsq_update(H, g, j_end)
         if flexible:
             dx = y @ Z
         else:
@@ -220,19 +243,23 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
             if right:
                 dx = psolve(dx)
         x = x + dx
-        return (x, its, rnorm, reason, hist)
+        return (x, its, rnorm, reason, hist, thist)
 
     def outer_cond(state):
-        _, its, _, reason, _ = state
+        _, its, _, reason, _, _ = state
         return reason == CONVERGED_ITERATING
 
     r0 = residual(x0)
-    rnorm0 = _norm(r0)
+    rnorm0 = _norm(r0, axis_name)
     hist0 = hist0.at[0].set(rnorm0)
+    if monitor_true:
+        thist0 = thist0.at[0].set(norm(b - matvec(x0)))
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
-    state = (x0, jnp.int32(0), rnorm0, reason0, hist0)
-    x, its, rnorm, reason, hist = jax.lax.while_loop(outer_cond, cycle, state)
-    return KSPResult(x=x, its=its, reason=reason, rnorm=rnorm, history=hist)
+    state = (x0, jnp.int32(0), rnorm0, reason0, hist0, thist0)
+    x, its, rnorm, reason, hist, thist = jax.lax.while_loop(
+        outer_cond, cycle, state)
+    return KSPResult(x=x, its=its, reason=reason, rnorm=rnorm, history=hist,
+                     true_history=thist)
 
 
 # ---------------------------------------------------------------------------
@@ -242,20 +269,23 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
              pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
              atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
-             **_) -> KSPResult:
+             axis_name: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned BiCGStab (van der Vorst), PETSc KSPBCGS equivalent —
-    the solver BASELINE config 3 pairs with the MC64 pre-pass."""
+    the solver BASELINE config 3 pairs with the MC64 pre-pass.  The monitored
+    residual is already the true (unpreconditioned) residual."""
     psolve = pc_apply or _identity_pc
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
-    bnorm = _norm(b)
+    dot = partial(_dot, axis_name=axis_name)
+    norm = partial(_norm, axis_name=axis_name)
+    bnorm = norm(b)
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
     rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
     rtilde = r0
-    rnorm0 = _norm(r0)
+    rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
@@ -263,22 +293,22 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         return s["reason"] == CONVERGED_ITERATING
 
     def body(s):
-        rho_new = _dot(rtilde, s["r"])
+        rho_new = dot(rtilde, s["r"])
         breakdown = jnp.abs(rho_new) < jnp.finfo(dtype).tiny
         beta = (rho_new / s["rho"]) * (s["alpha"] / s["omega"])
         p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
         phat = psolve(p)
         v = matvec(phat)
-        denom = _dot(rtilde, v)
+        denom = dot(rtilde, v)
         alpha = rho_new / jnp.where(denom != 0, denom, 1.0)
         sr = s["r"] - alpha * v
         shat = psolve(sr)
         t = matvec(shat)
-        tt = _dot(t, t)
-        omega = _dot(t, sr) / jnp.where(tt != 0, tt, 1.0)
+        tt = dot(t, t)
+        omega = dot(t, sr) / jnp.where(tt != 0, tt, 1.0)
         x = s["x"] + alpha * phat + omega * shat
         r = sr - omega * t
-        rn = _norm(r)
+        rn = norm(r)
         its = s["its"] + 1
         hist = s["hist"].at[its].set(rn)
         reason = check(rn, bnorm, its)
@@ -292,7 +322,7 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                 omega=jnp.ones((), dtype), its=jnp.int32(0), reason=reason0,
                 hist=hist)
     out = jax.lax.while_loop(cond, body, init)
-    rn = _norm(b - matvec(out["x"]))
+    rn = norm(b - matvec(out["x"]))
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
                      rnorm=rn, history=out["hist"])
 
@@ -304,19 +334,21 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
        pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
        atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
-       **_) -> KSPResult:
+       axis_name: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned conjugate gradients (SPD operators/preconditioners)."""
     psolve = pc_apply or _identity_pc
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
-    bnorm = _norm(b)
+    dot = partial(_dot, axis_name=axis_name)
+    norm = partial(_norm, axis_name=axis_name)
+    bnorm = norm(b)
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
     rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
     z0 = psolve(r0)
-    rnorm0 = _norm(r0)
+    rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
@@ -325,26 +357,26 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 
     def body(s):
         w = matvec(s["p"])
-        pw = _dot(s["p"], w)
+        pw = dot(s["p"], w)
         alpha = s["rz"] / jnp.where(pw != 0, pw, 1.0)
         x = s["x"] + alpha * s["p"]
         r = s["r"] - alpha * w
         z = psolve(r)
-        rz_new = _dot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / jnp.where(s["rz"] != 0, s["rz"], 1.0)
         p = z + beta * s["p"]
-        rn = _norm(r)
+        rn = norm(r)
         its = s["its"] + 1
         hist = s["hist"].at[its].set(rn)
         reason = check(rn, bnorm, its)
         return dict(x=x, r=r, p=p, rz=rz_new, its=its, reason=reason,
                     hist=hist)
 
-    init = dict(x=x0, r=r0, p=z0, rz=_dot(r0, z0), its=jnp.int32(0),
+    init = dict(x=x0, r=r0, p=z0, rz=dot(r0, z0), its=jnp.int32(0),
                 reason=reason0, hist=hist)
     out = jax.lax.while_loop(cond, body, init)
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
-                     rnorm=_norm(b - matvec(out["x"])), history=out["hist"])
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
 
 # ---------------------------------------------------------------------------
@@ -354,19 +386,21 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                pc_apply: Optional[Callable] = None, *, scale: float = 1.0,
                rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
-               maxit: int = 10000, **_) -> KSPResult:
+               maxit: int = 10000, axis_name: Optional[str] = None,
+               **_) -> KSPResult:
     """Preconditioned Richardson iteration x += scale * M^{-1} r — doubles as
     stationary iterative refinement when M is a (possibly lower-precision)
     direct factorization."""
     psolve = pc_apply or _identity_pc
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
-    bnorm = _norm(b)
+    norm = partial(_norm, axis_name=axis_name)
+    bnorm = norm(b)
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
     rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
-    rnorm0 = _norm(r0)
+    rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
@@ -376,7 +410,7 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     def body(s):
         x = s["x"] + scale * psolve(s["r"])
         r = b - matvec(x)
-        rn = _norm(r)
+        rn = norm(r)
         its = s["its"] + 1
         hist = s["hist"].at[its].set(rn)
         return dict(x=x, r=r, its=its, reason=check(rn, bnorm, its),
@@ -386,13 +420,14 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         cond, body, dict(x=x0, r=r0, its=jnp.int32(0), reason=reason0,
                          hist=hist))
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
-                     rnorm=_norm(b - matvec(out["x"])), history=out["hist"])
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
 
 def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
               pc_apply: Optional[Callable] = None, *, emin: float = 0.1,
               emax: float = 1.1, rtol: float = 1e-5, atol: float = 1e-50,
-              divtol: float = 1e4, maxit: int = 10000, **_) -> KSPResult:
+              divtol: float = 1e4, maxit: int = 10000,
+              axis_name: Optional[str] = None, **_) -> KSPResult:
     """Chebyshev semi-iteration over the (preconditioned) spectrum interval
     [emin, emax] — PETSc KSPCHEBYSHEV equivalent; reduction-free iterations
     (no dot products -> no psum latency on the mesh), the classic smoother
@@ -400,7 +435,8 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     psolve = pc_apply or _identity_pc
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
-    bnorm = _norm(b)
+    norm = partial(_norm, axis_name=axis_name)
+    bnorm = norm(b)
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
     theta = 0.5 * (emax + emin)
@@ -409,7 +445,7 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 
     rdtype = jnp.zeros((), dtype).real.dtype
     r0 = b - matvec(x0)
-    rnorm0 = _norm(r0)
+    rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
@@ -426,7 +462,7 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                       + (2.0 * rho_new / delta) * z)
         x = s["x"] + p
         r = s["r"] - matvec(p)
-        rn = _norm(r)
+        rn = norm(r)
         its = s["its"] + 1
         hist = s["hist"].at[its].set(rn)
         return dict(x=x, r=r, p=p, rho=rho_new, its=its,
@@ -436,22 +472,27 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                 its=jnp.int32(0), reason=reason0, hist=hist)
     out = jax.lax.while_loop(cond, body, init)
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
-                     rnorm=_norm(b - matvec(out["x"])), history=out["hist"])
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
 
 def preonly(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
             pc_apply: Optional[Callable] = None, *, maxit: int = 1,
-            **_) -> KSPResult:
+            axis_name: Optional[str] = None, **_) -> KSPResult:
     """Single preconditioner application (PETSc KSPPREONLY): with a direct
-    factorization PC this is the direct-solve path."""
+    factorization PC this is the direct-solve path.  Reason is CONVERGED_ITS
+    (PETSc parity) unless the result is non-finite (DIVERGED_NANORINF)."""
     psolve = pc_apply or _identity_pc
+    norm = partial(_norm, axis_name=axis_name)
     x = psolve(b) if x0 is None else x0 + psolve(b - matvec(x0))
     r = b - matvec(x)
-    rn = _norm(r)
-    hist = jnp.full((max(maxit, 1) + 1,), jnp.nan, b.dtype)
-    hist = hist.at[0].set(_norm(b)).at[1].set(rn)
-    return KSPResult(x=x, its=jnp.int32(1),
-                     reason=jnp.int32(CONVERGED_ITS), rnorm=rn, history=hist)
+    rn = norm(r)
+    rdtype = jnp.zeros((), b.dtype).real.dtype
+    hist = jnp.full((max(maxit, 1) + 1,), jnp.nan, rdtype)
+    hist = hist.at[0].set(norm(b)).at[1].set(rn)
+    reason = jnp.where(jnp.isfinite(rn), jnp.int32(CONVERGED_ITS),
+                       jnp.int32(DIVERGED_NANORINF))
+    return KSPResult(x=x, its=jnp.int32(1), reason=reason, rnorm=rn,
+                     history=hist)
 
 
 register_ksp("chebyshev", chebyshev)

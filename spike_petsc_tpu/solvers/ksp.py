@@ -41,6 +41,8 @@ def _params_from_options(opts: Options, overrides: dict) -> dict:
     side = opts.get_string("ksp_pc_side", None)
     if side:
         p["side"] = side
+    if opts.get_bool("ksp_monitor_true_residual", False):
+        p["monitor_true"] = True
     p.update({k: v for k, v in overrides.items() if v is not None})
     return p
 
@@ -93,12 +95,21 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
 
 
 def print_monitor(res: KSPResult) -> None:
-    """-ksp_monitor style residual printout."""
+    """-ksp_monitor style residual printout; when the solver recorded
+    unpreconditioned norms, prints both columns like PETSc's
+    -ksp_monitor_true_residual (/root/reference/src/makefile:18)."""
     import numpy as np
 
     from .types import reason_str
     h = np.asarray(res.history)
+    th = None if res.true_history is None else np.asarray(res.true_history)
+    tb = None if th is None else (th[0] if th[0] > 0 else 1.0)
     for i in range(int(res.its) + 1):
         if np.isfinite(h[i]):
-            print(f"{i:5d} KSP Residual norm {h[i]:.12e}")
+            if th is not None and np.isfinite(th[i]):
+                print(f"{i:5d} KSP preconditioned resid norm {h[i]:.12e} "
+                      f"true resid norm {th[i]:.12e} ||r(i)||/||b|| "
+                      f"{th[i] / tb:.12e}")
+            else:
+                print(f"{i:5d} KSP Residual norm {h[i]:.12e}")
     print(f"Converged reason: {reason_str(res.reason)} after {int(res.its)} its")

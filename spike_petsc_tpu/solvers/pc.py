@@ -97,10 +97,16 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     method = opts.get_string(f"pc_{name}_method", "inv")
     truncated = opts.get_bool(f"pc_{name}_truncated", truncated_default)
     store = opts.get_bool(f"pc_{name}_store_spikes", False)
+    shift = opts.get_string("pc_factor_shift_type", "none")
+    shift_amount = opts.get_real("pc_factor_shift_amount", 0.0)
     sf = spike_factor(band, K=K, block_b=block, method=method,
-                      truncated=truncated, store_spikes=store)
+                      truncated=truncated, store_spikes=store,
+                      shift=shift, shift_amount=shift_amount)
     info = dict(partitions=K, block=sf.b, tip=sf.k, method=method,
                 truncated=truncated)
+    if shift != "none":
+        import numpy as _np
+        info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
     if opts.get_bool(f"pc_{name}_check", False):
         # typed factorization status (MC64 INFO(1)-style; SURVEY.md §5):
         # fail fast on singular pivots instead of silently producing NaNs
@@ -123,9 +129,15 @@ def pc_lu(pmat, opts: Options) -> PC:
     band = _as_banded(pmat, opts)
     method = opts.get_string("pc_lu_method", "inv")
     block = opts.get_int("pc_lu_block", None)
-    sf = spike_factor(band, K=1, block_b=block, method=method)
-    return PC(name="lu", apply=partial(spike_solve, sf),
-              info=dict(block=sf.b, method=method))
+    shift = opts.get_string("pc_factor_shift_type", "none")
+    shift_amount = opts.get_real("pc_factor_shift_amount", 0.0)
+    sf = spike_factor(band, K=1, block_b=block, method=method,
+                      shift=shift, shift_amount=shift_amount)
+    info = dict(block=sf.b, method=method)
+    if shift != "none":
+        import numpy as _np
+        info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
+    return PC(name="lu", apply=partial(spike_solve, sf), info=info)
 
 
 @register_pc("spike")
@@ -146,8 +158,9 @@ def pc_bjacobi(pmat, opts: Options) -> PC:
     sf = spike_factor(band, K=K, block_b=block, method=method, truncated=True)
 
     def apply(x):
+        from ..ops.spike import _batched_tri_solve
         rp = jnp.zeros((sf.K * sf.m,), x.dtype).at[:sf.n].set(x)
-        y = jax.vmap(blocktri_solve)(sf.fact, rp.reshape(sf.K, sf.nb, sf.b))
+        y = _batched_tri_solve(sf.fact, rp.reshape(sf.K, sf.nb, sf.b))
         return y.reshape(-1)[:sf.n]
 
     return PC(name="bjacobi", apply=apply,

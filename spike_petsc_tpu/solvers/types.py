@@ -9,6 +9,7 @@ output (/root/reference/src/HOWTO:2).  Inside jit the reason is an int32;
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,10 @@ class KSPResult:
     reason: jax.Array       # int32
     rnorm: jax.Array        # final monitored residual norm
     history: jax.Array      # [maxit+1]
+    # unpreconditioned residual norms when the solver was asked to monitor
+    # them (-ksp_monitor_true_residual, /root/reference/src/makefile:18);
+    # None otherwise
+    true_history: Optional[jax.Array] = None
 
     @property
     def converged(self):

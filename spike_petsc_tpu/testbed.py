@@ -52,6 +52,8 @@ def make_problem(spec: str):
         return problems.general_sparse(*(args or [5000]))
     if name == "mc64doc":
         return problems.mc64_doc_example()
+    if name == "zerodiag":
+        return problems.zero_diag_tridiag(*(args or [1000]))
     raise ValueError(f"unknown problem {spec!r}")
 
 
@@ -124,7 +126,8 @@ def _main(argv=None) -> int:
 
     # preconditioning matrix (testbed.c:286-296)
     pmat = a
-    if opts.get_bool("banded_pre_mat", False):
+    pre_mat_built = opts.get_bool("banded_pre_mat", False)
+    if pre_mat_built:
         kmax = opts.get_int("pc_banded_kmax", 50)
         frac = opts.get_real("pc_banded_frac", 0.95)
         ext = hsp.extract_banded(a, kmax=kmax, frac=frac)
@@ -164,12 +167,16 @@ def _main(argv=None) -> int:
                               else f"non-symmetric (max |A-A^T| = {dev:g})"))
 
     pc_type = opts.get_string("pc_type", "none")
-    # PCs whose setup is host-side sparse analysis get the host matrix
+    # The extracted -banded_pre_mat matrix preconditions ANY PC, matching
+    # KSPSetOperators(A, B) semantics (/root/reference/src/testbed.c:314);
+    # PCs whose setup is host-side sparse analysis also get the host matrix.
     host_setup_pcs = {"banded", "fieldsplit", "composite"}
+    use_host_pmat = pre_mat_built or pc_type in host_setup_pcs
     res = solve(operator, b,
-                pmat=pmat if pc_type in host_setup_pcs else operator,
+                pmat=pmat if use_host_pmat else operator,
                 options=opts)
     if opts.get_bool("ksp_monitor", False) or \
+            opts.get_bool("ksp_monitor_true_residual", False) or \
             opts.get_bool("ksp_converged_reason", False):
         print_monitor(res)
 

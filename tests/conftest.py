@@ -23,3 +23,30 @@ import jax  # noqa: E402
 # virtual CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# ---------------------------------------------------------------------------
+# Test tiers: the full suite is compile-heavy (~10 min).  Modules dominated
+# by multi-device shard_map compiles are marked "slow" so the iteration tier
+# (`pytest -m "not slow"` / `make test-quick`) stays fast.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_parallel", "test_fieldsplit", "test_dist_auction",
+    "test_matching_dev", "test_baseline_configs", "test_pallas_sweeps",
+    "test_autodiff",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy tests (multi-device shard_map, "
+        "large configs); excluded by `make test-quick`")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

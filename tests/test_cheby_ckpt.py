@@ -97,3 +97,35 @@ def test_pc_check_detects_singular():
         make_pc("spike", a, Options({"pc_spike_check": "1",
                                      "pc_spike_partitions": "4",
                                      "pc_spike_block": "4"}))
+
+
+def test_factorization_checkpoint_cr_variants(tmp_path):
+    """Every spike_factor variant round-trips: CR partition factors, CR
+    reduced system (auto at K>=34), stored spikes (ADVICE round 1)."""
+    rng = np.random.default_rng(2)
+    a = problems.nonsym_banded(560, 2, 2, seed=9, dominance=8.0)
+    bm = _banded(a)
+    rhs = jnp.asarray(rng.standard_normal(560))
+    for kwargs, name in [
+            (dict(K=4, block_b=8, method="cr"), "cr"),
+            (dict(K=40, block_b=4), "bigK_auto_cr_reduced"),
+            (dict(K=4, block_b=8, store_spikes=True), "spikes"),
+            (dict(K=4, block_b=8, method="cr", reduced="cr"), "cr_cr")]:
+        sf = spike_factor(bm, **kwargs)
+        path = str(tmp_path / f"f_{name}.npz")
+        save_factorization(path, sf)
+        sf2 = load_factorization(path)
+        np.testing.assert_allclose(np.asarray(spike_solve(sf, rhs)),
+                                   np.asarray(spike_solve(sf2, rhs)),
+                                   rtol=1e-14)
+
+
+def test_pc_bjacobi_cr_method():
+    """-pc_bjacobi_method cr dispatches on the CR factor type (ADVICE r1)."""
+    from spike_petsc_tpu import Options, make_pc
+    a = problems.spd_banded(256, 2, seed=4)
+    pc = make_pc("bjacobi", a, Options({"pc_bjacobi_blocks": "4",
+                                        "pc_bjacobi_block": "8",
+                                        "pc_bjacobi_method": "cr"}))
+    x = np.asarray(pc.apply(jnp.ones(256)))
+    assert np.all(np.isfinite(x)) and np.linalg.norm(x) > 0

@@ -279,3 +279,77 @@ def test_multilevel_fiedler_2d_quality():
     res_exact = fiedler(scrambled, method="lanczos")
     # multilevel within 2.5x of the exact spectral ordering's bandwidth
     assert res_ml.info["bandwidth_out"] <= 2.5 * res_exact.info["bandwidth_out"] + 10
+
+
+def test_mc64_job3_matches_job2_bottleneck():
+    """Jobs 2 and 3 are two algorithms for the same objective
+    (/root/reference/src/hslmc64.c:1002 vs :1432): the bottleneck VALUES
+    must agree on every instance (matchings may differ)."""
+    import scipy.sparse as sp
+    from spike_petsc_tpu.ordering.mc64 import mc64
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = 40
+        a = sp.random(n, n, density=0.15, random_state=rng,
+                      data_rvs=lambda k: rng.uniform(0.1, 10.0, k))
+        a = (a + sp.diags(rng.uniform(0.01, 1.0, n))).tocsr()
+        r2 = mc64(a, job=2)
+        r3 = mc64(a, job=3)
+        assert r2.info["bottleneck"] == r3.info["bottleneck"], \
+            f"trial {trial}: {r2.info} vs {r3.info}"
+        # both must be valid perfect matchings on nonzero entries
+        ad = a.toarray()
+        for res in (r2, r3):
+            perm = res.rperm
+            assert sorted(perm) == list(range(n))
+            dvals = np.abs(ad[perm, np.arange(n)])
+            assert dvals.min() >= res.info["bottleneck"] - 1e-14
+
+
+def test_mc64_job3_bottleneck_optimal_small():
+    """Brute-force optimality check of the job-3 bottleneck value."""
+    from itertools import permutations
+    import scipy.sparse as sp
+    from spike_petsc_tpu.ordering.mc64 import mc64
+    rng = np.random.default_rng(3)
+    n = 6
+    for _ in range(5):
+        d = rng.uniform(0.1, 1.0, (n, n)) * (rng.random((n, n)) < 0.6)
+        np.fill_diagonal(d, rng.uniform(0.05, 1.0, n))
+        a = sp.csr_matrix(d)
+        best = 0.0
+        for p in permutations(range(n)):
+            vals = np.abs(d[list(p), range(n)])
+            if (vals > 0).all():
+                best = max(best, vals.min())
+        r3 = mc64(a, job=3)
+        np.testing.assert_allclose(r3.info["bottleneck"], best, rtol=1e-12)
+
+
+def test_symmetric_expand_triangular_input():
+    """mc34-style expansion: a lower-triangular-stored symmetric matrix
+    matches as if fully stored (/root/reference/src/hslmc64.c:2680,
+    petsc_mat_wbm.c:29)."""
+    import scipy.sparse as sp
+    from spike_petsc_tpu.ordering.matching import symmetric_expand
+    from spike_petsc_tpu.ordering.mc64 import mc64
+    rng = np.random.default_rng(11)
+    n = 30
+    full = problems.spd_banded(n, 3, seed=5)
+    lower = sp.tril(full).tocsr()
+
+    exp = symmetric_expand(lower)
+    np.testing.assert_allclose(exp.toarray(), full.toarray())
+
+    # matching the triangle as-stored vs symmetrized differs; symmetrized
+    # must reproduce the full-pattern bottleneck value
+    r_full = mc64(full, job=3)
+    r_sym = mc64(lower, job=3, symmetrize=True)
+    assert r_sym.info["bottleneck"] == r_full.info["bottleneck"]
+
+    # job 5 through the registry option
+    from spike_petsc_tpu.ordering import get_ordering
+    from spike_petsc_tpu.utils.options import Options
+    res = get_ordering(lower, "wbm",
+                       Options({"mat_ordering_wbm_symmetrize": "1"}))
+    assert sorted(res.rperm) == list(range(n))

@@ -135,3 +135,63 @@ def test_spike_solve_many_blocked_matches_loop():
         looped = np.stack(
             [np.asarray(spike_solve(sf, rhs[:, j])) for j in range(3)], axis=1)
         np.testing.assert_allclose(blocked, looped, rtol=1e-11, atol=1e-12)
+
+
+def test_shift_nonzero_survives_zero_diagonal():
+    """PETSc -pc_factor_shift_type nonzero parity: a zero-diagonal matrix
+    (singular pivot blocks at odd block sizes) factors finite with
+    shift="nonzero" and the shifted factorization preconditions GMRES to the
+    exact solution (/root/reference/src/makefile:18, testbed.c:266-272)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from spike_petsc_tpu import sparse as hsp
+    from spike_petsc_tpu.models import problems
+    from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
+    from spike_petsc_tpu.solvers.krylov import gmres
+    from spike_petsc_tpu.utils.debug import OK, factor_health
+
+    n = 120
+    a = problems.zero_diag_tridiag(n)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+
+    # odd block size -> the [0,-1;-1,0;...] diagonal blocks are singular
+    plain = spike_factor(bm, K=4, block_b=3)
+    assert int(factor_health(plain.fact).status) != OK
+
+    shifted = spike_factor(bm, K=4, block_b=3, shift="nonzero")
+    assert int(factor_health(shifted.fact).status) == OK
+    assert int(np.asarray(shifted.fact.nshift).sum()) > 0
+
+    u = np.ones(n)
+    b = jnp.asarray(a @ u)
+    res = gmres(lambda v: banded_matvec(bm, v), b, None,
+                lambda v: spike_solve(shifted, v), rtol=1e-10, maxit=200)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-6)
+
+
+def test_shift_nonzero_cr_method():
+    """Same guard on the cyclic-reduction factorization path."""
+    import jax.numpy as jnp
+    import numpy as np
+    from spike_petsc_tpu import sparse as hsp
+    from spike_petsc_tpu.models import problems
+    from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
+    from spike_petsc_tpu.solvers.krylov import gmres
+    from spike_petsc_tpu.utils.debug import OK, factor_health
+
+    n = 120
+    a = problems.zero_diag_tridiag(n)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    shifted = spike_factor(bm, K=2, block_b=3, method="cr", shift="nonzero")
+    assert int(factor_health(shifted.fact).status) == OK
+    u = np.ones(n)
+    b = jnp.asarray(a @ u)
+    res = gmres(lambda v: banded_matvec(bm, v), b, None,
+                lambda v: spike_solve(shifted, v), rtol=1e-10, maxit=300)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-5)
