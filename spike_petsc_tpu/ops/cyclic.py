@@ -78,10 +78,13 @@ def _pad_pow2m1(t: BlockTridiagonal) -> Tuple[BlockTridiagonal, int]:
 
 
 def cr_factor(t: BlockTridiagonal, shift: str = "none",
-              shift_amount: float = 0.0) -> CRFactor:
+              shift_amount: float = 0.0,
+              inverter: str = "auto") -> CRFactor:
     """Cyclic-reduction factorization: log2(nb) levels, each with ONE
     batched inversion call.  ``shift="nonzero"`` boosts small diagonal
-    pivots before each level's inversion (see blocktri.boost_diag)."""
+    pivots before each level's inversion (see blocktri.boost_diag).
+    ``inverter`` selects the batched-inverse engine (blocktri.batched_inverse:
+    newton / blocked / lapack / auto)."""
     nb = t.nb
     b = t.b
     tp, n_pad = _pad_pow2m1(t)
@@ -103,7 +106,7 @@ def cr_factor(t: BlockTridiagonal, shift: str = "none",
         if shifting:
             De, nbad = boost_diag(De, shift_amount)
             nsh = nsh + nbad
-        Dinv_e = batched_inverse(De)
+        Dinv_e = batched_inverse(De, inverter)
         # odd row j = 2t+1: left even t, right even t+1
         P = Lo @ Dinv_e[:-1]
         Q = Uo @ Dinv_e[1:]
@@ -116,7 +119,7 @@ def cr_factor(t: BlockTridiagonal, shift: str = "none",
     if shifting:
         Droot, nbad = boost_diag(Droot, shift_amount)
         nsh = nsh + nbad
-    root_Dinv = batched_inverse(Droot[None])[0]
+    root_Dinv = batched_inverse(Droot[None], inverter)[0]
     return CRFactor(levels=tuple(levels), root_Dinv=root_Dinv, nb=nb,
                     n_pad=n_pad, nshift=nsh if shifting else None)
 

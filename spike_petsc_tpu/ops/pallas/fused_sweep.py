@@ -1,0 +1,183 @@
+"""Fused block-Thomas solve: both sweeps in ONE Pallas kernel, manual DMA.
+
+The grid-pipelined sweep kernels (sweeps.py) are limited by per-grid-step
+cost: VMEM caps the partition chunk Kt, so the (K/Kt) * nb step count keeps
+effective bandwidth at ~300-370 GB/s.  This kernel removes the grid from the
+block dimension entirely:
+
+  * grid = (K / Kt,) — ONE grid step per partition chunk,
+  * the forward recurrence y_i = r_i - F_i y_{i-1} runs as an in-kernel
+    fori_loop streaming F blocks HBM->VMEM with an ``nbuf``-deep manual DMA
+    pipeline (make_async_copy + per-slot semaphores),
+  * y stays in VMEM scratch ([Kt, nb, b] — never round-trips to HBM),
+  * the backward recurrence x_i = Sinv_i (y_i - U_i x_{i+1}) streams Sinv and
+    U the same way and writes x straight to the auto-pipelined output block.
+
+Factor blocks may be stored bf16 (blocktri.cast_factor): promoted in-register,
+carries stay f32.  This is the TPU-native realization of the banded
+triangular solves inside the reference's PCApply_Banded
+(/root/reference/src/matbanded.c:184-192).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _matvec(m, v, mode: str, precision):
+    """y[p, a] = sum_b m[p, a, b] v[p, b]."""
+    if mode == "vpu":
+        return jnp.sum(m * v[:, None, :], axis=-1)
+    return jax.lax.dot_general(
+        m, v[:, :, None],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=v.dtype,
+        precision=precision)[:, :, 0]
+
+
+def _fused_kernel(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
+                  y_scr, fbuf, sbuf, ubuf, fsem, ssem, usem,
+                  *, kt, nb, nbuf, mode, precision):
+    c = pl.program_id(0)
+    part = pl.ds(c * kt, kt)
+    cdtype = y_scr.dtype
+
+    def fdma(slot, i):
+        return pltpu.make_async_copy(f_hbm.at[part, i], fbuf.at[slot],
+                                     fsem.at[slot])
+
+    def sdma(slot, i):
+        return pltpu.make_async_copy(sinv_hbm.at[part, i], sbuf.at[slot],
+                                     ssem.at[slot])
+
+    def udma(slot, i):
+        return pltpu.make_async_copy(u_hbm.at[part, i], ubuf.at[slot],
+                                     usem.at[slot])
+
+    # ---- forward sweep ----------------------------------------------------
+    # warm-up: F blocks 1 .. nbuf (block 0 is never multiplied)
+    for s in range(nbuf):
+        if s + 1 < nb:
+            fdma(s % nbuf, s + 1).start()
+
+    y_scr[:, 0, :] = r_ref[:, 0, :].astype(cdtype)
+
+    def fwd_body(i, y_prev):
+        slot = (i - 1) % nbuf
+        fdma(slot, i).wait()
+        f = fbuf[slot].astype(cdtype)
+        y = r_ref[:, i, :].astype(cdtype) - _matvec(f, y_prev, mode,
+                                                    precision)
+
+        @pl.when(i + nbuf < nb)
+        def _():
+            fdma(slot, i + nbuf).start()
+
+        y_scr[:, i, :] = y
+        return y
+
+    jax.lax.fori_loop(1, nb, fwd_body, y_scr[:, 0, :], unroll=False)
+
+    # ---- backward sweep ---------------------------------------------------
+    # stream index j = 0..nb-1 walks blocks i = nb-1-j; Sinv needed at every
+    # j, U only for j >= 1 (x_last has no superdiagonal term)
+    for s in range(nbuf):
+        if s < nb:
+            sdma(s % nbuf, nb - 1 - s).start()
+        if 1 <= s < nb:
+            udma(s % nbuf, nb - 1 - s).start()
+
+    sdma(0, nb - 1).wait()
+    x_last = _matvec(sbuf[0].astype(cdtype), y_scr[:, nb - 1, :], mode,
+                     precision)
+    x_ref[:, nb - 1, :] = x_last
+
+    if nbuf < nb:
+        sdma(0, nb - 1 - nbuf).start()
+        udma(0, nb - 1 - nbuf).start()
+
+    def bwd_body(j, x_next):
+        i = nb - 1 - j
+        slot = j % nbuf
+        udma(slot, i).wait()
+        t = y_scr[:, i, :] - _matvec(ubuf[slot].astype(cdtype), x_next,
+                                     mode, precision)
+        sdma(slot, i).wait()
+        x = _matvec(sbuf[slot].astype(cdtype), t, mode, precision)
+        x_ref[:, i, :] = x
+
+        @pl.when(j + nbuf < nb)
+        def _():
+            sdma(slot, i - nbuf).start()
+            udma(slot, i - nbuf).start()
+
+        return x
+
+    jax.lax.fori_loop(1, nb, bwd_body, x_last, unroll=False)
+
+
+def _pick_kt(K: int, nb: int, b: int, itemsize: int, nbuf: int,
+             cdtype_size: int = 4) -> int:
+    """Largest Kt dividing K such that scratch fits the VMEM budget:
+    y [Kt, nb, b] + 3 * nbuf mat buffers [Kt, b, b] + 2x pipelined
+    rhs/out blocks [Kt, nb, b]."""
+    def need(kt):
+        vec = kt * nb * b * cdtype_size
+        mats = 3 * nbuf * kt * b * b * itemsize
+        return vec * (1 + 2 * 2) + mats
+    kt = min(K, 16)
+    while kt > 1 and (K % kt or need(kt) > _VMEM_BUDGET):
+        kt -= 1
+    return max(kt, 1)
+
+
+@partial(jax.jit, static_argnames=("mode", "nbuf"))
+def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "mxu",
+                                nbuf: int = 4) -> jax.Array:
+    """Batched block-Thomas solve via the fused manual-DMA kernel.
+
+    fact: BlockTriFactor with leading partition dim K (method "inv").
+    rhs:  [K, nb, b].  Returns x [K, nb, b] in the f32-or-wider carry dtype.
+    """
+    if fact.method != "inv":
+        raise ValueError("fused pallas sweep requires method='inv' factors")
+    K, nb, b, _ = fact.F.shape
+    itemsize = jnp.dtype(fact.F.dtype).itemsize
+    cdtype = jnp.result_type(rhs.dtype, jnp.float32)
+    kt = _pick_kt(K, nb, b, itemsize, nbuf, jnp.dtype(cdtype).itemsize)
+    precision = (jax.lax.Precision.DEFAULT if itemsize < 4
+                 else jax.lax.Precision.HIGHEST)
+
+    kern = partial(_fused_kernel, kt=kt, nb=nb, nbuf=nbuf, mode=mode,
+                   precision=precision)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    vec = pl.BlockSpec((kt, nb, b), lambda c: (c, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(K // kt,),
+        in_specs=[hbm, hbm, hbm, vec],
+        out_specs=vec,
+        out_shape=jax.ShapeDtypeStruct((K, nb, b), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((kt, nb, b), cdtype),
+            pltpu.VMEM((nbuf, kt, b, b), fact.F.dtype),
+            pltpu.VMEM((nbuf, kt, b, b), fact.F.dtype),
+            pltpu.VMEM((nbuf, kt, b, b), fact.F.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        interpret=_use_interpret(),
+    )(fact.F, fact.Sinv, fact.U, rhs.astype(cdtype))

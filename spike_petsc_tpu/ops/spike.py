@@ -118,10 +118,11 @@ def _local_band_mask(m: int, kl: int, ku: int, dtype) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("K", "block_b", "method", "truncated",
                                    "store_spikes", "kl", "ku", "n",
-                                   "store_dtype", "reduced", "shift"))
+                                   "store_dtype", "reduced", "shift",
+                                   "inverter"))
 def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
                        store_spikes, store_dtype=None, reduced="auto",
-                       shift="none", shift_amount=0.0):
+                       shift="none", shift_amount=0.0, inverter="auto"):
     k, b, m = _partition_geometry(n, K, kl, ku, block_b)
     npad = K * m
     band = pad_banded(BandedMatrix(data=data, kl=kl, ku=ku), npad)
@@ -140,10 +141,12 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
         # ~2x stored blocks for factor latency
         from .cyclic import cr_factor
         fact = jax.vmap(partial(cr_factor, shift=shift,
-                                shift_amount=shift_amount))(blocks)
+                                shift_amount=shift_amount,
+                                inverter=inverter))(blocks)
     else:
         fact = jax.vmap(partial(blocktri_factor, method=method, shift=shift,
-                                shift_amount=shift_amount))(blocks)
+                                shift_amount=shift_amount,
+                                inverter=inverter))(blocks)
     nb = m // b
 
     V = W = None
@@ -213,7 +216,8 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
                  method: str = "inv", truncated: bool = False,
                  store_spikes: bool = False, store_dtype=None,
                  reduced: str = "auto", shift: str = "none",
-                 shift_amount: float = 0.0) -> SpikeFactor:
+                 shift_amount: float = 0.0,
+                 inverter: str = "auto") -> SpikeFactor:
     """Factor a banded matrix for SPIKE solves over K partitions.
 
     Args:
@@ -238,12 +242,17 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
         ``fact.nshift`` and in factor_health reports).
       shift_amount: absolute pivot floor for shift="nonzero" (0 = relative
         floor only: 1e-10 * max|block|).
+      inverter: batched-inverse engine for the Schur/CR blocks — "newton"
+        (Newton–Schulz, TPU-fast, needs the near-diagonally-dominant regime
+        the scaling pipeline provides), "blocked", "lapack", or "auto"
+        (newton on TPU, lapack elsewhere).  If factor_health reports a bad
+        newton factorization, re-factor with inverter="blocked".
     """
     return _spike_factor_impl(
         band.data, n=band.n, kl=band.kl, ku=band.ku, K=K, block_b=block_b,
         method=method, truncated=truncated, store_spikes=store_spikes,
         store_dtype=store_dtype, reduced=reduced, shift=shift,
-        shift_amount=shift_amount)
+        shift_amount=shift_amount, inverter=inverter)
 
 
 # ---------------------------------------------------------------------------
@@ -285,22 +294,45 @@ def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
     return xbot_prev, xtop_next
 
 
+def _resolve_impl(sf: SpikeFactor, impl: str) -> str:
+    """'auto' picks the fused manual-DMA Pallas sweep when it applies
+    (TPU, method='inv' block-Thomas factors, lane-aligned block size);
+    otherwise the XLA scan path."""
+    if impl != "auto":
+        return impl
+    is_inv = isinstance(sf.fact, BlockTriFactor) and sf.fact.method == "inv"
+    if is_inv and sf.b % 128 == 0 and jax.default_backend() == "tpu":
+        return "pallas_fused"
+    return "xla"
+
+
+def _make_batched_solve(sf: SpikeFactor, impl: str):
+    if impl == "pallas":
+        from .pallas.sweeps import blocktri_solve_batched_pallas
+        return partial(blocktri_solve_batched_pallas, sf.fact)
+    if impl == "pallas_fused":
+        from .pallas.fused_sweep import blocktri_solve_fused_pallas
+        return partial(blocktri_solve_fused_pallas, sf.fact)
+    return partial(_batched_tri_solve, sf.fact)
+
+
 @partial(jax.jit, static_argnames=("impl",))
-def spike_solve(sf: SpikeFactor, rhs: jax.Array, impl: str = "xla") -> jax.Array:
+def spike_solve(sf: SpikeFactor, rhs: jax.Array,
+                impl: str = "auto") -> jax.Array:
     """Solve A x = rhs with a SPIKE factorization.  rhs: [n] (original size).
 
-    impl: "xla" (lax.scan sweeps) or "pallas" (fused streaming sweep kernels,
-    ops/pallas/sweeps.py — method 'inv' factors only).
+    impl: "auto" (fused Pallas sweep when applicable, else XLA),
+    "xla" (lax.scan sweeps), "pallas" (grid-pipelined sweep kernels,
+    ops/pallas/sweeps.py), or "pallas_fused" (single-kernel manual-DMA
+    fwd+bwd sweeps, ops/pallas/fused_sweep.py — 727 GB/s measured on v5e
+    vs 213 for the scan).  Pallas impls require method='inv' factors.
     """
     K, m, b, k, nb = sf.K, sf.m, sf.b, sf.k, sf.nb
     rp = jnp.zeros((K * m,), rhs.dtype).at[:sf.n].set(rhs)
     rblk = rp.reshape(K, nb, b)
 
-    if impl == "pallas":
-        from .pallas.sweeps import blocktri_solve_batched_pallas
-        batched_solve = partial(blocktri_solve_batched_pallas, sf.fact)
-    else:
-        batched_solve = partial(_batched_tri_solve, sf.fact)
+    impl = _resolve_impl(sf, impl)
+    batched_solve = _make_batched_solve(sf, impl)
 
     g = batched_solve(rblk)                                  # [K, nb, b]
     if K == 1:

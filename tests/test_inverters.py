@@ -1,0 +1,145 @@
+"""Batched-inverse engines (blocktri.batched_inverse / newton_inv) and the
+fused manual-DMA Pallas sweep kernel (ops/pallas/fused_sweep.py).
+
+The Newton–Schulz inverter is the TPU factor hot path (measured 10.7x faster
+than the blocked-Schur recursion at [8128,128,128] f32 on v5e); these tests
+pin its convergence contract on CPU in f64.  The fused kernel runs in Pallas
+interpret mode here and is cross-checked against blocktri_solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spike_petsc_tpu.ops.blocktri import (
+    BlockTridiagonal, batched_inverse, blocktri_factor, blocktri_solve,
+    newton_inv)
+from spike_petsc_tpu.ops.pallas.fused_sweep import blocktri_solve_fused_pallas
+
+
+def _dd_blocks(key, nb, b, dtype=jnp.float64, margin=0.5):
+    S = jax.random.uniform(key, (nb, b, b), dtype, minval=-1.0, maxval=1.0)
+    rs = jnp.sum(jnp.abs(S), axis=-1)
+    return S.at[:, jnp.arange(b), jnp.arange(b)].set(rs + margin)
+
+
+def test_newton_jacobi_dd_converges():
+    S = _dd_blocks(jax.random.PRNGKey(0), 5, 16)
+    X = newton_inv(S, max_steps=30)
+    err = float(jnp.max(jnp.abs(S @ X - jnp.eye(16))))
+    assert err < 1e-12
+
+
+def test_newton_pan_general():
+    S = jax.random.normal(jax.random.PRNGKey(1), (4, 12, 12), jnp.float64)
+    X = newton_inv(S, init="pan", max_steps=80)
+    err = float(jnp.max(jnp.abs(S @ X - jnp.eye(12))))
+    assert err < 1e-10
+
+
+def test_newton_complex():
+    key = jax.random.PRNGKey(2)
+    S = _dd_blocks(key, 3, 8).astype(jnp.complex128)
+    S = S + 0.1j * jax.random.normal(jax.random.fold_in(key, 1), (3, 8, 8))
+    X = newton_inv(S, max_steps=30)
+    err = float(jnp.max(jnp.abs(S @ X - jnp.eye(8))))
+    assert err < 1e-12
+
+
+def test_newton_singular_exits_finite_time():
+    # all-zero blocks: the divergence guard must exit, not hang; output is
+    # garbage by contract (factor_health is the detection layer)
+    X = newton_inv(jnp.zeros((2, 8, 8)), max_steps=30)
+    assert X.shape == (2, 8, 8)
+
+
+def test_batched_inverse_engines_agree():
+    S = _dd_blocks(jax.random.PRNGKey(3), 4, 32)
+    Xl = batched_inverse(S, "lapack")
+    Xb = batched_inverse(S, "blocked")
+    Xn = batched_inverse(S, "newton")
+    np.testing.assert_allclose(np.asarray(Xb), np.asarray(Xl), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Xn), np.asarray(Xl), atol=1e-10)
+
+
+def _factored(key, K, nb, b, dtype):
+    def mk(k):
+        D = (jax.random.uniform(k, (nb, b, b), dtype)
+             + jnp.eye(b, dtype=dtype) * (2.0 * b))
+        L = jax.random.uniform(jax.random.fold_in(k, 1), (nb, b, b),
+                               dtype).at[0].set(0)
+        U = jax.random.uniform(jax.random.fold_in(k, 2), (nb, b, b),
+                               dtype).at[nb - 1].set(0)
+        return BlockTridiagonal(D=D, L=L, U=U)
+    ts = [mk(jax.random.fold_in(key, i)) for i in range(K)]
+    T = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *ts)
+    return jax.vmap(lambda t: blocktri_factor(t, method="inv"))(T)
+
+
+@pytest.mark.parametrize("mode", ["mxu", "vpu"])
+def test_fused_sweep_matches_scan(mode):
+    key = jax.random.PRNGKey(0)
+    K, nb, b = 4, 7, 8
+    fact = _factored(key, K, nb, b, jnp.float64)
+    rhs = jax.random.uniform(jax.random.fold_in(key, 9), (K, nb, b),
+                             jnp.float64)
+    x_ref = jax.vmap(blocktri_solve)(fact, rhs)
+    x = blocktri_solve_fused_pallas(fact, rhs, mode=mode)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+
+
+def test_fused_sweep_single_block():
+    key = jax.random.PRNGKey(4)
+    fact = _factored(key, 2, 1, 8, jnp.float64)
+    rhs = jax.random.uniform(jax.random.fold_in(key, 9), (2, 1, 8),
+                             jnp.float64)
+    x_ref = jax.vmap(blocktri_solve)(fact, rhs)
+    x = blocktri_solve_fused_pallas(fact, rhs)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+
+
+def test_fused_sweep_nb_smaller_than_nbuf():
+    key = jax.random.PRNGKey(5)
+    fact = _factored(key, 2, 3, 8, jnp.float64)
+    rhs = jax.random.uniform(jax.random.fold_in(key, 9), (2, 3, 8),
+                             jnp.float64)
+    x_ref = jax.vmap(blocktri_solve)(fact, rhs)
+    x = blocktri_solve_fused_pallas(fact, rhs, nbuf=6)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+
+
+def test_fused_sweep_rejects_lu_factors():
+    key = jax.random.PRNGKey(6)
+    K, nb, b = 2, 3, 8
+
+    def mk(k):
+        D = (jax.random.uniform(k, (nb, b, b), jnp.float64)
+             + jnp.eye(b) * (2.0 * b))
+        return BlockTridiagonal(D=D, L=jnp.zeros((nb, b, b)),
+                                U=jnp.zeros((nb, b, b)))
+    T = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[mk(jax.random.fold_in(key, i)) for i in range(K)])
+    fact = jax.vmap(lambda t: blocktri_factor(t, method="lu"))(T)
+    with pytest.raises(ValueError, match="inv"):
+        blocktri_solve_fused_pallas(fact, jnp.zeros((K, nb, b)))
+
+
+def test_spike_factor_inverter_newton_end_to_end():
+    from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
+
+    n, hw = 600, 5
+    key = jax.random.PRNGKey(7)
+    w = 2 * hw + 1
+    data = jax.random.uniform(key, (n, w), jnp.float64, minval=-1, maxval=1)
+    data = data.at[:, hw].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
+    band = BandedMatrix(data=data, kl=hw, ku=hw)
+    x_true = jnp.ones((n,), jnp.float64)
+    rhs = banded_matvec(band, x_true)
+    for method in ("inv", "cr"):
+        sf = spike_factor(band, K=4, block_b=8, method=method,
+                          inverter="newton")
+        x = spike_solve(sf, rhs)
+        assert float(jnp.max(jnp.abs(x - x_true))) < 1e-9, method
