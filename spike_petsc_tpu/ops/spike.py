@@ -108,6 +108,26 @@ def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int):
     return Btip, Ctip
 
 
+def reduced_factor(red: BlockTridiagonal, method: str, reduced: str = "auto",
+                   inverter: str = "auto"):
+    """Factor the SPIKE reduced interface system.
+
+    Large partition counts make the block-Thomas scan over K-1 reduced
+    blocks the solve's latency floor; cyclic reduction solves it in log2(K)
+    levels of batched MXU work instead (ops/cyclic.py), keeping solve
+    latency flat in K — the same role recursion plays in recursive SPIKE.
+    ``reduced``: "thomas", "cr", or "auto" (cr when the reduced system has
+    >= 33 block rows or the partition factorization itself is CR).
+    """
+    use_cr = reduced == "cr" or method == "cr" or (
+        reduced == "auto" and red.nb >= 33)
+    if use_cr:
+        from .cyclic import cr_factor
+        return cr_factor(red, inverter=inverter)
+    return blocktri_factor(red, method=method if method in ("inv", "lu")
+                           else "inv", inverter=inverter)
+
+
 def _local_band_mask(m: int, kl: int, ku: int, dtype) -> jax.Array:
     """[m, w] mask zeroing entries whose column leaves the partition."""
     i = jnp.arange(m)[:, None]
@@ -185,16 +205,8 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
                 jnp.concatenate([z, V_top[1:]], axis=2)], axis=1)
             U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
             red = BlockTridiagonal(D=D, L=L, U=U)
-            # large partition counts: the Thomas scan over K-1 reduced
-            # blocks dominates solve latency; cyclic reduction solves it in
-            # log2(K) levels of batched MXU work (ops/cyclic.py)
-            use_cr = reduced == "cr" or method == "cr" or (
-                reduced == "auto" and K - 1 >= 33)
-            if use_cr:
-                from .cyclic import cr_factor
-                red_fact = cr_factor(red)
-            else:
-                red_fact = blocktri_factor(red, method=method)
+            red_fact = reduced_factor(red, method, reduced,
+                                      inverter=inverter)
 
     if store_dtype is not None:
         if method == "cr":

@@ -2,11 +2,16 @@
 
 from .mesh import make_mesh, make_mesh_2d, shard_leading
 from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
-                         make_dist_solver)
+                         make_dist_solver, make_dist_solver_batched,
+                         make_mesh_multislice, dist_spike_factor_multislice,
+                         make_dist_solver_multislice)
 from .matching_dev import auction_match, auction_match_dist
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "shard_leading",
     "DistSpikeFactor", "dist_spike_factor", "dist_spike_solve",
-    "make_dist_solver", "auction_match", "auction_match_dist",
+    "make_dist_solver", "make_dist_solver_batched",
+    "make_mesh_multislice", "dist_spike_factor_multislice",
+    "make_dist_solver_multislice",
+    "auction_match", "auction_match_dist",
 ]

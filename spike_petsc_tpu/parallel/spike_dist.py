@@ -88,10 +88,12 @@ def _local_tips_one(data_one: jax.Array, gidx, m: int, k: int, kl: int,
 
 
 def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
-                   method: str):
+                   method: str, reduced: str = "auto"):
     """Assemble + factor the reduced interface system from gathered tips.
     Identical math to the single-chip path (ops.spike), executed replicated
-    on every device."""
+    on every device.  ``reduced`` selects thomas/cr/auto: cyclic reduction
+    keeps the replicated interface solve log-depth at large K (the
+    recursive-SPIKE role; VERDICT r1 item 5)."""
     dtype = Vt.dtype
     eye = jnp.eye(k, dtype=dtype)
     z = jnp.zeros((K - 1, k, k), dtype)
@@ -113,16 +115,21 @@ def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
         jnp.concatenate([z, Vt[1:]], axis=2)], axis=1)
     U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
     red = BlockTridiagonal(D=D, L=L, U=U)
-    red_method = "inv" if method == "cr" else method
-    return blocktri_factor(red, method=red_method), None
+    from ..ops.spike import reduced_factor
+    return reduced_factor(red, method, reduced), None
 
 
 def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
                       method: str = "inv", truncated: bool = False,
                       block_b: Optional[int] = None,
-                      parts_per_device: int = 1) -> DistSpikeFactor:
+                      parts_per_device: int = 1,
+                      reduced: str = "auto") -> DistSpikeFactor:
     """Factor a global banded matrix over the mesh with
-    K = n_devices * parts_per_device partitions."""
+    K = n_devices * parts_per_device partitions.
+
+    ``reduced``: interface-system factorization — "thomas" (sequential
+    scan), "cr" (cyclic reduction, log-depth), "auto" (cr when K-1 >= 33,
+    keeping distributed solve latency flat in K)."""
     ndev = mesh.shape[axis]
     ppd = parts_per_device
     K = ndev * ppd
@@ -164,7 +171,7 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         all_tips = all_tips.reshape(K, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
-            K, k, truncated, method)
+            K, k, truncated, method, reduced)
         return blocks, fact, Btip, Ctip, red_fact, red_Dinv
 
     if method == "cr":
@@ -177,13 +184,18 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         fact_specs = jax.tree_util.tree_map(lambda _: P(axis), fact_struct)
     else:
         fact_specs = _factor_field_specs(method, axis)
-    red_method = "inv" if method == "cr" else method
+    # reduced-factor structure depends on thomas-vs-cr choice: derive the
+    # spec pytree from an eval_shape of the actual builder
+    tip_struct = jax.ShapeDtypeStruct((K, k, k), band.data.dtype)
+    red_struct, _ = jax.eval_shape(
+        partial(_build_reduced, K=K, k=k, truncated=truncated,
+                method=method, reduced=reduced),
+        tip_struct, tip_struct, tip_struct, tip_struct)
     out_specs = (
         jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
         fact_specs,
         P(axis), P(axis),
-        None if truncated else jax.tree_util.tree_map(
-            lambda _: P(), _factor_struct(red_method)),
+        jax.tree_util.tree_map(lambda _: P(), red_struct),
         P() if truncated else None,
     )
     blocks, fact, Btip, Ctip, red_fact, red_Dinv = jax.shard_map(
@@ -231,7 +243,8 @@ def local_interface_solve(dsf_local, g_top, g_bot, axis: str):
     if dsf_local.truncated:
         z = jnp.einsum("jpq,jq->jp", dsf_local.red_Dinv, rhs)
     else:
-        z = blocktri_solve(dsf_local.red_fact, rhs)
+        from ..ops.spike import _solve_reduced_system
+        z = _solve_reduced_system(dsf_local.red_fact, rhs)
     zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
     # xtop_next[p] = z[p, k:] (p < K-1), xbot_prev[p] = z[p-1, :k] (p > 0)
     xtop_next = zpad[jnp.minimum(gp, K - 1), k:] * (gp < K - 1)[:, None]
@@ -368,6 +381,277 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
             NamedSharding(mesh, P(axis_rhs, axis_p)))
         x = shmapped(dsf, rhs_sh)
         return x.reshape(R, dsf.K * dsf.m)[:, :dsf.n]
+
+    return solve_fn
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN) layer: slices x intra-slice partitions
+# ---------------------------------------------------------------------------
+#
+# TPU pods compose slices over DCN (slow, high-latency) while chips within a
+# slice ride ICI.  The multislice SPIKE layout keeps ALL preconditioner
+# communication intra-slice:
+#
+#   * rows are split over (slice, p): each slice owns a contiguous row block,
+#     SPIKE-factored exactly within the slice (spike-tip all_gather over the
+#     "p" axis only -> ICI);
+#   * across slices the preconditioner is block-Jacobi (the slice boundary is
+#     treated as a global edge in the reduced system) -- zero DCN traffic in
+#     PCApply;
+#   * the matvec keeps the TRUE cross-slice coupling: k-wide boundary strips
+#     ride a ppermute over the flattened (slice, p) order, so only the two
+#     slice-edge strips per slice cross DCN;
+#   * Krylov dot products psum over both axes (the only other DCN traffic).
+#
+# This mirrors the comm-backend row of SURVEY.md §5 ("DCN axes for
+# multi-slice") and replaces the reference's single-level MPI communicator
+# (/root/reference/src/wbm.c:270-273) with a hierarchy-aware layout.
+
+
+def _per_slice_specs(red_tree, axis_slice: str):
+    """Specs for a per-slice-varying reduced factorization: leading dim
+    sliced over the slice axis; zero-size placeholder leaves (see
+    blocktri_factor) stay replicated (XLA canonicalizes them that way)."""
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        return P(axis_slice) if all(d > 0 for d in shape) else P()
+    return jax.tree_util.tree_map(spec, red_tree)
+
+
+def make_mesh_multislice(shape, axes=("slice", "p")) -> Mesh:
+    """2-D (slices, chips-per-slice) mesh.  On real multi-slice deployments
+    devices are grouped by their ``slice_index`` attribute; on single-slice
+    or virtual platforms the flat device order is reshaped contiguously."""
+    import numpy as _np
+    n_slices, per_slice = shape
+    devs = jax.devices()
+    need = n_slices * per_slice
+    if need > len(devs):
+        raise ValueError(f"requested {need} devices, have {len(devs)}")
+    by_slice = {}
+    for d in devs:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    if len(by_slice) >= n_slices and all(
+            len(v) >= per_slice for v in list(by_slice.values())[:n_slices]):
+        grid = [sorted(by_slice[s], key=lambda d: d.id)[:per_slice]
+                for s in sorted(by_slice)[:n_slices]]
+        return Mesh(_np.asarray(grid), tuple(axes))
+    return Mesh(_np.asarray(devs[:need]).reshape(n_slices, per_slice),
+                tuple(axes))
+
+
+def dist_spike_factor_multislice(
+        band: BandedMatrix, mesh: Mesh, axis_slice: str = "slice",
+        axis_p: str = "p", method: str = "inv",
+        block_b: Optional[int] = None, parts_per_device: int = 1,
+        reduced: str = "auto") -> DistSpikeFactor:
+    """Factor over a (slice, p) mesh: exact SPIKE within each slice,
+    block-Jacobi coupling across slices (PC-grade; the matvec retains the
+    exact cross-slice coupling).  K = n_slices * per_slice * ppd partitions
+    total; the returned factor's reduced system is PER-SLICE (replicated
+    within a slice, different across slices)."""
+    n_slices = mesh.shape[axis_slice]
+    ndev_p = mesh.shape[axis_p]
+    ppd = parts_per_device
+    Ks = ndev_p * ppd                     # partitions per slice
+    K = n_slices * Ks
+    kl, ku = band.kl, band.ku
+    n = band.n
+    k, b, m = _partition_geometry(n, K, kl, ku, block_b)
+    band = pad_banded(band, K * m)
+    w = band.width
+    data = jax.device_put(band.data.reshape(K, m, w),
+                          NamedSharding(mesh, P((axis_slice, axis_p))))
+    mask = _local_band_mask(m, kl, ku, band.data.dtype)
+    nb = m // b
+
+    def local_setup(data_shard):                    # [ppd, m, w]
+        sidx = jax.lax.axis_index(axis_slice)
+        pidx = jax.lax.axis_index(axis_p)
+        gidx = (sidx * ndev_p + pidx) * ppd + jnp.arange(ppd)
+        # true matrix tips (global edges zeroed) — used by the matvec
+        Btip, Ctip = jax.vmap(
+            lambda d, g: _local_tips_one(d, g, m, k, kl, ku, K))(
+                data_shard, gidx)
+        local = data_shard * mask[None]
+        blocks = jax.vmap(
+            lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
+                                       b))(local)
+        if method == "cr":
+            from ..ops.cyclic import cr_factor
+            fact = jax.vmap(cr_factor)(blocks)
+        else:
+            fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+        # PC tips: slice boundaries are PC-global edges (block-Jacobi
+        # across slices -> zero DCN traffic in PCApply)
+        lidx = gidx % Ks                            # index within slice
+        Btip_pc = jnp.where((lidx == Ks - 1)[:, None, None],
+                            jnp.zeros_like(Btip), Btip)
+        Ctip_pc = jnp.where((lidx == 0)[:, None, None],
+                            jnp.zeros_like(Ctip), Ctip)
+        dt = data_shard.dtype
+        rhsV = jnp.zeros((ppd, nb, b, k), dt).at[:, nb - 1, b - k:, :].set(
+            Btip_pc)
+        rhsW = jnp.zeros((ppd, nb, b, k), dt).at[:, 0, :k, :].set(Ctip_pc)
+        V = _batched_tri_solve(fact, rhsV)
+        W = _batched_tri_solve(fact, rhsW)
+        tips = jnp.stack([V[:, 0, :k, :], V[:, nb - 1, b - k:, :],
+                          W[:, 0, :k, :], W[:, nb - 1, b - k:, :]],
+                         axis=1)                     # [ppd, 4, k, k]
+        # intra-slice gather ONLY (ICI)
+        slice_tips = jax.lax.all_gather(tips, axis_p).reshape(Ks, 4, k, k)
+        red_fact, red_Dinv = _build_reduced(
+            slice_tips[:, 0], slice_tips[:, 1], slice_tips[:, 2],
+            slice_tips[:, 3], Ks, k, False, method, reduced)
+        return blocks, fact, Btip, Ctip, red_fact, red_Dinv
+
+    if method == "cr":
+        from ..ops.cyclic import cr_factor
+        blocks_struct = BlockTridiagonal(
+            D=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
+            L=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
+            U=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype))
+        fact_struct = jax.eval_shape(jax.vmap(cr_factor), blocks_struct)
+        fact_specs = jax.tree_util.tree_map(
+            lambda _: P((axis_slice, axis_p)), fact_struct)
+    else:
+        fact_specs = _factor_field_specs(method, (axis_slice, axis_p))
+    tip_struct = jax.ShapeDtypeStruct((Ks, k, k), band.data.dtype)
+    red_struct, _ = jax.eval_shape(
+        partial(_build_reduced, K=Ks, k=k, truncated=False,
+                method=method, reduced=reduced),
+        tip_struct, tip_struct, tip_struct, tip_struct)
+    pax = P((axis_slice, axis_p))
+    out_specs = (
+        jax.tree_util.tree_map(lambda _: pax, _blocktri_struct()),
+        fact_specs,
+        pax, pax,
+        _per_slice_specs(red_struct, axis_slice),
+        None,
+    )
+    blocks, fact, Btip, Ctip, red_fact, red_Dinv = jax.shard_map(
+        local_setup, mesh=mesh, in_specs=(pax,), out_specs=out_specs,
+        check_vma=False)(data)
+    return DistSpikeFactor(blocks=blocks, fact=fact, Btip=Btip, Ctip=Ctip,
+                           red_fact=red_fact, red_Dinv=red_Dinv, n=n, K=K,
+                           m=m, b=b, k=k, ppd=ppd, truncated=False)
+
+
+def _local_pc_tips_multislice(dsf_local, axis_slice, axis_p, ndev_p):
+    """Zero the PC-excluded cross-slice tips of this device's partitions."""
+    Ks = ndev_p * dsf_local.ppd
+    sidx = jax.lax.axis_index(axis_slice)
+    pidx = jax.lax.axis_index(axis_p)
+    gidx = (sidx * ndev_p + pidx) * dsf_local.ppd + jnp.arange(dsf_local.ppd)
+    lidx = gidx % Ks
+    Btip = jnp.where((lidx == Ks - 1)[:, None, None],
+                     jnp.zeros_like(dsf_local.Btip), dsf_local.Btip)
+    Ctip = jnp.where((lidx == 0)[:, None, None],
+                     jnp.zeros_like(dsf_local.Ctip), dsf_local.Ctip)
+    return Btip, Ctip, Ks
+
+
+def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
+                                 axis_p: str, ndev_p: int) -> jax.Array:
+    """Per-device PCApply on a (slice, p) mesh: exact SPIKE within the
+    slice (all_gather over axis_p only), block-Jacobi across slices."""
+    nb, b, k, ppd = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.ppd
+    Btip_pc, Ctip_pc, Ks = _local_pc_tips_multislice(
+        dsf_local, axis_slice, axis_p, ndev_p)
+    rblk = rhs_local.reshape(ppd, nb, b)
+    g = _batched_tri_solve(dsf_local.fact, rblk)
+    if Ks == 1:
+        return g.reshape(-1)
+    # per-slice interface solve (indices within the slice)
+    pidx = jax.lax.axis_index(axis_p)
+    lp = pidx * ppd + jnp.arange(ppd)
+    gt = jax.lax.all_gather(g[:, 0, :k], axis_p).reshape(Ks, k)
+    gb = jax.lax.all_gather(g[:, nb - 1, b - k:], axis_p).reshape(Ks, k)
+    rhs_red = jnp.concatenate([gb[:-1], gt[1:]], axis=1)
+    from ..ops.spike import _solve_reduced_system
+    z = _solve_reduced_system(dsf_local.red_fact, rhs_red)
+    zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
+    xtop_next = zpad[jnp.minimum(lp, Ks - 1), k:] * (lp < Ks - 1)[:, None]
+    xbot_prev = zpad[jnp.maximum(lp - 1, 0), :k] * (lp > 0)[:, None]
+    corrB = jnp.einsum("pcd,pd->pc", Btip_pc, xtop_next)
+    corrC = jnp.einsum("pcd,pd->pc", Ctip_pc, xbot_prev)
+    r2 = rblk.at[:, nb - 1, b - k:].add(-corrB).at[:, 0, :k].add(-corrC)
+    return _batched_tri_solve(dsf_local.fact, r2).reshape(-1)
+
+
+def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
+                            axis_p: str, n_slices: int,
+                            ndev_p: int) -> jax.Array:
+    """Exact banded SpMV on a (slice, p) mesh: boundary strips ride a
+    ppermute over the flattened (slice, p) device order — only slice-edge
+    strips cross DCN."""
+    nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
+    ppd, m = dsf_local.ppd, dsf_local.m
+    xp = x_local.reshape(ppd, m)
+    y = jax.vmap(blocktri_matvec)(
+        dsf_local.blocks, xp.reshape(ppd, nb, b)).reshape(ppd, m)
+    if K == 1:
+        return y.reshape(-1)
+    ndev = n_slices * ndev_p
+    axes = (axis_slice, axis_p)
+    top_from_next_dev = jax.lax.ppermute(
+        xp[0, :k], axes, [(i, (i - 1) % ndev) for i in range(ndev)])
+    bot_from_prev_dev = jax.lax.ppermute(
+        xp[-1, -k:], axes, [(i, (i + 1) % ndev) for i in range(ndev)])
+    next_tops = jnp.concatenate([xp[1:, :k], top_from_next_dev[None]], axis=0)
+    prev_bots = jnp.concatenate([bot_from_prev_dev[None], xp[:-1, -k:]],
+                                axis=0)
+    y = y.at[:, -k:].add(jnp.einsum("pcd,pd->pc", dsf_local.Btip, next_tops))
+    y = y.at[:, :k].add(jnp.einsum("pcd,pd->pc", dsf_local.Ctip, prev_bots))
+    return y.reshape(-1)
+
+
+def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
+                                axis_slice: str = "slice", axis_p: str = "p",
+                                ksp_type: str = "gmres", use_pc: bool = True,
+                                **params):
+    """Multi-slice Krylov solver: per-slice SPIKE preconditioner (ICI-only),
+    exact cross-slice matvec (k-wide DCN strips), dots psum'd over both axes.
+    Returns solve(rhs[n]) -> KSPResult."""
+    method = SOLVERS.get(ksp_type)
+    ppd, m = dsf.ppd, dsf.m
+    n_slices = mesh.shape[axis_slice]
+    ndev_p = mesh.shape[axis_p]
+
+    def local_fn(dsf_in, r_local):
+        matvec = lambda v: local_matvec_multislice(
+            dsf_in, v, axis_slice, axis_p, n_slices, ndev_p)
+        pc_apply = (lambda v: local_spike_solve_multislice(
+            dsf_in, v, axis_slice, axis_p, ndev_p)) if use_pc else None
+        res = method(matvec, r_local.reshape(-1), None, pc_apply,
+                     axis_name=(axis_slice, axis_p), **params)
+        return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
+                res.history)
+
+    pax = P((axis_slice, axis_p))
+    specs = _dsf_specs(dsf, (axis_slice, axis_p))
+    specs = DistSpikeFactor(
+        blocks=specs.blocks, fact=specs.fact, Btip=pax, Ctip=pax,
+        red_fact=_per_slice_specs(dsf.red_fact, axis_slice),
+        red_Dinv=None, n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
+        ppd=dsf.ppd, truncated=dsf.truncated)
+    shmapped = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(specs, pax),
+        out_specs=(pax, P(), P(), P(), P()),
+        check_vma=False)
+
+    from ..solvers.types import KSPResult
+
+    @jax.jit
+    def solve_fn(rhs):
+        rp = jnp.zeros((dsf.K * dsf.m,), rhs.dtype).at[:dsf.n].set(rhs)
+        rhs_sh = jax.device_put(rp.reshape(dsf.K, dsf.m),
+                                NamedSharding(mesh, pax))
+        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh)
+        return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
+                         rnorm=rnorm, history=hist)
 
     return solve_fn
 
