@@ -44,9 +44,14 @@ def main() -> None:
     K = int(os.environ.get("SPIKE_BENCH_PARTS", 64))
     store = os.environ.get("SPIKE_BENCH_DTYPE", "f32")
     store_dtype = jnp.bfloat16 if store == "bf16" else None
-    # cyclic reduction measured 26% faster solves than block-Thomas on v5e
-    # at the target config (7.3 vs 9.9 ms), identical accuracy
-    method = os.environ.get("SPIKE_BENCH_METHOD", "cr")
+    # round-2 default: block-Thomas factors solved by the fused manual-DMA
+    # Pallas sweep (727 GB/s streaming) + stored spikes (one factor pass +
+    # V/W correction instead of two passes) + Newton-Schulz Schur inverses
+    # in the factor (10.7x the blocked recursion).  Measured on v5e:
+    # solve ~3.2 ms, factor ~130 ms (round-1 CR recompute: 7.1 ms / 482 ms).
+    method = os.environ.get("SPIKE_BENCH_METHOD", "inv")
+    spikes = os.environ.get("SPIKE_BENCH_SPIKES", "1") == "1"
+    impl = os.environ.get("SPIKE_BENCH_IMPL", "auto")
     w = 2 * k + 1
     dtype = jnp.float32
     platform = jax.devices()[0].platform
@@ -63,11 +68,12 @@ def main() -> None:
     def factor_fn(d, K, kl, ku):
         return spike_factor(BandedMatrix(data=d, kl=kl, ku=ku), K=K,
                             block_b=128, method=method,
-                            store_dtype=store_dtype)
+                            store_spikes=spikes, store_dtype=store_dtype)
 
     @partial(jax.jit, static_argnames=("r",))
     def solve_loop(sf, b, r):
-        return jax.lax.fori_loop(0, r, lambda i, y: spike_solve(sf, y), b)
+        return jax.lax.fori_loop(
+            0, r, lambda i, y: spike_solve(sf, y, impl=impl), b)
 
     # block_until_ready is UNRELIABLE through the axon tunnel (some processes
     # return immediately); force completion by reading back a tiny derived
@@ -171,20 +177,26 @@ def main() -> None:
     # dependent, from the real block size sf.b); the useful-band rate counts
     # only the 2*n*(kl+ku+1)-per-sweep-pair flops of an ideal scalar banded
     # solve.  recompute-SPIKE applies the partition solver twice per solve.
-    sweeps = 2 if K > 1 else 1
+    # stored-spikes solves stream the partition factors ONCE plus the V/W
+    # spike blocks; recompute solves stream the factors twice
+    sweeps = 1 if (sf.V is not None or K == 1) else 2
     bb = sf.b
     if method == "cr":
         alg_flops_per_sweep = 10.0 * n * bb   # CR: down 4 + up 6 matmuls/elt
     else:
         alg_flops_per_sweep = 6.0 * n * bb    # block-Thomas: fwd 2 + bwd 4
     alg_flops = sweeps * alg_flops_per_sweep
-    band_flops = sweeps * 2.0 * n * w
-    # effective factor-streaming bandwidth: the sweeps are read-bound on the
-    # stored factor blocks, streamed once per sweep
+    if sf.V is not None and K > 1:
+        alg_flops += 2.0 * 2.0 * n * sf.k     # V and W correction matvecs
+    band_flops = 2 * 2.0 * n * w              # ideal scalar two-sweep solve
+    # effective streaming bandwidth: sweeps are read-bound on the stored
+    # factor blocks (+ spikes in stored-spikes mode)
     import jax as _jax
     fact_bytes = sum(l.size * l.dtype.itemsize
                      for l in _jax.tree_util.tree_leaves(sf.fact))
-    eff_gbs = sweeps * fact_bytes / solve_s / 1e9
+    vw_bytes = sum(l.size * l.dtype.itemsize
+                   for l in _jax.tree_util.tree_leaves((sf.V, sf.W)))
+    eff_gbs = (sweeps * fact_bytes + vw_bytes) / solve_s / 1e9
     out = {
         "metric": f"spike_banded_solve_n{n}_bw{w}_wallclock",
         "value": round(solve_s * 1e3, 4),
@@ -194,6 +206,8 @@ def main() -> None:
         "partitions": K,
         "factor_store_dtype": store,
         "method": method,
+        "store_spikes": sf.V is not None,
+        "impl": impl,
         "gflops_blocked_alg": round(alg_flops / solve_s / 1e9, 2),
         "gflops_useful_band": round(band_flops / solve_s / 1e9, 2),
         "factor_stream_gbs": round(eff_gbs, 1),

@@ -46,6 +46,18 @@ def _matvec(m, v, mode: str, precision):
         precision=precision)[:, :, 0]
 
 
+def _matvec_many(m, v, mode: str, precision):
+    """y[p, r, a] = sum_b m[p, a, b] v[p, r, b] (r right-hand sides)."""
+    if mode == "vpu":
+        return jnp.sum(m[:, None, :, :] * v[:, :, None, :], axis=-1)
+    # contract m's b with v's b, batch p -> [p, a, r] -> [p, r, a]
+    return jax.lax.dot_general(
+        m, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=v.dtype,
+        precision=precision).swapaxes(1, 2)
+
+
 def _fused_kernel(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
                   y_scr, fbuf, sbuf, ubuf, fsem, ssem, usem,
                   *, kt, nb, nbuf, mode, precision):
@@ -143,12 +155,19 @@ def _pick_kt(K: int, nb: int, b: int, itemsize: int, nbuf: int,
 
 
 @partial(jax.jit, static_argnames=("mode", "nbuf"))
-def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "mxu",
+def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "vpu",
                                 nbuf: int = 4) -> jax.Array:
     """Batched block-Thomas solve via the fused manual-DMA kernel.
 
     fact: BlockTriFactor with leading partition dim K (method "inv").
     rhs:  [K, nb, b].  Returns x [K, nb, b] in the f32-or-wider carry dtype.
+
+    mode: sweep matvec engine.  "vpu" (default) does the b x b matvec as an
+    elementwise multiply + lane reduction in full f32 on the vector unit —
+    measured 727 GB/s factor streaming on v5e (2.13 ms at [64,123,128]),
+    because the VPU consumes f32 operands ~5x faster than HBM delivers them.
+    "mxu" routes through dot_general at HIGHEST precision (6 passes for f32
+    operands) and measures 4.0 ms — latency-bound, kept for experiments.
     """
     if fact.method != "inv":
         raise ValueError("fused pallas sweep requires method='inv' factors")
@@ -181,3 +200,152 @@ def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "mxu",
         ],
         interpret=_use_interpret(),
     )(fact.F, fact.Sinv, fact.U, rhs.astype(cdtype))
+
+
+# ---------------------------------------------------------------------------
+# Multi-RHS variant (serving path)
+# ---------------------------------------------------------------------------
+
+def _fused_kernel_many(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
+                       y_scr, fbuf, sbuf, ubuf, fsem, ssem, usem,
+                       *, kt, nb, nbuf, mode, precision):
+    """Same structure as _fused_kernel with vectors carrying an r
+    right-hand-side dim on the SUBLANE axis ([kt, nb, r, b]); the sweep
+    matvec becomes a [kt, b, b] x [kt, r, b] contraction — real MXU work at
+    r >= 8 while the factor blocks are still streamed exactly once."""
+    c = pl.program_id(0)
+    part = pl.ds(c * kt, kt)
+    cdtype = y_scr.dtype
+
+    def fdma(slot, i):
+        return pltpu.make_async_copy(f_hbm.at[part, i], fbuf.at[slot],
+                                     fsem.at[slot])
+
+    def sdma(slot, i):
+        return pltpu.make_async_copy(sinv_hbm.at[part, i], sbuf.at[slot],
+                                     ssem.at[slot])
+
+    def udma(slot, i):
+        return pltpu.make_async_copy(u_hbm.at[part, i], ubuf.at[slot],
+                                     usem.at[slot])
+
+    for s in range(nbuf):
+        if s + 1 < nb:
+            fdma(s % nbuf, s + 1).start()
+
+    y_scr[:, 0] = r_ref[:, 0].astype(cdtype)
+
+    def fwd_body(i, y_prev):
+        slot = (i - 1) % nbuf
+        fdma(slot, i).wait()
+        f = fbuf[slot].astype(cdtype)
+        y = r_ref[:, i].astype(cdtype) - _matvec_many(f, y_prev, mode,
+                                                      precision)
+
+        @pl.when(i + nbuf < nb)
+        def _():
+            fdma(slot, i + nbuf).start()
+
+        y_scr[:, i] = y
+        return y
+
+    jax.lax.fori_loop(1, nb, fwd_body, y_scr[:, 0], unroll=False)
+
+    for s in range(nbuf):
+        if s < nb:
+            sdma(s % nbuf, nb - 1 - s).start()
+        if 1 <= s < nb:
+            udma(s % nbuf, nb - 1 - s).start()
+
+    sdma(0, nb - 1).wait()
+    x_last = _matvec_many(sbuf[0].astype(cdtype), y_scr[:, nb - 1], mode,
+                          precision)
+    x_ref[:, nb - 1] = x_last
+
+    if nbuf < nb:
+        sdma(0, nb - 1 - nbuf).start()
+        udma(0, nb - 1 - nbuf).start()
+
+    def bwd_body(j, x_next):
+        i = nb - 1 - j
+        slot = j % nbuf
+        udma(slot, i).wait()
+        t = y_scr[:, i] - _matvec_many(ubuf[slot].astype(cdtype), x_next,
+                                       mode, precision)
+        sdma(slot, i).wait()
+        x = _matvec_many(sbuf[slot].astype(cdtype), t, mode, precision)
+        x_ref[:, i] = x
+
+        @pl.when(j + nbuf < nb)
+        def _():
+            sdma(slot, i - nbuf).start()
+            udma(slot, i - nbuf).start()
+
+        return x
+
+    jax.lax.fori_loop(1, nb, bwd_body, x_last, unroll=False)
+
+
+def _pick_kt_many(K: int, nb: int, b: int, r: int, itemsize: int,
+                  nbuf: int, cdtype_size: int = 4) -> int:
+    def need(kt):
+        vec = kt * nb * r * b * cdtype_size
+        mats = 3 * nbuf * kt * b * b * itemsize
+        return vec * (1 + 2 * 2) + mats
+    kt = min(K, 8)
+    while kt > 1 and (K % kt or need(kt) > _VMEM_BUDGET):
+        kt -= 1
+    return max(kt, 1)
+
+
+@partial(jax.jit, static_argnames=("mode", "nbuf"))
+def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
+                                     mode: str = "mxu",
+                                     nbuf: int = 4) -> jax.Array:
+    """Batched multi-RHS block-Thomas solve via the fused manual-DMA kernel.
+
+    fact: BlockTriFactor with leading partition dim K (method "inv").
+    rhs:  [K, nb, b, r].  Returns x [K, nb, b, r].
+
+    The r right-hand sides ride the sweep together, so the factor blocks are
+    streamed from HBM once for ALL of them (the serving economics of
+    spike_solve_many).  Internally vectors are laid out [kt, nb, r, b] so b
+    stays on the lane axis; the caller-facing layout matches the XLA path.
+    mode "mxu" is the default here: with r columns the sweep matvec is real
+    matmul work, not a degenerate GEMV.
+    """
+    if fact.method != "inv":
+        raise ValueError("fused pallas sweep requires method='inv' factors")
+    K, nb, b, _ = fact.F.shape
+    r = rhs.shape[-1]
+    itemsize = jnp.dtype(fact.F.dtype).itemsize
+    cdtype = jnp.result_type(rhs.dtype, jnp.float32)
+    kt = _pick_kt_many(K, nb, b, r, itemsize, nbuf,
+                       jnp.dtype(cdtype).itemsize)
+    precision = (jax.lax.Precision.DEFAULT if itemsize < 4
+                 else jax.lax.Precision.HIGHEST)
+
+    kern = partial(_fused_kernel_many, kt=kt, nb=nb, nbuf=nbuf, mode=mode,
+                   precision=precision)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    vec = pl.BlockSpec((kt, nb, r, b), lambda c: (c, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    rt = jnp.swapaxes(rhs.astype(cdtype), 2, 3)       # [K, nb, r, b]
+    x = pl.pallas_call(
+        kern,
+        grid=(K // kt,),
+        in_specs=[hbm, hbm, hbm, vec],
+        out_specs=vec,
+        out_shape=jax.ShapeDtypeStruct((K, nb, r, b), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((kt, nb, r, b), cdtype),
+            pltpu.VMEM((nbuf, kt, b, b), fact.F.dtype),
+            pltpu.VMEM((nbuf, kt, b, b), fact.F.dtype),
+            pltpu.VMEM((nbuf, kt, b, b), fact.F.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        interpret=_use_interpret(),
+    )(fact.F, fact.Sinv, fact.U, rt)
+    return jnp.swapaxes(x, 2, 3)                      # [K, nb, b, r]

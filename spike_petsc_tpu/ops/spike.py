@@ -318,12 +318,22 @@ def _resolve_impl(sf: SpikeFactor, impl: str) -> str:
     return "xla"
 
 
+def _require_inv_factors(sf: SpikeFactor, impl: str) -> None:
+    if not (isinstance(sf.fact, BlockTriFactor) and sf.fact.method == "inv"):
+        raise ValueError(
+            f"impl={impl!r} requires method='inv' block-Thomas factors; "
+            f"got {type(sf.fact).__name__} (use impl='xla' or refactor "
+            f"with spike_factor(..., method='inv'))")
+
+
 def _make_batched_solve(sf: SpikeFactor, impl: str):
     if impl == "pallas":
         from .pallas.sweeps import blocktri_solve_batched_pallas
+        _require_inv_factors(sf, impl)
         return partial(blocktri_solve_batched_pallas, sf.fact)
     if impl == "pallas_fused":
         from .pallas.fused_sweep import blocktri_solve_fused_pallas
+        _require_inv_factors(sf, impl)
         return partial(blocktri_solve_fused_pallas, sf.fact)
     return partial(_batched_tri_solve, sf.fact)
 
@@ -370,23 +380,29 @@ def spike_solve(sf: SpikeFactor, rhs: jax.Array,
 
 @partial(jax.jit, static_argnames=("impl",))
 def spike_solve_many(sf: SpikeFactor, rhs: jax.Array,
-                     impl: str = "xla") -> jax.Array:
+                     impl: str = "auto") -> jax.Array:
     """Blocked multi-RHS solve; rhs [n, r] -> x [n, r].
 
     Streams the factorization ONCE for all right-hand sides (the sweeps are
     factor-read-bound, so r solves cost barely more than one) — the batched
     solve mode of BASELINE config 2 and the serving path.
+
+    impl: "auto" (fused multi-RHS Pallas kernel when applicable, else XLA),
+    "xla", "pallas"/"pallas_fused" (ops/pallas/fused_sweep.py multi-RHS
+    kernel; method='inv' factors, lane-aligned blocks).
     """
     K, m, b, k, nb = sf.K, sf.m, sf.b, sf.k, sf.nb
     r = rhs.shape[1]
     rp = jnp.zeros((K * m, r), rhs.dtype).at[:sf.n].set(rhs)
     rblk = rp.reshape(K, nb, b, r)
 
-    if impl == "pallas":
-        # pallas sweeps are single-vector; fall back to the XLA path which
-        # carries the RHS block through the same scans
-        impl = "xla"
-    batched_solve = partial(_batched_tri_solve, sf.fact)
+    impl = _resolve_impl(sf, impl)
+    if impl in ("pallas", "pallas_fused"):
+        from .pallas.fused_sweep import blocktri_solve_fused_many_pallas
+        _require_inv_factors(sf, impl)
+        batched_solve = partial(blocktri_solve_fused_many_pallas, sf.fact)
+    else:
+        batched_solve = partial(_batched_tri_solve, sf.fact)
 
     g = batched_solve(rblk)                                  # [K, nb, b, r]
     if K == 1:

@@ -143,3 +143,41 @@ def test_spike_factor_inverter_newton_end_to_end():
                           inverter="newton")
         x = spike_solve(sf, rhs)
         assert float(jnp.max(jnp.abs(x - x_true))) < 1e-9, method
+
+
+def test_fused_many_matches_xla():
+    from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve_many
+
+    n, hw = 600, 5
+    key = jax.random.PRNGKey(11)
+    w = 2 * hw + 1
+    data = jax.random.uniform(key, (n, w), jnp.float64, minval=-1, maxval=1)
+    data = data.at[:, hw].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
+    band = BandedMatrix(data=data, kl=hw, ku=hw)
+    X = jax.random.uniform(jax.random.fold_in(key, 1), (n, 4), jnp.float64)
+    B = jax.vmap(lambda x: banded_matvec(band, x), in_axes=1, out_axes=1)(X)
+    sf = spike_factor(band, K=4, block_b=8)
+    x_xla = spike_solve_many(sf, B, impl="xla")
+    x_pal = spike_solve_many(sf, B, impl="pallas_fused")
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_xla),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(X), atol=1e-9)
+
+
+def test_pallas_impl_rejects_cr_factors():
+    from spike_petsc_tpu.ops.band import BandedMatrix
+    from spike_petsc_tpu.ops.spike import (spike_factor, spike_solve,
+                                           spike_solve_many)
+
+    n, hw = 256, 3
+    key = jax.random.PRNGKey(12)
+    w = 2 * hw + 1
+    data = jax.random.uniform(key, (n, w), jnp.float64, minval=-1, maxval=1)
+    data = data.at[:, hw].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
+    sf = spike_factor(BandedMatrix(data=data, kl=hw, ku=hw), K=4,
+                      block_b=8, method="cr")
+    with pytest.raises(ValueError, match="method='inv'"):
+        spike_solve(sf, jnp.ones((n,)), impl="pallas_fused")
+    with pytest.raises(ValueError, match="method='inv'"):
+        spike_solve_many(sf, jnp.ones((n, 2)), impl="pallas_fused")
