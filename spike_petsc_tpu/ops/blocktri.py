@@ -299,6 +299,7 @@ def blocked_inv(S: jax.Array, base: int = 32) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
 def newton_inv(S: jax.Array, tol: Optional[float] = None,
                max_steps: int = 16, init: str = "jacobi") -> jax.Array:
     """Batched inverse via Newton–Schulz iteration X <- X (2I - S X).
@@ -348,6 +349,19 @@ def newton_inv(S: jax.Array, tol: Optional[float] = None,
     X, _, _ = jax.lax.while_loop(
         cond, body, (X0, jnp.array(1e6, rdtype), jnp.zeros((), jnp.int32)))
     return X
+
+
+@newton_inv.defjvp
+def _newton_inv_jvp(tol, max_steps, init, primals, tangents):
+    # implicit differential of X = S^{-1}: dX = -X dS X.  Linear in dS, so
+    # JAX transposes it for reverse mode too — exact regardless of the
+    # adaptive iteration count (the while_loop itself is not reverse-
+    # differentiable, and doesn't need to be).
+    (S,) = primals
+    (dS,) = tangents
+    X = newton_inv(S, tol, max_steps, init)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return X, -mm(X, mm(dS, X))
 
 
 def batched_inverse(S: jax.Array, inverter: str = "auto") -> jax.Array:

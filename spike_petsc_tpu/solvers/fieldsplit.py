@@ -63,65 +63,154 @@ def pc_composite(pmat, opts: Options) -> PC:
     return pc
 
 
-@register_pc("fieldsplit")
-def pc_fieldsplit(pmat, opts: Options) -> PC:
-    """PCFIELDSPLIT (2 fields): block preconditioning with inner PCs per
-    field.  Field 0 = rows [0, n0), field 1 = the rest; n0 from
-    -pc_fieldsplit_n0 (default n/2).
+def _fieldsplit_isets(opts: Options, n: int):
+    """Resolve the field index sets from options (PETSc-parity surface):
 
-    -pc_fieldsplit_type additive|multiplicative|schur
+    -pc_fieldsplit_sizes n0,n1,...       contiguous multi-field split
+    -pc_fieldsplit_block_size bs         strided/interleaved components; each
+      -pc_fieldsplit_<i>_fields c0,c1    field takes components within the bs
+                                         block (PCFieldSplitSetFields analog)
+    -pc_fieldsplit_n0 n0                 legacy 2-field contiguous split
+    Default: two contiguous fields of n/2.
+    """
+    bs = opts.get_int("pc_fieldsplit_block_size", 0)
+    if bs > 0:
+        if n % bs:
+            raise ValueError(f"n={n} not divisible by block size {bs}")
+        base = np.arange(0, n, bs)
+        isets = []
+        for i in range(bs):  # at most bs fields
+            comps = opts.get_list(f"pc_fieldsplit_{i}_fields", None)
+            if comps is None:
+                break
+            comps = [int(c) for c in comps]
+            idx = np.sort(np.concatenate([base + c for c in comps]))
+            isets.append(idx.astype(np.int64))
+        if not isets:
+            # one field per component
+            isets = [(base + c).astype(np.int64) for c in range(bs)]
+        return isets
+    sizes = opts.get_list("pc_fieldsplit_sizes", None)
+    if sizes is None:
+        n0 = opts.get_int("pc_fieldsplit_n0", n // 2)
+        sizes = [n0, n - n0]
+    else:
+        sizes = [int(s) for s in sizes]
+    if sum(sizes) != n:
+        raise ValueError(f"fieldsplit sizes {sizes} do not sum to n={n}")
+    offs = np.cumsum([0] + sizes)
+    return [np.arange(offs[i], offs[i + 1], dtype=np.int64)
+            for i in range(len(sizes))]
+
+
+def pc_fieldsplit_is(pmat, isets, opts: Options) -> PC:
+    """PCFIELDSPLIT over arbitrary index sets (PCFieldSplitSetIS analog):
+    ``isets`` is a list of integer index arrays partitioning [0, n).
+
+    -pc_fieldsplit_type additive|multiplicative|schur (schur: 2 fields)
     -pc_fieldsplit_schur_precondition a11|selfp
-    Inner PCs: -fieldsplit_0_pc_type ..., -fieldsplit_1_pc_type ...
+    Inner PC for field i reads options under the ``fieldsplit_<i>_`` prefix.
     """
     a = hsp.as_csr(pmat)
     n = a.shape[0]
-    n0 = opts.get_int("pc_fieldsplit_n0", n // 2)
-    ftype = opts.get_string("pc_fieldsplit_type", "schur")
+    isets = [np.asarray(ix, dtype=np.int64) for ix in isets]
+    nf = len(isets)
+    if nf < 2:
+        raise ValueError("fieldsplit needs >= 2 fields")
+    allidx = np.concatenate(isets)
+    if len(allidx) != n or len(np.unique(allidx)) != n:
+        raise ValueError("fieldsplit index sets must partition [0, n)")
+    ftype = opts.get_string("pc_fieldsplit_type",
+                            "schur" if nf == 2 else "multiplicative")
     sprec = opts.get_string("pc_fieldsplit_schur_precondition", "selfp")
+    if ftype == "schur" and nf != 2:
+        raise ValueError("schur fieldsplit requires exactly 2 fields")
 
-    A00 = a[:n0, :n0].tocsr()
-    A01 = a[:n0, n0:].tocsr()
-    A10 = a[n0:, :n0].tocsr()
-    A11 = a[n0:, n0:].tocsr()
+    def blk(i, j):
+        return a[isets[i]][:, isets[j]].tocsr()
 
-    o0 = opts.scoped("fieldsplit_0_")
-    o1 = opts.scoped("fieldsplit_1_")
-    pc0 = PRECONDITIONERS.get(o0.get_string("pc_type", "lu"))(A00, o0)
+    sub_opts = [opts.scoped(f"fieldsplit_{i}_") for i in range(nf)]
+
+    def make_pc(i, mat):
+        return PRECONDITIONERS.get(
+            sub_opts[i].get_string("pc_type", "lu"))(mat, sub_opts[i])
+
+    dev_isets = [jnp.asarray(ix) for ix in isets]
+
+    def scatter(zs, dtype):
+        x = jnp.zeros((n,), dtype)
+        for ix, z in zip(dev_isets, zs):
+            x = x.at[ix].set(z)
+        return x
 
     if ftype == "schur":
+        A00, A01 = blk(0, 0), blk(0, 1)
+        A10, A11 = blk(1, 0), blk(1, 1)
+        pc0 = make_pc(0, A00)
         if sprec == "selfp":
             d0 = A00.diagonal()
             d0inv = np.where(d0 != 0, 1.0 / np.where(d0 != 0, d0, 1.0), 1.0)
             s_approx = (A11 - A10 @ sp.diags(d0inv) @ A01).tocsr()
         else:
             s_approx = A11
-        pc1 = PRECONDITIONERS.get(o1.get_string("pc_type", "lu"))(s_approx, o1)
-    else:
-        pc1 = PRECONDITIONERS.get(o1.get_string("pc_type", "lu"))(A11, o1)
+        pc1 = make_pc(1, s_approx)
+        mv01, _, _ = as_matvec(A01)
+        mv10, _, _ = as_matvec(A10)
 
-    mv01, _, _ = as_matvec(A01)
-    mv10, _, _ = as_matvec(A10)
-
-    if ftype == "additive":
-        def apply(r):
-            return jnp.concatenate([pc0.apply(r[:n0]), pc1.apply(r[n0:])])
-    elif ftype == "multiplicative":
-        def apply(r):
-            z0 = pc0.apply(r[:n0])
-            z1 = pc1.apply(r[n0:] - mv10(z0))
-            return jnp.concatenate([z0, z1])
-    elif ftype == "schur":
         # lower-triangular Schur factorization application:
-        # z0' = M00^{-1} r0; z1 = S^{-1}(r1 - A10 z0'); z0 = z0' - M00^{-1} A01 z1
+        # z0' = M00^{-1} r0; z1 = S^{-1}(r1 - A10 z0');
+        # z0 = z0' - M00^{-1} A01 z1
         def apply(r):
-            z0p = pc0.apply(r[:n0])
-            z1 = pc1.apply(r[n0:] - mv10(z0p))
+            r0, r1 = r[dev_isets[0]], r[dev_isets[1]]
+            z0p = pc0.apply(r0)
+            z1 = pc1.apply(r1 - mv10(z0p))
             z0 = z0p - pc0.apply(mv01(z1))
-            return jnp.concatenate([z0, z1])
+            return scatter([z0, z1], r.dtype)
+
+        inner0 = pc0
     else:
-        raise ValueError(f"unknown fieldsplit type {ftype!r}")
+        pcs = [make_pc(i, blk(i, i)) for i in range(nf)]
+        if ftype == "additive":
+            def apply(r):
+                zs = [pcs[i].apply(r[dev_isets[i]]) for i in range(nf)]
+                return scatter(zs, r.dtype)
+        elif ftype == "multiplicative":
+            # block Gauss-Seidel over the fields:
+            # z_i = M_ii^{-1} (r_i - sum_{j<i} A_ij z_j)
+            mv_low = {(i, j): as_matvec(blk(i, j))[0]
+                      for i in range(nf) for j in range(i)}
+
+            def apply(r):
+                zs = []
+                for i in range(nf):
+                    ri = r[dev_isets[i]]
+                    for j in range(i):
+                        ri = ri - mv_low[(i, j)](zs[j])
+                    zs.append(pcs[i].apply(ri))
+                return scatter(zs, r.dtype)
+        else:
+            raise ValueError(f"unknown fieldsplit type {ftype!r}")
+        inner0 = pcs[0]
 
     return PC(name="fieldsplit", apply=apply,
-              info=dict(type=ftype, n0=n0,
-                        schur_precondition=sprec if ftype == "schur" else None),
-              inner=pc0)
+              info=dict(type=ftype, nfields=nf,
+                        sizes=[int(len(ix)) for ix in isets],
+                        schur_precondition=(sprec if ftype == "schur"
+                                            else None)),
+              inner=inner0)
+
+
+@register_pc("fieldsplit")
+def pc_fieldsplit(pmat, opts: Options) -> PC:
+    """PCFIELDSPLIT: block preconditioning over 2..N fields, contiguous
+    (-pc_fieldsplit_sizes / -pc_fieldsplit_n0), strided-interleaved
+    (-pc_fieldsplit_block_size + -pc_fieldsplit_<i>_fields), or arbitrary
+    index sets via the programmatic ``pc_fieldsplit_is`` entry point
+    (PCFieldSplitSetIS analog).
+
+    -pc_fieldsplit_type additive|multiplicative|schur (schur: 2 fields)
+    -pc_fieldsplit_schur_precondition a11|selfp
+    Inner PCs: -fieldsplit_<i>_pc_type ...
+    """
+    a = hsp.as_csr(pmat)
+    return pc_fieldsplit_is(a, _fieldsplit_isets(opts, a.shape[0]), opts)
