@@ -148,9 +148,10 @@ def blocktri_matvec(t: BlockTridiagonal, x: jax.Array) -> jax.Array:
         x = x[..., None]
     xm = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
     xp = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
-    y = (jnp.einsum("ipq,iqr->ipr", t.D, x)
-         + jnp.einsum("ipq,iqr->ipr", t.L, xm)
-         + jnp.einsum("ipq,iqr->ipr", t.U, xp))
+    prec = sweep_precision(t.D, x)
+    y = (jnp.einsum("ipq,iqr->ipr", t.D, x, precision=prec)
+         + jnp.einsum("ipq,iqr->ipr", t.L, xm, precision=prec)
+         + jnp.einsum("ipq,iqr->ipr", t.U, xp, precision=prec))
     return y[..., 0] if squeeze else y
 
 
@@ -393,11 +394,22 @@ def set_sweep_matvec(mode: str) -> None:
     _SWEEP_MATVEC_MODE = mode
 
 
+def sweep_precision(*operands):
+    """Matmul precision for solve-sweep math: HIGHEST when every operand is
+    a >= 32-bit float (the sweeps are memory-bound, so the extra MXU passes
+    are free — and XLA's DEFAULT lowers f32 matrix-matrix products to
+    single-pass bf16, which costs ~1.5 digits on multi-RHS solves);
+    DEFAULT when any operand is stored bf16 (already bf16-native)."""
+    if all(jnp.dtype(o.dtype).itemsize >= 4 for o in operands):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _sweep_matvec(m, v):
     """y[a, r] = sum_b m[a, b] v[b, r] (plus leading batch dims via vmap)."""
     if _SWEEP_MATVEC_MODE == "vpu":
         return jnp.sum(m[..., :, :, None] * v[..., None, :, :], axis=-2)
-    return m @ v
+    return jnp.matmul(m, v, precision=sweep_precision(m, v))
 
 
 def cast_factor(fact: BlockTriFactor, dtype) -> BlockTriFactor:

@@ -148,16 +148,20 @@ def cr_solve(fact: CRFactor, rhs: jax.Array) -> jax.Array:
         rhs = jnp.concatenate(
             [rhs, jnp.zeros((pad, b, r), rhs.dtype)], axis=0)
 
+    from .blocktri import sweep_precision
+    mm = partial(jnp.matmul,
+                 precision=sweep_precision(fact.root_Dinv, rhs))
+
     # down sweep: fold even rhs into odd rhs at each level
     stack = []
     cur = rhs
     for lv in fact.levels:
         be, bo = cur[0::2], cur[1::2]
         stack.append(be)
-        cur = bo - lv.P @ be[:-1] - lv.Q @ be[1:]
+        cur = bo - mm(lv.P, be[:-1]) - mm(lv.Q, be[1:])
 
     # root
-    x = (fact.root_Dinv @ cur[0])[None]        # [1, b, r]
+    x = mm(fact.root_Dinv, cur[0])[None]       # [1, b, r]
 
     # up sweep: recover even unknowns from odd neighbours
     for lv, be in zip(reversed(fact.levels), reversed(stack)):
@@ -165,7 +169,7 @@ def cr_solve(fact: CRFactor, rhs: jax.Array) -> jax.Array:
         zero = jnp.zeros((1, b, r), x.dtype)
         x_left = jnp.concatenate([zero, x], axis=0)       # x_{2t-1}
         x_right = jnp.concatenate([x, zero], axis=0)      # x_{2t+1}
-        xe = lv.Dinv_e @ (be - lv.L_e @ x_left - lv.U_e @ x_right)
+        xe = mm(lv.Dinv_e, be - mm(lv.L_e, x_left) - mm(lv.U_e, x_right))
         merged = jnp.zeros((ne + x.shape[0], b, r), x.dtype)
         merged = merged.at[0::2].set(xe).at[1::2].set(x)
         x = merged

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from .band import BandedMatrix, pad_banded
 from .blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
-                       blocktri_factor, blocktri_solve)
+                       blocktri_factor, blocktri_solve, sweep_precision)
 
 
 @jax.tree_util.register_dataclass
@@ -366,12 +366,16 @@ def spike_solve(sf: SpikeFactor, rhs: jax.Array,
 
     if sf.V is not None:
         # one-sweep: x = g - V x_{p+1}^top - W x_{p-1}^bot
-        x = (g - jnp.einsum("pnbk,pk->pnb", sf.V, xtop_next)
-               - jnp.einsum("pnbk,pk->pnb", sf.W, xbot_prev))
+        prec = sweep_precision(sf.V, g)
+        x = (g - jnp.einsum("pnbk,pk->pnb", sf.V, xtop_next, precision=prec)
+               - jnp.einsum("pnbk,pk->pnb", sf.W, xbot_prev, precision=prec))
     else:
         # recompute sweep: solve with boundary-corrected RHS
-        corrB = jnp.einsum("prc,pc->pr", sf.Btip, xtop_next)  # [K, k]
-        corrC = jnp.einsum("prc,pc->pr", sf.Ctip, xbot_prev)
+        prec = sweep_precision(sf.Btip, g)
+        corrB = jnp.einsum("prc,pc->pr", sf.Btip, xtop_next,
+                           precision=prec)                     # [K, k]
+        corrC = jnp.einsum("prc,pc->pr", sf.Ctip, xbot_prev,
+                           precision=prec)
         r2 = rblk.at[:, nb - 1, b - k:].add(-corrB)
         r2 = r2.at[:, 0, :k].add(-corrC)
         x = batched_solve(r2)
@@ -420,11 +424,17 @@ def spike_solve_many(sf: SpikeFactor, rhs: jax.Array,
     xbot_prev = jnp.concatenate([zk, z[:, :k, :]], axis=0)
 
     if sf.V is not None:
-        x = (g - jnp.einsum("pnbk,pkr->pnbr", sf.V, xtop_next)
-               - jnp.einsum("pnbk,pkr->pnbr", sf.W, xbot_prev))
+        prec = sweep_precision(sf.V, g)
+        x = (g - jnp.einsum("pnbk,pkr->pnbr", sf.V, xtop_next,
+                            precision=prec)
+               - jnp.einsum("pnbk,pkr->pnbr", sf.W, xbot_prev,
+                            precision=prec))
     else:
-        corrB = jnp.einsum("pcd,pdr->pcr", sf.Btip, xtop_next)
-        corrC = jnp.einsum("pcd,pdr->pcr", sf.Ctip, xbot_prev)
+        prec = sweep_precision(sf.Btip, g)
+        corrB = jnp.einsum("pcd,pdr->pcr", sf.Btip, xtop_next,
+                           precision=prec)
+        corrC = jnp.einsum("pcd,pdr->pcr", sf.Ctip, xbot_prev,
+                           precision=prec)
         r2 = rblk.at[:, nb - 1, b - k:, :].add(-corrB)
         r2 = r2.at[:, 0, :k, :].add(-corrC)
         x = batched_solve(r2)

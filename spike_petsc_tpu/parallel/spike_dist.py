@@ -252,11 +252,27 @@ def local_interface_solve(dsf_local, g_top, g_bot, axis: str):
     return xbot_prev, xtop_next
 
 
-def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str) -> jax.Array:
+def _local_tri_solve(dsf_local, rblk: jax.Array, impl: str) -> jax.Array:
+    """Per-device batched partition solve with engine selection: 'auto'
+    routes to the fused manual-DMA Pallas sweep on TPU for method='inv'
+    lane-aligned factors (727 GB/s measured on v5e), else the XLA scan."""
+    fact = dsf_local.fact
+    is_inv = isinstance(fact, BlockTriFactor) and fact.method == "inv"
+    use_fused = impl == "pallas_fused" or (
+        impl == "auto" and is_inv and dsf_local.b % 128 == 0
+        and jax.default_backend() == "tpu")
+    if use_fused:
+        from ..ops.pallas.fused_sweep import blocktri_solve_fused_pallas
+        return blocktri_solve_fused_pallas(fact, rblk)
+    return _batched_tri_solve(fact, rblk)
+
+
+def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str,
+                      impl: str = "auto") -> jax.Array:
     """Per-device SPIKE solve of the global system; rhs_local: [ppd * m]."""
     nb, b, k, ppd = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.ppd
     rblk = rhs_local.reshape(ppd, nb, b)
-    g = _batched_tri_solve(dsf_local.fact, rblk)
+    g = _local_tri_solve(dsf_local, rblk, impl)
     if dsf_local.K == 1:
         return g.reshape(-1)
     xbot_prev, xtop_next = local_interface_solve(
@@ -264,7 +280,7 @@ def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str) -> jax.Array:
     corrB = jnp.einsum("pcd,pd->pc", dsf_local.Btip, xtop_next)
     corrC = jnp.einsum("pcd,pd->pc", dsf_local.Ctip, xbot_prev)
     r2 = rblk.at[:, nb - 1, b - k:].add(-corrB).at[:, 0, :k].add(-corrC)
-    return _batched_tri_solve(dsf_local.fact, r2).reshape(-1)
+    return _local_tri_solve(dsf_local, r2, impl).reshape(-1)
 
 
 def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:

@@ -99,11 +99,33 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     store = opts.get_bool(f"pc_{name}_store_spikes", False)
     shift = opts.get_string("pc_factor_shift_type", "none")
     shift_amount = opts.get_real("pc_factor_shift_amount", 0.0)
+    inverter = opts.get_string(f"pc_{name}_inverter", "auto")
     sf = spike_factor(band, K=K, block_b=block, method=method,
                       truncated=truncated, store_spikes=store,
-                      shift=shift, shift_amount=shift_amount)
+                      shift=shift, shift_amount=shift_amount,
+                      inverter=inverter)
     info = dict(partitions=K, block=sf.b, tip=sf.k, method=method,
                 truncated=truncated)
+    # Newton–Schulz safety net: the fast inverter assumes the near-
+    # diagonally-dominant regime the scaling pipeline provides.  For exact
+    # (non-truncated) factorizations, verify on a probe solve and silently
+    # re-factor with the pivoted blocked recursion if the result is junk —
+    # the host-level retry contract documented in spike_factor.
+    newton_active = inverter == "newton" or (
+        inverter == "auto" and jax.default_backend() == "tpu")
+    if newton_active and not truncated:
+        import numpy as _np
+        from ..ops.band import banded_matvec as _bmv
+        probe = _bmv(band, jnp.ones((band.n,), band.data.dtype))
+        xs = spike_solve(sf, probe)
+        err = float(_np.asarray(jnp.linalg.norm(
+            _bmv(band, xs) - probe) / jnp.linalg.norm(probe)))
+        if not _np.isfinite(err) or err > 1e-3:
+            sf = spike_factor(band, K=K, block_b=block, method=method,
+                              truncated=truncated, store_spikes=store,
+                              shift=shift, shift_amount=shift_amount,
+                              inverter="blocked")
+            info["inverter_fallback"] = "blocked"
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
