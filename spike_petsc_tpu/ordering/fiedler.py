@@ -118,10 +118,22 @@ def heavy_edge_coarsen(adj: sp.csr_matrix) -> Tuple[sp.csr_matrix, np.ndarray]:
 
 def _fiedler_multilevel(lap: sp.csr_matrix, tol: float, seed: int,
                         coarsest: int = 64,
-                        refine_iters: int = 40) -> Tuple[np.ndarray, float]:
+                        refine_iters: int = 40,
+                        refine: str = "auto") -> Tuple[np.ndarray, float]:
     """Multilevel Fiedler: heavy-edge coarsening, exact coarsest solve,
     prolong + LOBPCG refinement per level (the MC73 job-3 scheme rebuilt
-    from the multilevel-spectral literature)."""
+    from the multilevel-spectral literature).
+
+    ``refine``: "host" (SciPy LOBPCG), "device" (warm-started jittable
+    LOBPCG on the deflated spectrum-flipped operator — all sparse matvecs
+    on the accelerator), or "auto" (device when a non-CPU backend is
+    active).  Coarsening stays host-side by design: it is a combinatorial
+    matching, the numerics are the per-level eigensolves."""
+    if refine == "auto":
+        import jax
+        refine = "device" if jax.default_backend() != "cpu" else "host"
+    refiner = (_refine_lobpcg_device if refine == "device"
+               else _refine_lobpcg)
     # adjacency from the Laplacian: off-diagonal magnitudes
     adj = -lap.copy()
     adj.setdiag(0)
@@ -145,7 +157,7 @@ def _fiedler_multilevel(lap: sp.csr_matrix, tol: float, seed: int,
     for level in range(len(parents) - 1, -1, -1):
         vec = vec[parents[level]]
         lap_l = _lap_of(adjs[level])
-        vec = _refine_lobpcg(lap_l, vec, tol=tol, maxiter=refine_iters)
+        vec = refiner(lap_l, vec, tol=tol, maxiter=refine_iters)
     lap0 = _lap_of(adjs[0])
     lam2 = float(vec @ (lap0 @ vec) / max(vec @ vec, 1e-300))
     return vec, lam2
@@ -178,9 +190,46 @@ def _refine_lobpcg(lap: sp.csr_matrix, x0: np.ndarray, tol: float,
         return x0[:, 0]
 
 
+def _refine_lobpcg_device(lap: sp.csr_matrix, x0: np.ndarray, tol: float,
+                          maxiter: int) -> np.ndarray:
+    """Warm-started device LOBPCG refinement of a prolonged Fiedler guess:
+    top eigenvector of the deflated (c I - L) via jittable BCOO matvecs —
+    the per-level numerics of the multilevel scheme on the accelerator
+    (ROADMAP r2 item 8)."""
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    n = lap.shape[0]
+    if n < 4:  # lobpcg needs a few dofs; tiny levels are free on host
+        return _refine_lobpcg(lap, x0, tol, maxiter)
+    coo = lap.tocoo()
+    bcoo = jsparse.BCOO((jnp.asarray(coo.data),
+                         jnp.stack([jnp.asarray(coo.row),
+                                    jnp.asarray(coo.col)], axis=1)),
+                        shape=lap.shape)
+    c = float(2.0 * np.abs(lap).sum(axis=1).max()) or 1.0
+
+    def op(x):
+        x = x - jnp.mean(x, axis=0, keepdims=True)
+        y = c * x - bcoo @ x
+        return y - jnp.mean(y, axis=0, keepdims=True)
+
+    x0 = x0 - x0.mean()
+    nrm = np.linalg.norm(x0)
+    if nrm < 1e-12:
+        x0 = np.random.default_rng(0).standard_normal(n)
+        x0 -= x0.mean()
+        nrm = np.linalg.norm(x0)
+    X = jnp.asarray((x0 / nrm).reshape(-1, 1))
+    _, u, _ = lobpcg_standard(op, X, m=maxiter, tol=tol)
+    return np.asarray(u[:, 0])
+
+
 def fiedler_vector(lap: sp.csr_matrix, method: str = "auto",
                    tol: float = 1e-8, seed: int = 0,
-                   maxiter: Optional[int] = None) -> Tuple[np.ndarray, float]:
+                   maxiter: Optional[int] = None,
+                   refine: str = "auto") -> Tuple[np.ndarray, float]:
     """Second-smallest eigenpair of the Laplacian. Returns (vector, lambda2)."""
     n = lap.shape[0]
     if method == "auto":
@@ -188,7 +237,7 @@ def fiedler_vector(lap: sp.csr_matrix, method: str = "auto",
             ("lanczos" if n <= 20000 else "multilevel")
 
     if method == "multilevel":
-        return _fiedler_multilevel(lap, tol=tol, seed=seed)
+        return _fiedler_multilevel(lap, tol=tol, seed=seed, refine=refine)
 
     if method == "dense":
         evals, evecs = np.linalg.eigh(lap.toarray())
@@ -251,12 +300,12 @@ def _fiedler_lobpcg_jax(lap: sp.csr_matrix, tol: float, seed: int,
 
 
 def fiedler(a, tol: float = 1e-12, weighted: bool = False,
-            method: str = "auto") -> OrderingResult:
+            method: str = "auto", refine: str = "auto") -> OrderingResult:
     from .. import sparse as hsp
 
     csr = sp.csr_matrix(a)
     lap = graph_laplacian(csr, tol=tol, weighted=weighted)
-    vec, lam2 = fiedler_vector(lap, method=method)
+    vec, lam2 = fiedler_vector(lap, method=method, refine=refine)
     perm = np.argsort(vec, kind="stable").astype(np.int64)
 
     res = OrderingResult(rperm=perm, cperm=perm.copy(),
@@ -276,4 +325,6 @@ def ordering_fiedler(a, options=None) -> OrderingResult:
         if options is not None else False
     method = options.get_string("mat_ordering_fiedler_method", "auto") \
         if options is not None else "auto"
-    return fiedler(a, weighted=weighted, method=method)
+    refine = options.get_string("mat_ordering_fiedler_refine", "auto") \
+        if options is not None else "auto"
+    return fiedler(a, weighted=weighted, method=method, refine=refine)

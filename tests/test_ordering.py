@@ -256,6 +256,20 @@ def test_multilevel_fiedler_scrambled_path():
     assert res.info["bandwidth_in"] > 100
 
 
+def test_multilevel_fiedler_device_refine():
+    """The jittable LOBPCG refiner (refine='device', BCOO matvecs on the
+    accelerator) must match the host refiner's ordering quality."""
+    n = 1500
+    a = problems.tridiag_laplacian(n)
+    rng = np.random.default_rng(11)
+    p = rng.permutation(n)
+    scrambled = hsp.permute(a, p, p)
+    from spike_petsc_tpu.ordering.fiedler import fiedler
+    res = fiedler(scrambled, method="multilevel", refine="device")
+    assert _is_perm(res.rperm)
+    assert res.info["bandwidth_out"] <= 5
+
+
 def test_heavy_edge_coarsen_shrinks():
     from spike_petsc_tpu.ordering.fiedler import heavy_edge_coarsen
     a = problems.laplacian_2d(20, 20)
