@@ -109,7 +109,7 @@ def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int):
 
 
 def reduced_factor(red: BlockTridiagonal, method: str, reduced: str = "auto",
-                   inverter: str = "auto"):
+                   inverter: str = "auto", cr_threshold: int = 33):
     """Factor the SPIKE reduced interface system.
 
     Large partition counts make the block-Thomas scan over K-1 reduced
@@ -117,10 +117,14 @@ def reduced_factor(red: BlockTridiagonal, method: str, reduced: str = "auto",
     levels of batched MXU work instead (ops/cyclic.py), keeping solve
     latency flat in K — the same role recursion plays in recursive SPIKE.
     ``reduced``: "thomas", "cr", or "auto" (cr when the reduced system has
-    >= 33 block rows or the partition factorization itself is CR).
+    >= ``cr_threshold`` block rows or the partition factorization itself is
+    CR).  The default threshold suits the replicated distributed reduced
+    solve; the single-chip path passes a higher one — measured on v5e
+    (experiments/lab_kscale.py, N=1e6 bw=201): thomas 2.8/3.4/3.8/5.3 ms vs
+    cr 3.5/3.4/3.6/3.9 at K=64/128/256/512, so CR only wins past K~256.
     """
     use_cr = reduced == "cr" or method == "cr" or (
-        reduced == "auto" and red.nb >= 33)
+        reduced == "auto" and red.nb >= cr_threshold)
     if use_cr:
         from .cyclic import cr_factor
         return cr_factor(red, inverter=inverter)
@@ -206,7 +210,7 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
             U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
             red = BlockTridiagonal(D=D, L=L, U=U)
             red_fact = reduced_factor(red, method, reduced,
-                                      inverter=inverter)
+                                      inverter=inverter, cr_threshold=255)
 
     if store_dtype is not None:
         if method == "cr":
@@ -248,7 +252,9 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
         iterative refinement (richardson + this factorization as PC) to
         recover accuracy.
       reduced: interface-system solver — "thomas" (sequential scan),
-        "cr" (cyclic reduction, log-depth), or "auto" (cr when K > 33).
+        "cr" (cyclic reduction, log-depth), or "auto" (cr when K > 255;
+        below that the short Thomas scan beats CR's level-dispatch
+        overhead on the fused-sweep path — see reduced_factor).
       shift: "none" or "nonzero" — in-scan diagonal-pivot boosting (PETSc
         ``-pc_factor_shift_type nonzero`` parity; the boosted count lands in
         ``fact.nshift`` and in factor_health reports).

@@ -101,14 +101,14 @@ def test_pc_check_detects_singular():
 
 def test_factorization_checkpoint_cr_variants(tmp_path):
     """Every spike_factor variant round-trips: CR partition factors, CR
-    reduced system (auto at K>=34), stored spikes (ADVICE round 1)."""
+    reduced system, stored spikes (ADVICE round 1)."""
     rng = np.random.default_rng(2)
     a = problems.nonsym_banded(560, 2, 2, seed=9, dominance=8.0)
     bm = _banded(a)
     rhs = jnp.asarray(rng.standard_normal(560))
     for kwargs, name in [
             (dict(K=4, block_b=8, method="cr"), "cr"),
-            (dict(K=40, block_b=4), "bigK_auto_cr_reduced"),
+            (dict(K=40, block_b=4, reduced="cr"), "bigK_cr_reduced"),
             (dict(K=4, block_b=8, store_spikes=True), "spikes"),
             (dict(K=4, block_b=8, method="cr", reduced="cr"), "cr_cr")]:
         sf = spike_factor(bm, **kwargs)
