@@ -70,6 +70,9 @@ def main() -> None:
             try:
                 sf = factor_fn(data, K, reduced)
                 sync(sf)
+                factor_dt = min(
+                    timed(lambda: factor_fn(data, K, reduced))
+                    for _ in range(3))
 
                 @partial(jax.jit, static_argnames=("r",))
                 def loop(sf_in, b0, r):
@@ -84,7 +87,9 @@ def main() -> None:
                 print(f"K{K}_{reduced} FAILED:", repr(e)[:200], flush=True)
                 continue
             name = f"K{K}_{reduced}"
-            results[name] = {"solve_ms": round(dt * 1e3, 3), "rel": rel}
+            results[name] = {"solve_ms": round(dt * 1e3, 3),
+                             "factor_ms": round(factor_dt * 1e3, 2),
+                             "rel": rel}
             print(name, json.dumps(results[name]), flush=True)
 
     print(json.dumps(results))

@@ -95,32 +95,37 @@ def band_to_blocktri(band: BandedMatrix, b: int) -> BlockTridiagonal:
     """Reshape diagonal-offset band storage into block-tridiagonal blocks.
 
     Requires kl, ku <= b; rows are padded (unit diagonal) to a multiple of b.
-    Pure gather — no host round-trip.
+
+    Implementation: a pad-and-reshape "skew" — row p of each block is shifted
+    right by p via flattening a width-``Wp`` row buffer and re-viewing it at
+    width ``Wp - 1`` — after which the D/L/U blocks are *static contiguous
+    slices*.  Pure layout ops; the gather formulation this replaces lowered
+    to a 69 ms dynamic-gather at the bench config vs ~5 ms for the skew
+    (experiments/lab_factor_dissect.py, v5e, N=1e6 bw=201).
     """
     if band.kl > b or band.ku > b:
         raise ValueError(f"block size {b} must cover half-bandwidths "
                          f"(kl={band.kl}, ku={band.ku})")
     nb = -(-band.n // b)
     band = pad_banded(band, nb * b)
-    w = band.width
-    kl = band.kl
+    w, kl, ku = band.width, band.kl, band.ku
     data = band.data.reshape(nb, b, w)
 
-    p = jnp.arange(b)[:, None]
-    q = jnp.arange(b)[None, :]
-
-    def gather(block_col_offset: int) -> jax.Array:
-        # entry (p, q) of the block at column-block offset o sits at band
-        # offset (o*b + q - p), i.e. data column o*b + q - p + kl.
-        j = block_col_offset * b + q - p + kl
-        valid = (j >= 0) & (j < w)
-        jc = jnp.clip(j, 0, w - 1)
-        blocks = data[:, p, jc]                      # [nb, b, b]
-        return jnp.where(valid, blocks, 0)
-
-    D = gather(0)
-    U = gather(1).at[nb - 1].set(0)
-    L = gather(-1).at[0].set(0)
+    # skew[i, p, c] = data[i, p, c - p - pl]  (zero out of band range).
+    # pl >= 2b - kl - 1 keeps every read at c >= p (no wrap into the previous
+    # row); pr >= 2b - ku - 1 covers the U block's rightmost reads.
+    pl = max(2 * b - kl - 1, 0)
+    pr = max(2 * b - ku, 1)
+    wp = pl + w + pr
+    padded = jnp.pad(data, ((0, 0), (0, 0), (pl, pr)))
+    skew = padded.reshape(nb, b * wp)[:, :b * (wp - 1)].reshape(
+        nb, b, wp - 1)
+    # block at column offset o holds entry (p, q) = A[i*b+p, (i+o)*b+q],
+    # which sits at skew column c = pl + kl + o*b + q
+    base = pl + kl
+    L = skew[:, :, base - b:base].at[0].set(0)
+    D = skew[:, :, base:base + b]
+    U = skew[:, :, base + b:base + 2 * b].at[nb - 1].set(0)
     return BlockTridiagonal(D=D, L=L, U=U)
 
 

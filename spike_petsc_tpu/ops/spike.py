@@ -153,8 +153,10 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
 
     Btip, Ctip = _extract_tips(band.data, K, m, k, kl, ku)
 
-    mask = _local_band_mask(m, kl, ku, band.dtype)
-    local = band.data.reshape(K, m, band.width) * mask[None]
+    # out-of-partition couplings live only in the first/last k rows of each
+    # partition (b >= k), i.e. exactly the L[0]/U[nb-1] blocks that
+    # band_to_blocktri zeroes — no separate local-band mask pass needed
+    local = band.data.reshape(K, m, band.width)
 
     to_blocks = jax.vmap(
         lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku), b))
@@ -178,10 +180,7 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     red_Dinv = None
     if K > 1:
         dtype = band.dtype
-        rhsV = jnp.zeros((K, nb, b, k), dtype).at[:, nb - 1, b - k:, :].set(Btip)
-        rhsW = jnp.zeros((K, nb, b, k), dtype).at[:, 0, :k, :].set(Ctip)
-        Vfull = _batched_tri_solve(fact, rhsV)
-        Wfull = _batched_tri_solve(fact, rhsW)
+        Vfull, Wfull = _spike_columns(fact, Btip, Ctip, nb, b, k, dtype)
         V_top, V_bot = Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :]
         W_top, W_bot = Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]
         if store_spikes:
@@ -292,6 +291,54 @@ def _batched_tri_solve(fact, rhs):
     if isinstance(fact, CRFactor):
         return jax.vmap(cr_solve)(fact, rhs)
     return jax.vmap(blocktri_solve)(fact, rhs)
+
+
+def _spike_columns(fact, Btip, Ctip, nb: int, b: int, k: int, dtype):
+    """Spike columns V = A_p^{-1} E_bot B_p and W = A_p^{-1} E_top C_p.
+
+    For method='inv' block-Thomas factors this exploits the right-hand-side
+    structure: V's forward sweep is free (its RHS is nonzero only in the last
+    block, so y_V = e_{nb-1} x B-rows), and V and W share one combined
+    backward sweep — factors stream once for the forward (F) and once for
+    the backward (Sinv, U) instead of twice each (58 -> ~25 ms at the bench
+    config, experiments/lab_factor_dissect.py).  Other factor types take the
+    generic two-solve path.
+    """
+    from .blocktri import _sweep_matvec as mv
+
+    generic = not (isinstance(fact, BlockTriFactor) and fact.method == "inv")
+    if generic:
+        K = Btip.shape[0]
+        rhsV = jnp.zeros((K, nb, b, k), dtype).at[:, nb - 1, b - k:, :].set(Btip)
+        rhsW = jnp.zeros((K, nb, b, k), dtype).at[:, 0, :k, :].set(Ctip)
+        return _batched_tri_solve(fact, rhsV), _batched_tri_solve(fact, rhsW)
+
+    def per_partition(f, Bt, Ct):
+        Bb = jnp.zeros((b, k), dtype).at[b - k:, :].set(Bt)
+        Cb = jnp.zeros((b, k), dtype).at[:k, :].set(Ct)
+
+        def fwd(y_prev, fi):
+            y = -mv(fi, y_prev)
+            return y, y
+
+        _, yw_rest = jax.lax.scan(fwd, Cb, f.F[1:])
+        yw = jnp.concatenate([Cb[None], yw_rest], axis=0)    # [nb, b, k]
+
+        x_last = mv(f.Sinv[-1], jnp.concatenate([Bb, yw[-1]], axis=-1))
+
+        def bwd(x_next, inputs):
+            sinv, u, ywi = inputs
+            y = jnp.concatenate([jnp.zeros((b, k), x_next.dtype), ywi],
+                                axis=-1)                     # [b, 2k]
+            x = mv(sinv, y - mv(u, x_next))
+            return x, x
+
+        _, x_rest = jax.lax.scan(
+            bwd, x_last, (f.Sinv[:-1], f.U[:-1], yw[:-1]), reverse=True)
+        x = jnp.concatenate([x_rest, x_last[None]], axis=0)  # [nb, b, 2k]
+        return x[..., :k], x[..., k:]
+
+    return jax.vmap(per_partition)(fact, Btip, Ctip)
 
 
 def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
