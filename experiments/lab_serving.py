@@ -56,7 +56,9 @@ def main() -> None:
         return dt
 
     results = {}
-    for store in (None, jnp.bfloat16):
+    stores = {'f32': None, 'bf16': jnp.bfloat16}
+    sel = os.environ.get('LAB_STORES', 'f32,bf16').split(',')
+    for store in (stores[x] for x in sel):
         @partial(jax.jit, static_argnames=("kk",))
         def factor_fn(d, kk, store=store):
             return spike_factor(BandedMatrix(data=d, kl=k, ku=k), K=kk,
@@ -65,7 +67,7 @@ def main() -> None:
         sf = factor_fn(data, K)
         sync(sf)
         sname = "bf16" if store is not None else "f32"
-        for r in (8, 32):
+        for r in tuple(int(x) for x in os.environ.get('LAB_RS', '8,32').split(',')):
             X = jax.random.uniform(jax.random.fold_in(key, r), (n, r), dtype)
             B = jnp.stack([banded_matvec(band, X[:, i])
                            for i in range(r)], axis=1)

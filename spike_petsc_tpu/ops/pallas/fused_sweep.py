@@ -287,15 +287,25 @@ def _fused_kernel_many(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
 
 
 def _pick_kt_many(K: int, nb: int, b: int, r: int, itemsize: int,
-                  nbuf: int, cdtype_size: int = 4) -> int:
-    def need(kt):
-        vec = kt * nb * r * b * cdtype_size
+                  nbuf: int, cdtype_size: int = 4) -> tuple:
+    """(kt, rc): partition chunk and RHS chunk fitting the VMEM budget.
+
+    Large r overflows the y scratch ([kt, nb, r, b]); rather than fall back
+    to kt=1 (or overflow VMEM outright), the RHS dim is chunked — each chunk
+    re-streams the factors, which is the only option once the per-partition
+    vectors alone exceed VMEM."""
+    def need(kt, rc):
+        vec = kt * nb * rc * b * cdtype_size
         mats = 3 * nbuf * kt * b * b * itemsize
         return vec * (1 + 2 * 2) + mats
-    kt = min(K, 8)
-    while kt > 1 and (K % kt or need(kt) > _VMEM_BUDGET):
-        kt -= 1
-    return max(kt, 1)
+    rc = r
+    while True:
+        kt = min(K, 8)
+        while kt > 1 and (K % kt or need(kt, rc) > _VMEM_BUDGET):
+            kt -= 1
+        if need(kt, rc) <= _VMEM_BUDGET or rc == 1:
+            return kt, rc
+        rc = -(-rc // 2)
 
 
 @partial(jax.jit, static_argnames=("mode", "nbuf"))
@@ -320,8 +330,18 @@ def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
     r = rhs.shape[-1]
     itemsize = jnp.dtype(fact.F.dtype).itemsize
     cdtype = jnp.result_type(rhs.dtype, jnp.float32)
-    kt = _pick_kt_many(K, nb, b, r, itemsize, nbuf,
-                       jnp.dtype(cdtype).itemsize)
+    kt, rc = _pick_kt_many(K, nb, b, r, itemsize, nbuf,
+                           jnp.dtype(cdtype).itemsize)
+    if rc < r:
+        # chunk the RHS dim (each chunk re-streams the factors — the only
+        # option once per-partition vectors alone exceed VMEM)
+        nch = -(-r // rc)
+        pad = nch * rc - r
+        rp = jnp.pad(rhs, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        outs = [blocktri_solve_fused_many_pallas(
+                    fact, rp[..., i * rc:(i + 1) * rc], mode=mode, nbuf=nbuf)
+                for i in range(nch)]
+        return jnp.concatenate(outs, axis=-1)[..., :r]
     precision = (jax.lax.Precision.DEFAULT if itemsize < 4
                  else jax.lax.Precision.HIGHEST)
 

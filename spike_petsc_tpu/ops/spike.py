@@ -453,7 +453,20 @@ def spike_solve_many(sf: SpikeFactor, rhs: jax.Array,
     rp = jnp.zeros((K * m, r), rhs.dtype).at[:sf.n].set(rhs)
     rblk = rp.reshape(K, nb, b, r)
 
-    impl = _resolve_impl(sf, impl)
+    resolved = _resolve_impl(sf, impl)
+    if impl == "auto" and resolved == "pallas_fused":
+        # the fused kernel wins only while ONE VMEM-sized RHS chunk covers r
+        # (measured v5e crossover, experiments/lab_serving.py: pallas 0.42 vs
+        # xla 0.52 ms/solve at r=32, but 0.35 vs 0.19 at r=128 — chunking
+        # re-streams the factors, the XLA scan streams them once for all r)
+        from .pallas.fused_sweep import _pick_kt_many
+        cdtype = jnp.result_type(rhs.dtype, jnp.float32)
+        _, rc = _pick_kt_many(sf.K, nb, b, r,
+                              jnp.dtype(sf.fact.F.dtype).itemsize, 4,
+                              jnp.dtype(cdtype).itemsize)
+        if rc < r:
+            resolved = "xla"
+    impl = resolved
     if impl in ("pallas", "pallas_fused"):
         from .pallas.fused_sweep import blocktri_solve_fused_many_pallas
         _require_inv_factors(sf, impl)

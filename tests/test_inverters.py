@@ -165,6 +165,38 @@ def test_fused_many_matches_xla():
     np.testing.assert_allclose(np.asarray(x_pal), np.asarray(X), atol=1e-9)
 
 
+def test_fused_many_rhs_chunking(monkeypatch):
+    """Large r no longer falls back to kt=1 / VMEM overflow: the RHS dim is
+    chunked, each chunk re-streaming the factors (ROADMAP r3 item 3).
+    Forced here by shrinking the VMEM budget so r=6 needs 3 chunks."""
+    from spike_petsc_tpu.ops.pallas import fused_sweep
+    from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+    from spike_petsc_tpu.ops.spike import spike_factor, spike_solve_many
+
+    n, hw = 600, 5
+    key = jax.random.PRNGKey(13)
+    w = 2 * hw + 1
+    data = jax.random.uniform(key, (n, w), jnp.float64, minval=-1, maxval=1)
+    data = data.at[:, hw].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
+    band = BandedMatrix(data=data, kl=hw, ku=hw)
+    X = jax.random.uniform(jax.random.fold_in(key, 2), (n, 6), jnp.float64)
+    B = jax.vmap(lambda x: banded_matvec(band, x), in_axes=1, out_axes=1)(X)
+    sf = spike_factor(band, K=4, block_b=8)
+    nb, b = sf.nb, sf.b
+    kt_full, rc_full = fused_sweep._pick_kt_many(4, nb, b, 6, 8, 4, 8)
+    assert rc_full == 6
+    # budget that fits 2 RHS columns but not 6 at kt=1
+    need2 = (1 * nb * 2 * b * 8) * 5 + 3 * 4 * 1 * b * b * 8
+    monkeypatch.setattr(fused_sweep, "_VMEM_BUDGET", need2)
+    kt, rc = fused_sweep._pick_kt_many(4, nb, b, 6, 8, 4, 8)
+    assert rc < 6
+    x_pal = spike_solve_many(sf, B, impl="pallas_fused")
+    x_xla = spike_solve_many(sf, B, impl="xla")
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_xla),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(X), atol=1e-9)
+
+
 def test_pallas_impl_rejects_cr_factors():
     from spike_petsc_tpu.ops.band import BandedMatrix
     from spike_petsc_tpu.ops.spike import (spike_factor, spike_solve,
