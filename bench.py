@@ -52,6 +52,12 @@ def main() -> None:
     method = os.environ.get("SPIKE_BENCH_METHOD", "inv")
     spikes = os.environ.get("SPIKE_BENCH_SPIKES", "1") == "1"
     impl = os.environ.get("SPIKE_BENCH_IMPL", "auto")
+    # bf16-stored V/W spikes are accuracy-free at this config (f64-checked
+    # residual 8.29e-5 vs 8.25e-5 with f32 spikes: the spike columns decay
+    # exponentially away from the interfaces, so their bf16 rounding is
+    # absolutely tiny) and cut per-solve streaming by 0.4 GB: 3.3 -> 2.4 ms
+    spike_store = os.environ.get("SPIKE_BENCH_SPIKE_DTYPE", "bf16")
+    spike_dtype = jnp.bfloat16 if spike_store == "bf16" else None
     w = 2 * k + 1
     dtype = jnp.float32
     platform = jax.devices()[0].platform
@@ -68,7 +74,8 @@ def main() -> None:
     def factor_fn(d, K, kl, ku):
         return spike_factor(BandedMatrix(data=d, kl=kl, ku=ku), K=K,
                             block_b=128, method=method,
-                            store_spikes=spikes, store_dtype=store_dtype)
+                            store_spikes=spikes, store_dtype=store_dtype,
+                            spike_dtype=spike_dtype)
 
     @partial(jax.jit, static_argnames=("r",))
     def solve_loop(sf, b, r):
@@ -205,6 +212,7 @@ def main() -> None:
         "platform": platform,
         "partitions": K,
         "factor_store_dtype": store,
+        "spike_store_dtype": spike_store if sf.V is not None else None,
         "method": method,
         "store_spikes": sf.V is not None,
         "impl": impl,

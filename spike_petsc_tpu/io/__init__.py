@@ -86,14 +86,23 @@ def save_factorization(path: str, sf) -> None:
     import jax
 
     leaves, treedef = jax.tree_util.tree_flatten(sf)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays, exotic = {}, {}
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        if a.dtype.kind not in "fiub?c":
+            # ml_dtypes types (bfloat16, fp8, ...) are void dtypes to npz:
+            # store the raw bits and the dtype name for the loader
+            exotic[str(i)] = a.dtype.name
+            a = a.view(np.dtype(f"u{a.dtype.itemsize}"))
+        arrays[f"leaf_{i}"] = a
     meta = dict(n=sf.n, K=sf.K, m=sf.m, b=sf.b, k=sf.k,
                 truncated=sf.truncated,
                 fact=_describe_tri_factor(sf.fact),
                 red_fact=(None if sf.red_fact is None
                           else _describe_tri_factor(sf.red_fact)),
                 has_red_dinv=sf.red_Dinv is not None,
-                has_spikes=sf.V is not None)
+                has_spikes=sf.V is not None,
+                exotic_dtypes=exotic)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -110,7 +119,16 @@ def load_factorization(path: str):
     # rebuild the treedef by constructing a structurally-identical factor
     # skeleton, then replacing leaves in flatten order
     n_leaves = len([k for k in z.files if k.startswith("leaf_")])
-    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
+    exotic = meta.get("exotic_dtypes", {})
+
+    def leaf(i):
+        a = z[f"leaf_{i}"]
+        if str(i) in exotic:
+            import ml_dtypes
+            a = a.view(np.dtype(getattr(ml_dtypes, exotic[str(i)])))
+        return jnp.asarray(a)
+
+    leaves = [leaf(i) for i in range(n_leaves)]
 
     if "fact" not in meta:
         # legacy (round-1) checkpoint: block-Thomas factors, reduced system

@@ -110,6 +110,8 @@ def test_factorization_checkpoint_cr_variants(tmp_path):
             (dict(K=4, block_b=8, method="cr"), "cr"),
             (dict(K=40, block_b=4, reduced="cr"), "bigK_cr_reduced"),
             (dict(K=4, block_b=8, store_spikes=True), "spikes"),
+            (dict(K=4, block_b=8, store_spikes=True,
+                  spike_dtype=jnp.bfloat16), "bf16_spikes"),
             (dict(K=4, block_b=8, method="cr", reduced="cr"), "cr_cr")]:
         sf = spike_factor(bm, **kwargs)
         path = str(tmp_path / f"f_{name}.npz")
