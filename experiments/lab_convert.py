@@ -133,9 +133,66 @@ def main() -> None:
                     out[:, :, :b])
         return conv_batched
 
+    def make_conv_pallas(Kt):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kern(d_ref, o_ref):
+            p = pl.program_id(1)
+            j = jax.lax.broadcasted_iota(jnp.int32, (w, 3 * b), 0)
+            q = jax.lax.broadcasted_iota(jnp.int32, (w, 3 * b), 1)
+            E = (q == j - kl + b + p).astype(jnp.float32)
+            x = d_ref[:, 0, :]
+            o_ref[:, 0, :] = jax.lax.dot(
+                x, E, precision=jax.lax.Precision.HIGHEST)
+
+        @jax.jit
+        def conv(d3):
+            out = pl.pallas_call(
+                kern,
+                grid=(nbK // Kt, b),
+                in_specs=[pl.BlockSpec((Kt, 1, w), lambda nc, p: (nc, p, 0))],
+                out_specs=pl.BlockSpec((Kt, 1, 3 * b),
+                                       lambda nc, p: (nc, p, 0)),
+                out_shape=jax.ShapeDtypeStruct((nbK, b, 3 * b), jnp.float32),
+            )(d3)
+            return (out[:, :, b:2 * b], out[:, :, 2 * b:], out[:, :, :b])
+        return conv
+
+    def make_conv_pallas2(Kt):
+        from jax.experimental import pallas as pl
+
+        wpad = 256
+        prec = jax.lax.Precision.HIGHEST
+
+        def kern(d_ref, o_ref):
+            p = pl.program_id(1)
+            j = jax.lax.broadcasted_iota(jnp.int32, (wpad, 3 * b), 0)
+            q = jax.lax.broadcasted_iota(jnp.int32, (wpad, 3 * b), 1)
+            E = (q == j - kl + b + p).astype(jnp.float32)
+            o_ref[...] = jax.lax.dot(d_ref[...], E, precision=prec)
+
+        @jax.jit
+        def conv(d3):
+            dp = jnp.pad(d3, ((0, 0), (0, 0), (0, wpad - w)))
+            d2 = dp.reshape(nbK, b * wpad)
+            out = pl.pallas_call(
+                kern,
+                grid=(nbK // Kt, b),
+                in_specs=[pl.BlockSpec((Kt, wpad), lambda nc, p: (nc, p))],
+                out_specs=pl.BlockSpec((Kt, 3 * b), lambda nc, p: (nc, p)),
+                out_shape=jax.ShapeDtypeStruct((nbK, b * 3 * b),
+                                               jnp.float32),
+            )(d2)
+            o3 = out.reshape(nbK, b, 3 * b)
+            return (o3[:, :, b:2 * b], o3[:, :, 2 * b:], o3[:, :, :b])
+        return conv
+
     res = {}
     ref = None
-    for name, fn in [("gather", conv_gather), ("skew", conv_skew),
+    for name, fn in [("pallas2_kt328", make_conv_pallas2(328)),
+                     ("pallas2_kt984", make_conv_pallas2(984)),
+                     ("gather", conv_gather), ("skew", conv_skew),
                      ("slices", conv_slices), ("slices_t", conv_slices_t),
                      ("mxu_high", make_conv_mxu(jax.lax.Precision.HIGH)),
                      ("mxu_highest", make_conv_mxu(jax.lax.Precision.HIGHEST))]:
