@@ -6,6 +6,7 @@ from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
                          make_mesh_multislice, dist_spike_factor_multislice,
                          make_dist_solver_multislice)
 from .matching_dev import auction_match, auction_match_dist
+from .elastic import ResilientResult, SolveCheckpoint, resilient_solve
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "shard_leading",
@@ -14,4 +15,5 @@ __all__ = [
     "make_mesh_multislice", "dist_spike_factor_multislice",
     "make_dist_solver_multislice",
     "auction_match", "auction_match_dist",
+    "ResilientResult", "SolveCheckpoint", "resilient_solve",
 ]

@@ -684,27 +684,29 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     method = SOLVERS.get(ksp_type)
     ppd, m = dsf.ppd, dsf.m
 
-    def local_fn(dsf_in, r_local):
+    def local_fn(dsf_in, r_local, x0_local):
         matvec = lambda v: local_matvec(dsf_in, v, axis)
         pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
             if use_pc else None
-        res = method(matvec, r_local.reshape(-1), None, pc_apply,
-                     axis_name=axis, **params)
+        res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
+                     pc_apply, axis_name=axis, **params)
         return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
                 res.history)
 
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(_dsf_specs(dsf, axis), P(axis)),
+        in_specs=(_dsf_specs(dsf, axis), P(axis), P(axis)),
         out_specs=(P(axis), P(), P(), P(), P()),
         check_vma=False)
 
     from ..solvers.types import KSPResult
 
     @jax.jit
-    def solve_fn(rhs):
+    def solve_fn(rhs, x0=None):
         rhs_sh = _pad_shard_rhs(dsf, mesh, axis, rhs)
-        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh)
+        x0_sh = _pad_shard_rhs(dsf, mesh, axis,
+                               jnp.zeros_like(rhs) if x0 is None else x0)
+        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh, x0_sh)
         return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
                          rnorm=rnorm, history=hist)
 

@@ -1,0 +1,98 @@
+"""Elastic / fault-tolerant distributed solves (SURVEY §5 failure-detection
+row — a capability the reference lacks; its model is fail-fast SETERRQ).
+
+Scenarios on the 8-device virtual CPU mesh: plain segmented solve matches
+the one-shot solver, checkpoint/resume across "process restarts", and an
+injected device failure mid-solve recovered by rebuilding a 4-device mesh
+and resuming from the checkpointed iterate.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from spike_petsc_tpu import sparse as hsp
+from spike_petsc_tpu.models import problems
+from spike_petsc_tpu.ops.band import BandedMatrix
+from spike_petsc_tpu.parallel import (SolveCheckpoint, make_dist_solver,
+                                      make_mesh, dist_spike_factor,
+                                      resilient_solve)
+from spike_petsc_tpu.solvers.types import CONVERGED_RTOL
+
+
+def banded_of(acsr):
+    data, kl, ku = hsp.csr_to_banded_arrays(acsr)
+    return BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+
+
+def _problem(n=512, k=3, seed=7):
+    a = problems.spd_banded(n, k, seed=seed)
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal(n)
+    return a, banded_of(a), u, jnp.asarray(a @ u)
+
+
+def test_segmented_matches_oneshot():
+    a, bm, u, rhs = _problem()
+    res = resilient_solve(bm, rhs, n_devices=8, parts_per_device=1,
+                          block_b=8, rtol=1e-10, maxit=60, segment_its=5)
+    assert res.reason == CONVERGED_RTOL
+    assert res.failures == 0 and res.segments >= 1
+    np.testing.assert_allclose(res.x, u, rtol=1e-7, atol=1e-8)
+    # against the one-shot in-mesh solver
+    mesh = make_mesh(8)
+    dsf = dist_spike_factor(bm, mesh, block_b=8)
+    ref = make_dist_solver(dsf, mesh, rtol=1e-10, maxit=60)(rhs)
+    np.testing.assert_allclose(res.x, np.asarray(ref.x), rtol=1e-9,
+                               atol=1e-10)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Kill the run after one segment (simulated process death), then resume
+    from the npz checkpoint and converge."""
+    a, bm, u, rhs = _problem(seed=9)
+    path = str(tmp_path / "solve.npz")
+
+    class _Stop(RuntimeError):
+        pass
+
+    def die_after_first(segment):
+        if segment >= 1:
+            raise _Stop("simulated process death")
+
+    # unpreconditioned CG so convergence genuinely spans many segments
+    with pytest.raises(_Stop):
+        resilient_solve(bm, rhs, n_devices=8, block_b=8, rtol=1e-8,
+                        maxit=400, segment_its=3, ckpt_path=path,
+                        ksp_type="cg", use_pc=False,
+                        fault_injector=die_after_first, max_failures=0)
+    st = SolveCheckpoint.load(path)
+    assert st.segments >= 1 and st.its_done >= 1
+    assert np.linalg.norm(st.x) > 0          # partial progress persisted
+
+    res = resilient_solve(bm, rhs, n_devices=8, block_b=8, rtol=1e-8,
+                          maxit=400, segment_its=50, ckpt_path=path,
+                          ksp_type="cg", use_pc=False, resume=True)
+    assert res.reason == CONVERGED_RTOL
+    np.testing.assert_allclose(res.x, u, rtol=1e-5, atol=1e-6)
+
+
+def test_device_failure_recovery():
+    """Injected failure after the first segment: the solve rebuilds on a
+    halved (4-device) mesh, re-factors there, resumes from the checkpointed
+    iterate, and still converges."""
+    a, bm, u, rhs = _problem(n=768, k=4, seed=3)
+    fired = []
+
+    def fail_once(segment):
+        if segment == 0 and not fired:
+            fired.append(True)
+            raise RuntimeError("injected: DEVICE_SHUTTING_DOWN")
+
+    res = resilient_solve(bm, rhs, n_devices=8, block_b=8, rtol=1e-10,
+                          maxit=80, segment_its=4,
+                          fault_injector=fail_once, max_failures=2)
+    assert res.failures == 1
+    assert res.meshes_used[0] == (8,) and res.meshes_used[-1] == (4,)
+    assert res.reason == CONVERGED_RTOL
+    np.testing.assert_allclose(res.x, u, rtol=1e-7, atol=1e-8)
