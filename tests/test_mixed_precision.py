@@ -49,3 +49,43 @@ def test_refinement_iteration_count_vs_full_precision():
     res32 = richardson(lambda v: banded_matvec(bm, v), rhs, None,
                        lambda v: spike_solve(sf32, v), rtol=1e-6, maxit=20)
     assert int(res32.its) <= 2  # f32 factor: essentially direct
+
+
+def test_bf16_spike_dtype_only_near_exact():
+    """spike_dtype=bf16 (factors stay f32) costs only the spikes' own
+    rounding (~1e-4 solution error here) — orders better than full-bf16
+    storage (~5e-2), and below the f32 residual floor at the production
+    bench config (f64-checked there: 8.29e-5 vs 8.25e-5)."""
+    a, bm, u = _setup()
+    rhs = banded_matvec(bm, jnp.asarray(u))
+    sfbf = spike_factor(bm, K=8, block_b=8, store_spikes=True,
+                        spike_dtype=jnp.bfloat16)
+    assert sfbf.V.dtype == jnp.bfloat16 and sfbf.fact.F.dtype == jnp.float32
+    xbf = np.asarray(spike_solve(sfbf, rhs))
+    rbf = np.linalg.norm(xbf - u) / np.linalg.norm(u)
+    assert rbf < 5e-4
+
+
+def test_pc_spike_dtype_options():
+    """-pc_spike_store_dtype / -pc_spike_spike_dtype plumb the mixed-
+    precision storage modes through the PC layer."""
+    from spike_petsc_tpu import Options, make_pc
+    from spike_petsc_tpu.solvers.krylov import gmres
+
+    a, bm, u = _setup()
+    rhs = banded_matvec(bm, jnp.asarray(u))
+    pc = make_pc("spike", bm, Options({"pc_spike_partitions": "8",
+                                       "pc_spike_block": "8",
+                                       "pc_spike_store_spikes": "1",
+                                       "pc_spike_spike_dtype": "bf16"}))
+    assert pc.info.get("spike_dtype") == "bfloat16"
+    x = np.asarray(pc.apply(rhs))
+    assert np.linalg.norm(x - u) / np.linalg.norm(u) < 1e-3
+
+    pcb = make_pc("spike", bm, Options({"pc_spike_partitions": "8",
+                                        "pc_spike_block": "8",
+                                        "pc_spike_store_dtype": "bf16"}))
+    assert pcb.info.get("store_dtype") == "bfloat16"
+    res = gmres(lambda v: banded_matvec(bm, v), rhs, None, pcb.apply,
+                rtol=1e-8, maxit=30)
+    assert int(res.reason) > 0 and int(res.its) <= 5
