@@ -108,14 +108,14 @@ def main() -> None:
 
     # ---- TPU solve (chained-loop differenced timing) ------------------------
     timed(lambda: solve_loop(sf, rhs, 2))       # compile
-    timed(lambda: solve_loop(sf, rhs, 12))      # compile
-    t_small = min(timed(lambda: solve_loop(sf, rhs, 2)) for _ in range(3))
-    t_big = min(timed(lambda: solve_loop(sf, rhs, 12)) for _ in range(3))
-    solve_s = max(t_big - t_small, 1e-9) / 10.0
+    timed(lambda: solve_loop(sf, rhs, 22))      # compile
+    t_small = min(timed(lambda: solve_loop(sf, rhs, 2)) for _ in range(5))
+    t_big = min(timed(lambda: solve_loop(sf, rhs, 22)) for _ in range(5))
+    solve_s = max(t_big - t_small, 1e-9) / 20.0
     # sanity guard: if the difference collapsed (tunnel anomaly), report the
     # conservative single-loop estimate instead of a bogus near-zero number
     if solve_s < 1e-5:
-        solve_s = max(t_big / 12.0, t_small / 2.0)
+        solve_s = max(t_big / 22.0, t_small / 2.0)
 
     x = solve_loop(sf, rhs, 1)
     res = banded_matvec(band, x) - rhs
