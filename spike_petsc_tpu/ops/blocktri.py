@@ -370,15 +370,53 @@ def _newton_inv_jvp(tol, max_steps, init, primals, tangents):
     return X, -mm(X, mm(dS, X))
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def newton_inv_fixed(S: jax.Array, cheap_steps: int = 10,
+                     polish_steps: int = 2) -> jax.Array:
+    """Newton–Schulz with a FIXED precision schedule: ``cheap_steps`` at
+    DEFAULT MXU precision (single-pass bf16 — the iteration is
+    self-correcting, E_{k+1} = E_k^2 contracts any low-precision noise)
+    then ``polish_steps`` at HIGHEST to set the final accuracy.  No
+    convergence check: removes the while_loop's serialized max-reduce +
+    branch from the factor scan's critical path (experiments/
+    lab_newton_prec.py: same max|SX-I| = 2.4e-7 as the all-HIGHEST run).
+    Use only in the diagonally-dominant regime; `newton_inv` remains the
+    adaptive/guarded default."""
+    b = S.shape[-1]
+    eye = jnp.eye(b, dtype=S.dtype)
+    d = jnp.diagonal(S, axis1=-2, axis2=-1)
+    X = eye * (1.0 / jnp.where(d != 0, d, jnp.ones_like(d)))[..., None, :]
+    mmc = partial(jnp.matmul, precision=jax.lax.Precision.DEFAULT)
+    mmh = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    for _ in range(cheap_steps):
+        X = mmc(X, 2.0 * eye - mmc(S, X))
+    for _ in range(polish_steps):
+        X = mmh(X, 2.0 * eye - mmh(S, X))
+    return X
+
+
+@newton_inv_fixed.defjvp
+def _newton_inv_fixed_jvp(cheap_steps, polish_steps, primals, tangents):
+    (S,) = primals
+    (dS,) = tangents
+    X = newton_inv_fixed(S, cheap_steps, polish_steps)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return X, -mm(X, mm(dS, X))
+
+
 def batched_inverse(S: jax.Array, inverter: str = "auto") -> jax.Array:
     """Dispatch: 'newton' Newton–Schulz iteration (TPU-fast, needs the
     near-diagonally-dominant regime the scaling pipeline provides),
-    'blocked' Schur recursion, 'lapack' pivoted LU, 'auto' = newton on TPU,
-    lapack elsewhere."""
+    'newton_fixed' fixed-schedule Newton (no convergence check, cheap
+    steps at DEFAULT precision + HIGHEST polish), 'blocked' Schur
+    recursion, 'lapack' pivoted LU, 'auto' = newton on TPU, lapack
+    elsewhere."""
     if inverter == "auto":
         inverter = "newton" if jax.default_backend() == "tpu" else "lapack"
     if inverter == "newton":
         return newton_inv(S)
+    if inverter == "newton_fixed":
+        return newton_inv_fixed(S)
     if inverter == "newton_pan":
         return newton_inv(S, init="pan", max_steps=48)
     if inverter == "blocked":
