@@ -161,7 +161,20 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
 
     to_blocks = jax.vmap(
         lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku), b))
-    blocks = to_blocks(local)                               # [K, nb, b, b] x3
+    # chunk the conversion so its skew intermediate ([m, w + ~3b] per
+    # partition) stays bounded: unchunked it peaks at ~3x the block storage
+    # and OOMs a 16 GB chip near N=2e6 at the bench bandwidth
+    skew_bytes = K * m * (band.width + 3 * b) * jnp.dtype(band.dtype).itemsize
+    need = min(K, -(-skew_bytes // (512 * 1024 * 1024)))
+    nch = next((c for c in range(int(need), K + 1) if K % c == 0), 1) \
+        if need > 1 else 1
+    if nch > 1:
+        blocks = jax.lax.map(to_blocks, local.reshape(nch, K // nch, m,
+                                                      band.width))
+        blocks = jax.tree_util.tree_map(
+            lambda x: x.reshape(K, *x.shape[2:]), blocks)
+    else:
+        blocks = to_blocks(local)                           # [K, nb, b, b] x3
     if method == "cr":
         # cyclic reduction: log2(nb) levels, one large batched inversion
         # call per level (vs nb sequential calls in block-Thomas) — trades
