@@ -68,6 +68,11 @@ class SpikeFactor:
 # Setup
 # ---------------------------------------------------------------------------
 
+# cap on the band->blocktri conversion's transient skew buffer; conversion
+# is chunked over partition groups beyond this (bounds peak factor memory)
+_CONV_CHUNK_BYTES = 512 * 1024 * 1024
+
+
 def _partition_geometry(n: int, K: int, kl: int, ku: int,
                         block_b: Optional[int]) -> tuple:
     k = max(kl, ku, 1)
@@ -165,7 +170,7 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     # partition) stays bounded: unchunked it peaks at ~3x the block storage
     # and OOMs a 16 GB chip near N=2e6 at the bench bandwidth
     skew_bytes = K * m * (band.width + 3 * b) * jnp.dtype(band.dtype).itemsize
-    need = min(K, -(-skew_bytes // (512 * 1024 * 1024)))
+    need = min(K, -(-skew_bytes // _CONV_CHUNK_BYTES))
     nch = next((c for c in range(int(need), K + 1) if K % c == 0), 1) \
         if need > 1 else 1
     if nch > 1:

@@ -195,3 +195,28 @@ def test_shift_nonzero_cr_method():
                 lambda v: spike_solve(shifted, v), rtol=1e-10, maxit=300)
     assert int(res.reason) > 0
     np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-5)
+
+
+def test_chunked_conversion_matches_unchunked(monkeypatch):
+    """The memory-bounded lax.map conversion path (the bench-scale branch)
+    must produce bit-identical factors to the unchunked vmap path."""
+    import jax
+    import jax.numpy as jnp
+    from spike_petsc_tpu.ops import spike as spk
+    from spike_petsc_tpu.models import problems
+    from spike_petsc_tpu import sparse as hsp
+    from spike_petsc_tpu.ops.band import BandedMatrix
+
+    a = problems.nonsym_banded(640, 3, 3, seed=21, dominance=6.0)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    sf_plain = spk.spike_factor(bm, K=8, block_b=8, store_spikes=True)
+    # force the chunked branch (tiny budget -> 8 chunks of 1 partition)
+    monkeypatch.setattr(spk, "_CONV_CHUNK_BYTES", 1024)
+    spk._spike_factor_impl.clear_cache()
+    sf_chunk = spk.spike_factor(bm, K=8, block_b=8, store_spikes=True)
+    spk._spike_factor_impl.clear_cache()
+    import numpy as np
+    for lp, lc in zip(jax.tree_util.tree_leaves(sf_plain),
+                      jax.tree_util.tree_leaves(sf_chunk)):
+        np.testing.assert_array_equal(np.asarray(lp), np.asarray(lc))
