@@ -24,6 +24,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-bound (~180 jitted
+# programs); caching XLA executables across runs makes re-runs fast.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 # ---------------------------------------------------------------------------
 # Test tiers: the full suite is compile-heavy (~10 min).  Modules dominated
 # by multi-device shard_map compiles are marked "slow" so the iteration tier
@@ -35,7 +43,7 @@ import pytest  # noqa: E402
 _SLOW_MODULES = {
     "test_parallel", "test_fieldsplit", "test_dist_auction",
     "test_matching_dev", "test_baseline_configs", "test_pallas_sweeps",
-    "test_autodiff",
+    "test_autodiff", "test_elastic",
 }
 
 
