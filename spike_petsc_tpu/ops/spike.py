@@ -87,11 +87,16 @@ def _partition_geometry(n: int, K: int, kl: int, ku: int,
     return k, b, m
 
 
-def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int):
+def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int,
+                  zero_boundaries: bool = True):
     """Pull the k x k coupling corners out of global band storage.
 
     B_tip[p][r, c] = A[p*m + (m-k) + r, (p+1)*m + c]  (band offset c + k - r)
     C_tip[p][r, c] = A[p*m + r,        (p-1)*m + (m-k) + c]  (offset c - k - r)
+
+    ``zero_boundaries=False`` keeps the first/last partitions' outward tips
+    (for callers extracting a GROUP of partitions from the middle of the
+    global matrix, which zero the true global boundaries themselves).
     """
     w = kl + ku + 1
     r = jnp.arange(k)[:, None]
@@ -102,14 +107,15 @@ def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int):
     rowsB = data.reshape(K, m, w)[:, m - k:, :]            # [K, k, w]
     Btip = jnp.where(validB, rowsB[:, jnp.arange(k)[:, None],
                                    jnp.clip(dB, 0, w - 1)], 0)
-    Btip = Btip.at[K - 1].set(0)
 
     dC = c - k - r + kl
     validC = (dC >= 0) & (dC < w)
     rowsC = data.reshape(K, m, w)[:, :k, :]                # [K, k, w]
     Ctip = jnp.where(validC, rowsC[:, jnp.arange(k)[:, None],
                                    jnp.clip(dC, 0, w - 1)], 0)
-    Ctip = Ctip.at[0].set(0)
+    if zero_boundaries:
+        Btip = Btip.at[K - 1].set(0)
+        Ctip = Ctip.at[0].set(0)
     return Btip, Ctip
 
 
@@ -247,6 +253,159 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     return SpikeFactor(fact=fact, Btip=Btip, Ctip=Ctip, red_fact=red_fact,
                        red_Dinv=red_Dinv, V=V, W=W, n=n, K=K, m=m, b=b, k=k,
                        truncated=truncated)
+
+
+@partial(jax.jit, static_argnames=("kl", "ku", "b", "k", "method", "shift",
+                                   "inverter", "store_spikes", "store_dtype",
+                                   "spike_dtype"))
+def _group_factor_impl(local, Btip_g, Ctip_g, *, kl, ku, b, k, method,
+                       shift, shift_amount, inverter, store_spikes,
+                       store_dtype, spike_dtype):
+    """Factor one GROUP of partitions: [Kg, m, w] local band rows ->
+    (cast factors, cast V/W or None, f32 spike tips for the reduced build).
+    The working set is one group's f32 intermediates — the memory unit of
+    spike_factor_grouped."""
+    Kg, m, w = local.shape
+    to_blocks = jax.vmap(
+        lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku), b))
+    blocks = to_blocks(local)
+    if method == "cr":
+        from .cyclic import cr_factor
+        fact = jax.vmap(partial(cr_factor, shift=shift,
+                                shift_amount=shift_amount,
+                                inverter=inverter))(blocks)
+    else:
+        fact = jax.vmap(partial(blocktri_factor, method=method, shift=shift,
+                                shift_amount=shift_amount,
+                                inverter=inverter))(blocks)
+    nb = m // b
+    dtype = local.dtype
+    Vfull, Wfull = _spike_columns(fact, Btip_g, Ctip_g, nb, b, k, dtype)
+    tips = (Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :],
+            Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :])
+    V = W = None
+    if store_spikes:
+        V, W = Vfull, Wfull
+    if store_dtype is not None:
+        if method == "cr":
+            from .cyclic import cast_cr_factor
+            fact = cast_cr_factor(fact, store_dtype)
+        else:
+            from .blocktri import cast_factor
+            fact = cast_factor(fact, store_dtype)
+        if V is not None:
+            V, W = V.astype(store_dtype), W.astype(store_dtype)
+    if spike_dtype is not None and V is not None:
+        V, W = V.astype(spike_dtype), W.astype(spike_dtype)
+    return fact, V, W, tips
+
+
+@partial(jax.jit, static_argnames=("truncated", "method", "reduced",
+                                   "inverter"))
+def _reduced_from_tips(V_top, V_bot, W_top, W_bot, *, truncated, method,
+                       reduced, inverter):
+    K, k = V_top.shape[0], V_top.shape[1]
+    dtype = V_top.dtype
+    eye = jnp.eye(k, dtype=dtype)
+    z = jnp.zeros((K - 1, k, k), dtype)
+    D = jnp.concatenate([
+        jnp.concatenate([jnp.broadcast_to(eye, (K - 1, k, k)),
+                         V_bot[:-1]], axis=2),
+        jnp.concatenate([W_top[1:],
+                         jnp.broadcast_to(eye, (K - 1, k, k))], axis=2),
+    ], axis=1)
+    if truncated:
+        return None, jnp.linalg.solve(D, jnp.broadcast_to(
+            jnp.eye(2 * k, dtype=dtype), (K - 1, 2 * k, 2 * k)))
+    L = jnp.concatenate([
+        jnp.concatenate([W_bot[:-1], z], axis=2),
+        jnp.concatenate([z, z], axis=2)], axis=1).at[0].set(0)
+    U = jnp.concatenate([
+        jnp.concatenate([z, z], axis=2),
+        jnp.concatenate([z, V_top[1:]], axis=2)], axis=1)
+    U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
+    red = BlockTridiagonal(D=D, L=L, U=U)
+    return reduced_factor(red, method, reduced, inverter=inverter,
+                          cr_threshold=255), None
+
+
+def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
+                         block_b: Optional[int] = None, method: str = "inv",
+                         truncated: bool = False, store_spikes: bool = False,
+                         store_dtype=None, reduced: str = "auto",
+                         shift: str = "none", shift_amount: float = 0.0,
+                         inverter: str = "auto",
+                         spike_dtype=None) -> SpikeFactor:
+    """spike_factor with the partition axis processed in ``groups`` separate
+    device programs (one compile, ``groups`` executions).
+
+    Partitions are independent, so each group's full-precision
+    intermediates (block conversion, factor scan, spike sweeps) are freed
+    before the next group runs — peak memory is the FINAL factor storage
+    plus one group's working set, instead of everything at once.  This is
+    what lets N=4e6 x bw=201 factor on one 16 GB chip in bf16 PC mode
+    (the monolithic path OOMs near N=2e6 f32 / 4e6 bf16).  Same result as
+    spike_factor up to f32 summation order (bit-identical in practice:
+    per-partition math is unchanged, only batching differs).
+    """
+    if K % groups or groups < 1:
+        raise ValueError(f"groups={groups} must divide K={K}")
+    if groups == 1 or K == 1:
+        return spike_factor(band, K, block_b=block_b, method=method,
+                            truncated=truncated, store_spikes=store_spikes,
+                            store_dtype=store_dtype, reduced=reduced,
+                            shift=shift, shift_amount=shift_amount,
+                            inverter=inverter, spike_dtype=spike_dtype)
+    k, b, m = _partition_geometry(band.n, K, band.kl, band.ku, block_b)
+    n, kl, ku = band.n, band.kl, band.ku
+    Kg = K // groups
+
+    # slice groups out of the ORIGINAL band (a full padded copy of the band
+    # would double the band's footprint — the thing this path exists to
+    # avoid); only the last group's slice needs row padding
+    facts, Vs, Ws, tips, Btips, Ctips = [], [], [], [], [], []
+    for g in range(groups):
+        r0 = g * Kg * m
+        seg = band.data[r0:min((g + 1) * Kg * m, n)]
+        if seg.shape[0] < Kg * m:
+            seg = pad_banded(BandedMatrix(data=seg, kl=kl, ku=ku),
+                             Kg * m).data
+        Btip_g, Ctip_g = _extract_tips(seg, Kg, m, k, kl, ku,
+                                       zero_boundaries=False)
+        local_g = seg.reshape(Kg, m, kl + ku + 1)
+        if g == groups - 1:
+            Btip_g = Btip_g.at[Kg - 1].set(0)
+        if g == 0:
+            Ctip_g = Ctip_g.at[0].set(0)
+        fact_g, V_g, W_g, tips_g = _group_factor_impl(
+            local_g, Btip_g, Ctip_g, kl=kl, ku=ku, b=b, k=k,
+            method=method, shift=shift, shift_amount=shift_amount,
+            inverter=inverter, store_spikes=store_spikes,
+            store_dtype=store_dtype, spike_dtype=spike_dtype)
+        facts.append(fact_g)
+        Vs.append(V_g)
+        Ws.append(W_g)
+        tips.append(tips_g)
+        Btips.append(Btip_g)
+        Ctips.append(Ctip_g)
+    Btip = jnp.concatenate(Btips, axis=0)
+    Ctip = jnp.concatenate(Ctips, axis=0)
+
+    fact = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *facts)
+    V = (jnp.concatenate(Vs, axis=0) if store_spikes else None)
+    W = (jnp.concatenate(Ws, axis=0) if store_spikes else None)
+    V_top, V_bot, W_top, W_bot = (
+        jnp.concatenate([t[i] for t in tips], axis=0) for i in range(4))
+
+    red_fact = red_Dinv = None
+    if K > 1:
+        red_fact, red_Dinv = _reduced_from_tips(
+            V_top, V_bot, W_top, W_bot, truncated=truncated, method=method,
+            reduced=reduced, inverter=inverter)
+    return SpikeFactor(fact=fact, Btip=Btip, Ctip=Ctip, red_fact=red_fact,
+                       red_Dinv=red_Dinv, V=V, W=W, n=n, K=K, m=m, b=b,
+                       k=k, truncated=truncated)
 
 
 def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,

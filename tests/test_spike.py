@@ -220,3 +220,34 @@ def test_chunked_conversion_matches_unchunked(monkeypatch):
     for lp, lc in zip(jax.tree_util.tree_leaves(sf_plain),
                       jax.tree_util.tree_leaves(sf_chunk)):
         np.testing.assert_array_equal(np.asarray(lp), np.asarray(lc))
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(),
+    dict(store_spikes=True),
+    dict(store_spikes=True, spike_dtype=jnp.bfloat16),
+    dict(method="cr"),
+    dict(truncated=True),
+    dict(shift="nonzero"),
+])
+def test_spike_factor_grouped_matches(kwargs):
+    """Group-wise factorization (the large-N memory path) is equivalent to
+    the monolithic path: per-partition math is identical, only device-
+    program batching differs."""
+    import jax
+    from spike_petsc_tpu.ops.spike import spike_factor_grouped
+
+    a = problems.nonsym_banded(768, 3, 3, seed=12, dominance=6.0)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(768)
+    rhs = jnp.asarray(a @ u)
+    sf_m = spike_factor(bm, K=8, block_b=8, **kwargs)
+    sf_g = spike_factor_grouped(bm, K=8, groups=4, block_b=8, **kwargs)
+    x_m = np.asarray(spike_solve(sf_m, rhs))
+    x_g = np.asarray(spike_solve(sf_g, rhs))
+    np.testing.assert_allclose(x_g, x_m, rtol=1e-12, atol=1e-13)
+    # bf16 spikes are ~1e-4-grade at this small well-conditioned size
+    tol = 1e-3 if kwargs.get("spike_dtype") is not None else 1e-5
+    np.testing.assert_allclose(x_g, u, rtol=tol, atol=tol / 10)
