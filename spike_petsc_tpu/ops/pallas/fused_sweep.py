@@ -151,7 +151,31 @@ def _pick_kt(K: int, nb: int, b: int, itemsize: int, nbuf: int,
     kt = min(K, 16)
     while kt > 1 and (K % kt or need(kt) > _VMEM_BUDGET):
         kt -= 1
+    if need(kt) > _VMEM_BUDGET:
+        raise ValueError(
+            f"fused sweep infeasible: one partition's vectors need "
+            f"{need(1) >> 20} MB of VMEM (nb={nb}, b={b}); use impl='xla'")
     return max(kt, 1)
+
+
+def fused_sweep_feasible(fact, b: int, nbuf: int = 4,
+                         rhs_itemsize: int = 4) -> bool:
+    """Single source of truth for fused-kernel applicability: method='inv'
+    block-Thomas factors, lane-aligned block size, and the single-RHS y
+    scratch for ONE partition fitting the VMEM budget.  Used by both the
+    single-chip auto dispatch (ops.spike._resolve_impl) and the
+    distributed local solve (parallel.spike_dist._local_tri_solve)."""
+    from ..blocktri import BlockTriFactor
+    if not (isinstance(fact, BlockTriFactor) and fact.method == "inv"):
+        return False
+    if b % 128 != 0:
+        return False
+    nb = fact.F.shape[-3]
+    itemsize = jnp.dtype(fact.F.dtype).itemsize
+    cdtype_size = max(rhs_itemsize, 4)
+    vec = nb * b * cdtype_size
+    mats = 3 * nbuf * b * b * itemsize
+    return vec * 5 + mats <= _VMEM_BUDGET
 
 
 @partial(jax.jit, static_argnames=("mode", "nbuf"))
@@ -303,8 +327,13 @@ def _pick_kt_many(K: int, nb: int, b: int, r: int, itemsize: int,
         kt = min(K, 8)
         while kt > 1 and (K % kt or need(kt, rc) > _VMEM_BUDGET):
             kt -= 1
-        if need(kt, rc) <= _VMEM_BUDGET or rc == 1:
+        if need(kt, rc) <= _VMEM_BUDGET:
             return kt, rc
+        if rc == 1:
+            raise ValueError(
+                f"fused multi-RHS sweep infeasible even at one RHS column: "
+                f"one partition's vectors need {need(1, 1) >> 20} MB of "
+                f"VMEM (nb={nb}, b={b}); use impl='xla'")
         rc = -(-rc // 2)
 
 

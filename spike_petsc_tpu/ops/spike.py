@@ -210,31 +210,9 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
         W_top, W_bot = Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]
         if store_spikes:
             V, W = Vfull, Wfull
-
-        eye = jnp.eye(k, dtype=dtype)
-        z = jnp.zeros((K - 1, k, k), dtype)
-        # D_j = [[I, V_bot[j]], [W_top[j+1], I]]
-        D = jnp.concatenate([
-            jnp.concatenate([jnp.broadcast_to(eye, (K - 1, k, k)),
-                             V_bot[:-1]], axis=2),
-            jnp.concatenate([W_top[1:],
-                             jnp.broadcast_to(eye, (K - 1, k, k))], axis=2),
-        ], axis=1)
-        if truncated:
-            red_Dinv = jnp.linalg.solve(D, jnp.broadcast_to(
-                jnp.eye(2 * k, dtype=dtype), (K - 1, 2 * k, 2 * k)))
-        else:
-            # L_j = [[W_bot[j], 0], [0, 0]], U_j = [[0, 0], [0, V_top[j+1]]]
-            L = jnp.concatenate([
-                jnp.concatenate([W_bot[:-1], z], axis=2),
-                jnp.concatenate([z, z], axis=2)], axis=1).at[0].set(0)
-            U = jnp.concatenate([
-                jnp.concatenate([z, z], axis=2),
-                jnp.concatenate([z, V_top[1:]], axis=2)], axis=1)
-            U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
-            red = BlockTridiagonal(D=D, L=L, U=U)
-            red_fact = reduced_factor(red, method, reduced,
-                                      inverter=inverter, cr_threshold=255)
+        red_fact, red_Dinv = _reduced_from_tips(
+            V_top, V_bot, W_top, W_bot, truncated=truncated, method=method,
+            reduced=reduced, inverter=inverter)
 
     if store_dtype is not None:
         if method == "cr":
@@ -548,12 +526,14 @@ def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
 
 def _resolve_impl(sf: SpikeFactor, impl: str) -> str:
     """'auto' picks the fused manual-DMA Pallas sweep when it applies
-    (TPU, method='inv' block-Thomas factors, lane-aligned block size);
-    otherwise the XLA scan path."""
+    (TPU, method='inv' block-Thomas factors, lane-aligned block size, and
+    the per-partition VMEM scratch feasible — small-K/large-nb factors
+    fall back to the XLA scan instead of overflowing VMEM); otherwise the
+    XLA scan path."""
     if impl != "auto":
         return impl
-    is_inv = isinstance(sf.fact, BlockTriFactor) and sf.fact.method == "inv"
-    if is_inv and sf.b % 128 == 0 and jax.default_backend() == "tpu":
+    from .pallas.fused_sweep import fused_sweep_feasible
+    if jax.default_backend() == "tpu" and fused_sweep_feasible(sf.fact, sf.b):
         return "pallas_fused"
     return "xla"
 

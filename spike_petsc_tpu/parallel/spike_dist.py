@@ -257,10 +257,10 @@ def _local_tri_solve(dsf_local, rblk: jax.Array, impl: str) -> jax.Array:
     routes to the fused manual-DMA Pallas sweep on TPU for method='inv'
     lane-aligned factors (727 GB/s measured on v5e), else the XLA scan."""
     fact = dsf_local.fact
-    is_inv = isinstance(fact, BlockTriFactor) and fact.method == "inv"
+    from ..ops.pallas.fused_sweep import fused_sweep_feasible
     use_fused = impl == "pallas_fused" or (
-        impl == "auto" and is_inv and dsf_local.b % 128 == 0
-        and jax.default_backend() == "tpu")
+        impl == "auto" and jax.default_backend() == "tpu"
+        and fused_sweep_feasible(fact, dsf_local.b))
     if use_fused:
         from ..ops.pallas.fused_sweep import blocktri_solve_fused_pallas
         return blocktri_solve_fused_pallas(fact, rblk)
@@ -448,10 +448,13 @@ def make_mesh_multislice(shape, axes=("slice", "p")) -> Mesh:
     by_slice = {}
     for d in devs:
         by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    chosen = sorted(by_slice)[:n_slices]
+    # validate the SAME slices the grid will be built from (sorted order):
+    # after a partial slice failure, populations can be heterogeneous
     if len(by_slice) >= n_slices and all(
-            len(v) >= per_slice for v in list(by_slice.values())[:n_slices]):
+            len(by_slice[s]) >= per_slice for s in chosen):
         grid = [sorted(by_slice[s], key=lambda d: d.id)[:per_slice]
-                for s in sorted(by_slice)[:n_slices]]
+                for s in chosen]
         return Mesh(_np.asarray(grid), tuple(axes))
     return Mesh(_np.asarray(devs[:need]).reshape(n_slices, per_slice),
                 tuple(axes))

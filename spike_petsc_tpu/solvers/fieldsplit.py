@@ -78,12 +78,17 @@ def _fieldsplit_isets(opts: Options, n: int):
         if n % bs:
             raise ValueError(f"n={n} not divisible by block size {bs}")
         base = np.arange(0, n, bs)
+        present = [i for i in range(bs)
+                   if opts.get_list(f"pc_fieldsplit_{i}_fields", None)
+                   is not None]
+        if present and present != list(range(len(present))):
+            raise ValueError(
+                f"-pc_fieldsplit_<i>_fields must be numbered contiguously "
+                f"from 0; got indices {present}")
         isets = []
-        for i in range(bs):  # at most bs fields
-            comps = opts.get_list(f"pc_fieldsplit_{i}_fields", None)
-            if comps is None:
-                break
-            comps = [int(c) for c in comps]
+        for i in present:
+            comps = [int(c) for c in
+                     opts.get_list(f"pc_fieldsplit_{i}_fields", None)]
             idx = np.sort(np.concatenate([base + c for c in comps]))
             isets.append(idx.astype(np.int64))
         if not isets:

@@ -90,20 +90,29 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
     b = jnp.asarray(b)
     res = solver(b, None if x0 is None else jnp.asarray(x0))
     if monitor:
-        print_monitor(res)
+        import numpy as _np
+        print_monitor(res, bnorm=float(_np.linalg.norm(_np.asarray(b))))
     return res
 
 
-def print_monitor(res: KSPResult) -> None:
+def print_monitor(res: KSPResult, bnorm=None) -> None:
     """-ksp_monitor style residual printout; when the solver recorded
     unpreconditioned norms, prints both columns like PETSc's
-    -ksp_monitor_true_residual (/root/reference/src/makefile:18)."""
+    -ksp_monitor_true_residual (/root/reference/src/makefile:18).
+
+    ``bnorm``: ||b|| for the ||r(i)||/||b|| column.  Without it the initial
+    true residual is used — identical for zero initial guesses, but pass
+    the real ||b|| when monitoring warm-started solves."""
     import numpy as np
 
     from .types import reason_str
     h = np.asarray(res.history)
     th = None if res.true_history is None else np.asarray(res.true_history)
-    tb = None if th is None else (th[0] if th[0] > 0 else 1.0)
+    tb = None
+    if th is not None:
+        tb = float(bnorm) if bnorm is not None else float(th[0])
+        if not np.isfinite(tb) or tb <= 0:
+            tb = 1.0
     for i in range(int(res.its) + 1):
         if np.isfinite(h[i]):
             if th is not None and np.isfinite(th[i]):

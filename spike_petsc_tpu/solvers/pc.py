@@ -87,6 +87,48 @@ def pc_jacobi(pmat, opts: Options) -> PC:
     return PC(name="jacobi", apply=lambda x: dinv * x)
 
 
+def _newton_probe_active(inverter: str) -> bool:
+    return inverter in ("newton", "newton_fixed", "newton_pan") or (
+        inverter == "auto" and jax.default_backend() == "tpu")
+
+
+def _newton_safety_net(band, sf, inverter, store_dtype, spike_dtype,
+                       refactor, exact: bool = True):
+    """Newton-family safety net: the fast inverters assume the near-
+    diagonally-dominant regime the scaling pipeline provides (and
+    'newton_fixed' has no internal convergence check at all).  Verify the
+    factorization on a probe solve and silently re-factor with the pivoted
+    blocked recursion if the result is junk — the host-level retry contract
+    documented in spike_factor.
+
+    ``exact=False`` (truncated/block-Jacobi factorizations, which drop
+    coupling ON PURPOSE) only rejects non-finite probes.
+
+    Returns (sf, fell_back).
+    """
+    if not _newton_probe_active(inverter):
+        return sf, False
+    import numpy as _np
+    from ..ops.band import banded_matvec as _bmv
+    from ..ops.spike import spike_solve as _ssolve
+    probe = _bmv(band, jnp.ones((band.n,), band.data.dtype))
+    xs = _ssolve(sf, probe)
+    err = float(_np.asarray(jnp.linalg.norm(
+        _bmv(band, xs) - probe) / jnp.linalg.norm(probe)))
+    # reduced-precision storage legitimately floors the probe residual —
+    # only treat errors well beyond each mode's floor as inverter failure
+    if store_dtype is not None:
+        tol = 5e-2
+    elif spike_dtype is not None:
+        tol = 5e-3
+    else:
+        tol = 1e-3
+    bad = not _np.isfinite(err) or (exact and err > tol) or err > 1e6
+    if bad:
+        return refactor(), True
+    return sf, False
+
+
 def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
               truncated_default: bool) -> PC:
     band = _as_banded(pmat, opts)
@@ -119,30 +161,16 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
         info["store_dtype"] = jnp.dtype(store_dtype).name
     if spike_dtype is not None and store:
         info["spike_dtype"] = jnp.dtype(spike_dtype).name
-    # Newton–Schulz safety net: the fast inverter assumes the near-
-    # diagonally-dominant regime the scaling pipeline provides.  For exact
-    # (non-truncated) factorizations, verify on a probe solve and silently
-    # re-factor with the pivoted blocked recursion if the result is junk —
-    # the host-level retry contract documented in spike_factor.
-    newton_active = inverter == "newton" or (
-        inverter == "auto" and jax.default_backend() == "tpu")
-    if newton_active and not truncated:
-        import numpy as _np
-        from ..ops.band import banded_matvec as _bmv
-        probe = _bmv(band, jnp.ones((band.n,), band.data.dtype))
-        xs = spike_solve(sf, probe)
-        err = float(_np.asarray(jnp.linalg.norm(
-            _bmv(band, xs) - probe) / jnp.linalg.norm(probe)))
-        # bf16 factor storage legitimately floors the probe at ~3 digits —
-        # only treat it as an inverter failure well beyond that
-        tol = 1e-3 if store_dtype is None else 5e-2
-        if not _np.isfinite(err) or err > tol:
-            sf = spike_factor(band, K=K, block_b=block, method=method,
-                              truncated=truncated, store_spikes=store,
-                              shift=shift, shift_amount=shift_amount,
-                              inverter="blocked", store_dtype=store_dtype,
-                              spike_dtype=spike_dtype)
-            info["inverter_fallback"] = "blocked"
+    sf, fb = _newton_safety_net(
+        band, sf, inverter, store_dtype, spike_dtype,
+        lambda: spike_factor(band, K=K, block_b=block, method=method,
+                             truncated=truncated, store_spikes=store,
+                             shift=shift, shift_amount=shift_amount,
+                             inverter="blocked", store_dtype=store_dtype,
+                             spike_dtype=spike_dtype),
+        exact=not truncated)
+    if fb:
+        info["inverter_fallback"] = "blocked"
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
@@ -170,9 +198,18 @@ def pc_lu(pmat, opts: Options) -> PC:
     block = opts.get_int("pc_lu_block", None)
     shift = opts.get_string("pc_factor_shift_type", "none")
     shift_amount = opts.get_real("pc_factor_shift_amount", 0.0)
+    inverter = opts.get_string("pc_lu_inverter", "auto")
     sf = spike_factor(band, K=1, block_b=block, method=method,
-                      shift=shift, shift_amount=shift_amount)
+                      shift=shift, shift_amount=shift_amount,
+                      inverter=inverter)
     info = dict(block=sf.b, method=method)
+    sf, fb = _newton_safety_net(
+        band, sf, inverter, None, None,
+        lambda: spike_factor(band, K=1, block_b=block, method=method,
+                             shift=shift, shift_amount=shift_amount,
+                             inverter="blocked"))
+    if fb:
+        info["inverter_fallback"] = "blocked"
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
@@ -194,7 +231,14 @@ def pc_bjacobi(pmat, opts: Options) -> PC:
     K = max(1, min(K, band.n // (2 * max(band.kl, band.ku, 1))))
     block = opts.get_int("pc_bjacobi_block", None)
     method = opts.get_string("pc_bjacobi_method", "inv")
-    sf = spike_factor(band, K=K, block_b=block, method=method, truncated=True)
+    inverter = opts.get_string("pc_bjacobi_inverter", "auto")
+    sf = spike_factor(band, K=K, block_b=block, method=method,
+                      truncated=True, inverter=inverter)
+    sf, _fb = _newton_safety_net(
+        band, sf, inverter, None, None,
+        lambda: spike_factor(band, K=K, block_b=block, method=method,
+                             truncated=True, inverter="blocked"),
+        exact=False)
 
     def apply(x):
         from ..ops.spike import _batched_tri_solve

@@ -86,4 +86,5 @@ def solve_reordered(A, b, x0=None, *, options: Optional[Options] = None,
     y[ores.cperm] = z
     x = ores.col_scale * y if use_scale else y
     return KSPResult(x=jnp.asarray(x), its=res.its, reason=res.reason,
-                     rnorm=res.rnorm, history=res.history)
+                     rnorm=res.rnorm, history=res.history,
+                     true_history=res.true_history)

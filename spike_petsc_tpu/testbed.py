@@ -178,7 +178,7 @@ def _main(argv=None) -> int:
     if opts.get_bool("ksp_monitor", False) or \
             opts.get_bool("ksp_monitor_true_residual", False) or \
             opts.get_bool("ksp_converged_reason", False):
-        print_monitor(res)
+        print_monitor(res, bnorm=float(np.linalg.norm(np.asarray(b))))
 
     err = float(np.linalg.norm(np.asarray(res.x) - u))
     print(f"Error in solution: {err:g}")

@@ -122,3 +122,17 @@ def test_fieldsplit_bad_sets_rejected():
         pc_fieldsplit_is(a, [np.arange(30), np.arange(30, 60),
                              np.arange(60, 100)],
                          Options({"pc_fieldsplit_type": "schur"}))
+
+
+def test_fieldsplit_fields_gap_is_an_error():
+    """Non-contiguous -pc_fieldsplit_<i>_fields numbering must raise a
+    clear diagnostic, not silently drop later fields (code-review r2)."""
+    import pytest
+    from spike_petsc_tpu.solvers.fieldsplit import _fieldsplit_isets
+    from spike_petsc_tpu.utils.options import Options
+
+    opts = Options({"pc_fieldsplit_block_size": "3",
+                    "pc_fieldsplit_0_fields": "0",
+                    "pc_fieldsplit_2_fields": "1,2"})
+    with pytest.raises(ValueError, match="contiguously"):
+        _fieldsplit_isets(opts, 9)

@@ -235,3 +235,38 @@ def test_pallas_impl_rejects_cr_factors():
         spike_solve(sf, jnp.ones((n,)), impl="pallas_fused")
     with pytest.raises(ValueError, match="method='inv'"):
         spike_solve_many(sf, jnp.ones((n, 2)), impl="pallas_fused")
+
+
+def test_auto_impl_falls_back_when_vmem_infeasible(monkeypatch):
+    """Small-K/large-nb factors must auto-route to the XLA scan instead of
+    overflowing the fused kernel's VMEM scratch (code-review r2)."""
+    from spike_petsc_tpu.ops import spike as spk
+    from spike_petsc_tpu.ops.pallas import fused_sweep
+    from spike_petsc_tpu.ops.band import BandedMatrix
+    from spike_petsc_tpu.models import problems
+    from spike_petsc_tpu import sparse as hsp
+
+    a = problems.spd_banded(512, 3, seed=2)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    sf = spk.spike_factor(bm, K=4, block_b=128)
+    assert fused_sweep.fused_sweep_feasible(sf.fact, sf.b)
+    monkeypatch.setattr(fused_sweep, "_VMEM_BUDGET", 1024)
+    assert not fused_sweep.fused_sweep_feasible(sf.fact, sf.b)
+    monkeypatch.setattr(spk.jax, "default_backend", lambda: "tpu")
+    assert spk._resolve_impl(sf, "auto") == "xla"
+    with pytest.raises(ValueError, match="infeasible"):
+        fused_sweep._pick_kt(4, sf.nb, sf.b, 8, 4, 8)
+    with pytest.raises(ValueError, match="infeasible"):
+        fused_sweep._pick_kt_many(4, sf.nb, sf.b, 2, 8, 4, 8)
+
+
+def test_newton_probe_covers_fixed_engine():
+    """The PC safety-net probe must fire for every newton-family engine —
+    especially 'newton_fixed', which has no internal convergence check."""
+    from spike_petsc_tpu.solvers.pc import _newton_probe_active
+    assert _newton_probe_active("newton")
+    assert _newton_probe_active("newton_fixed")
+    assert _newton_probe_active("newton_pan")
+    assert not _newton_probe_active("blocked")
+    assert not _newton_probe_active("lapack")
