@@ -103,10 +103,13 @@ def _main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", platform)
 
+    from .utils.profiling import scope, stage_report
+
     matfile = opts.get_string("mat")
     problem = opts.get_string("problem")
     if matfile:
-        a = load_matrix(matfile)
+        with scope("MatLoad"):
+            a = load_matrix(matfile)
     elif problem:
         a = make_problem(problem)
     else:
@@ -120,9 +123,11 @@ def _main(argv=None) -> int:
     ord1 = opts.get_string("mat_ordering_type", "natural")
     ord2 = opts.get_string("mat_ordering_type2", "natural")
     if ord1 != "natural":
-        a, _ = _reorder_pass(a, ord1, opts, scale, second=False)
+        with scope(f"MatOrdering:{ord1}"):
+            a, _ = _reorder_pass(a, ord1, opts, scale, second=False)
     if ord2 != "natural":
-        a, _ = _reorder_pass(a, ord2, opts, scale=False, second=True)
+        with scope(f"MatOrdering:{ord2}"):
+            a, _ = _reorder_pass(a, ord2, opts, scale=False, second=True)
 
     # preconditioning matrix (testbed.c:286-296)
     pmat = a
@@ -130,7 +135,8 @@ def _main(argv=None) -> int:
     if pre_mat_built:
         kmax = opts.get_int("pc_banded_kmax", 50)
         frac = opts.get_real("pc_banded_frac", 0.95)
-        ext = hsp.extract_banded(a, kmax=kmax, frac=frac)
+        with scope("MatCreateSubMatrixBanded"):
+            ext = hsp.extract_banded(a, kmax=kmax, frac=frac)
         pmat = ext.matrix
         print(f"Bandwidth of {frac:.0%} band: {ext.k} "
               f"norm fraction: {ext.frac:g}")
@@ -172,9 +178,10 @@ def _main(argv=None) -> int:
     # PCs whose setup is host-side sparse analysis also get the host matrix.
     host_setup_pcs = {"banded", "fieldsplit", "composite"}
     use_host_pmat = pre_mat_built or pc_type in host_setup_pcs
-    res = solve(operator, b,
-                pmat=pmat if use_host_pmat else operator,
-                options=opts)
+    with scope("KSPSolve"):
+        res = solve(operator, b,
+                    pmat=pmat if use_host_pmat else operator,
+                    options=opts)
     if opts.get_bool("ksp_monitor", False) or \
             opts.get_bool("ksp_monitor_true_residual", False) or \
             opts.get_bool("ksp_converged_reason", False):
@@ -184,6 +191,10 @@ def _main(argv=None) -> int:
     print(f"Error in solution: {err:g}")
     print(f"KSP iterations: {int(res.its)}  "
           f"reason: {reason_str(res.reason)}  rnorm: {float(res.rnorm):g}")
+
+    if opts.get_bool("log_view", False):
+        # PETSc -log_view / -log_summary stage table (SURVEY.md §5)
+        print(stage_report())
 
     left = opts.options_left()
     if left:

@@ -169,3 +169,16 @@ def test_testbed_banded_pre_mat_feeds_any_pc(capsys):
     # the extraction banner prints, and the solve still converges (the band
     # is only a preconditioner; GMRES iterates on the full operator)
     assert "band:" in out or "norm fraction" in out
+
+
+def test_testbed_log_view(capsys):
+    """-log_view prints the -log_summary style stage table (SURVEY §5
+    tracing row)."""
+    from spike_petsc_tpu.utils import profiling
+    profiling.clear()
+    rc = run_testbed("-problem tridiag:300 -mat_ordering_type rcm "
+                     "-ksp_type gmres -pc_type lu -log_view".split())
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "KSPSolve" in out and "MatOrdering:rcm" in out
+    assert "total_ms" in out
