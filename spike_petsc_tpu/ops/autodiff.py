@@ -46,12 +46,14 @@ def _bwd(kl, ku, K, res, g):
     band_t = banded_transpose(BandedMatrix(data=data, kl=kl, ku=ku))
     sft = spike_factor(band_t, K=K)
     lam = spike_solve(sft, g)                       # A^{-T} g
-    # band-restricted outer product: ddata[i, d] = -lam[i] * x[i + d - kl]
+    # band-restricted outer product: ddata[i, d] = -lam[i] * x[i + d - kl],
+    # built from w shifted slices (TPU gathers are ~0.2 GB/s; see
+    # banded_matvec)
     n = data.shape[0]
-    offs = jnp.arange(-kl, ku + 1)
-    cols = jnp.arange(n)[:, None] + offs[None, :]
-    valid = (cols >= 0) & (cols < n)
-    xg = jnp.where(valid, x[jnp.clip(cols, 0, n - 1)], 0)
+    w = kl + ku + 1
+    xpad = jnp.pad(x, (kl, ku))
+    xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
+                    for d in range(w)], axis=1)
     ddata = -lam[:, None] * xg
     return ddata.astype(data.dtype), lam.astype(x.dtype)
 

@@ -99,20 +99,18 @@ def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int,
     global matrix, which zero the true global boundaries themselves).
     """
     w = kl + ku + 1
-    r = jnp.arange(k)[:, None]
-    c = jnp.arange(k)[None, :]
-
-    dB = c + k - r + kl
-    validB = (dB >= 0) & (dB < w)
+    # per tip row r the needed band offsets are CONTIGUOUS (k static slices
+    # beat a 2-D gather by ~100x on TPU; see banded_matvec); lane-pad by k
+    # so offsets outside [0, w) read zeros
     rowsB = data.reshape(K, m, w)[:, m - k:, :]            # [K, k, w]
-    Btip = jnp.where(validB, rowsB[:, jnp.arange(k)[:, None],
-                                   jnp.clip(dB, 0, w - 1)], 0)
-
-    dC = c - k - r + kl
-    validC = (dC >= 0) & (dC < w)
-    rowsC = data.reshape(K, m, w)[:, :k, :]                # [K, k, w]
-    Ctip = jnp.where(validC, rowsC[:, jnp.arange(k)[:, None],
-                                   jnp.clip(dC, 0, w - 1)], 0)
+    rowsC = data.reshape(K, m, w)[:, :k, :]
+    rowsB = jnp.pad(rowsB, ((0, 0), (0, 0), (2 * k, 2 * k)))
+    rowsC = jnp.pad(rowsC, ((0, 0), (0, 0), (2 * k, 2 * k)))
+    # B_tip[p][r, c] at offset c + k - r + kl; C_tip[p][r, c] at c - k - r + kl
+    Btip = jnp.stack([rowsB[:, r, 3 * k - r + kl:4 * k - r + kl]
+                      for r in range(k)], axis=1)          # [K, k, k]
+    Ctip = jnp.stack([rowsC[:, r, k + kl - r:2 * k + kl - r]
+                      for r in range(k)], axis=1)
     if zero_boundaries:
         Btip = Btip.at[K - 1].set(0)
         Ctip = Ctip.at[0].set(0)
