@@ -19,9 +19,31 @@ from ..ops.band import BandedMatrix, banded_matvec
 from ..ops.blocktri import BlockTridiagonal, blocktri_matvec
 
 
+def _use_blocktri_matvec() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def as_matvec(a, n_hint: int = None) -> Tuple[Callable, int, object]:
-    """Return (matvec, n, dtype) for any supported operator representation."""
+    """Return (matvec, n, dtype) for any supported operator representation.
+
+    On TPU, wide BandedMatrix operators route through a one-time
+    block-tridiagonal conversion + the Pallas matvec kernel: amortized over
+    a Krylov solve's iterations this is ~6x the shifted-axpy banded matvec
+    (6.8 vs 39 ms at N=1e6 bw=201 on v5e; conversion ~47 ms once).
+    """
     if isinstance(a, BandedMatrix):
+        wide = (a.kl + a.ku + 1 >= 32 and max(a.kl, a.ku) <= 128
+                and a.n >= 4 * 128)
+        if wide and _use_blocktri_matvec():
+            from ..ops.blocktri import band_to_blocktri
+            from ..ops.pallas.matvec import blocktri_matvec_pallas
+            T = band_to_blocktri(a, 128)
+            nb, b = T.nb, T.b
+
+            def mv(x):
+                xb = jnp.pad(x, (0, nb * b - a.n)).reshape(nb, b)
+                return blocktri_matvec_pallas(T, xb).reshape(-1)[:a.n]
+            return mv, a.n, a.dtype
         return (lambda x: banded_matvec(a, x)), a.n, a.dtype
 
     if isinstance(a, BlockTridiagonal):

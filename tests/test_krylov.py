@@ -218,3 +218,24 @@ def test_gmres_true_residual_monitor():
     # preconditioned and true histories must differ (ill-scaled diagonal PC)
     ph = np.asarray(res.history)
     assert not np.allclose(ph[:its + 1], th[:its + 1])
+
+
+def test_as_matvec_blocktri_pallas_route(monkeypatch):
+    """Wide banded operators on TPU route through the block-tridiagonal
+    Pallas matvec (6x the shifted-axpy form); parity with banded_matvec."""
+    import jax
+    from spike_petsc_tpu.solvers import operator as op_mod
+    from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+
+    n, k = 700, 20
+    w = 2 * k + 1
+    key = jax.random.PRNGKey(3)
+    data = jax.random.uniform(key, (n, w), jnp.float64)
+    bm = BandedMatrix(data=data, kl=k, ku=k)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (n,), jnp.float64)
+    ref = banded_matvec(bm, x)
+    monkeypatch.setattr(op_mod, "_use_blocktri_matvec", lambda: True)
+    mv, nn, _ = op_mod.as_matvec(bm)
+    assert nn == n
+    np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(ref),
+                               rtol=1e-13, atol=1e-13)
