@@ -277,9 +277,9 @@ def _group_factor_impl(local, Btip_g, Ctip_g, *, kl, ku, b, k, method,
 
 
 @partial(jax.jit, static_argnames=("truncated", "method", "reduced",
-                                   "inverter"))
+                                   "inverter", "cr_threshold"))
 def _reduced_from_tips(V_top, V_bot, W_top, W_bot, *, truncated, method,
-                       reduced, inverter):
+                       reduced, inverter, cr_threshold: int = 255):
     K, k = V_top.shape[0], V_top.shape[1]
     dtype = V_top.dtype
     eye = jnp.eye(k, dtype=dtype)
@@ -302,7 +302,7 @@ def _reduced_from_tips(V_top, V_bot, W_top, W_bot, *, truncated, method,
     U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
     red = BlockTridiagonal(D=D, L=L, U=U)
     return reduced_factor(red, method, reduced, inverter=inverter,
-                          cr_threshold=255), None
+                          cr_threshold=cr_threshold), None
 
 
 def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,

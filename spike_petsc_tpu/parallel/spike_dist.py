@@ -87,30 +87,13 @@ def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
     Identical math to the single-chip path (ops.spike), executed replicated
     on every device.  ``reduced`` selects thomas/cr/auto: cyclic reduction
     keeps the replicated interface solve log-depth at large K (the
-    recursive-SPIKE role; VERDICT r1 item 5)."""
-    dtype = Vt.dtype
-    eye = jnp.eye(k, dtype=dtype)
-    z = jnp.zeros((K - 1, k, k), dtype)
-    D = jnp.concatenate([
-        jnp.concatenate([jnp.broadcast_to(eye, (K - 1, k, k)), Vb[:-1]],
-                        axis=2),
-        jnp.concatenate([Wt[1:], jnp.broadcast_to(eye, (K - 1, k, k))],
-                        axis=2)], axis=1)
-    if truncated:
-        red_Dinv = jnp.linalg.solve(
-            D, jnp.broadcast_to(jnp.eye(2 * k, dtype=dtype),
-                                (K - 1, 2 * k, 2 * k)))
-        return None, red_Dinv
-    L = jnp.concatenate([
-        jnp.concatenate([Wb[:-1], z], axis=2),
-        jnp.concatenate([z, z], axis=2)], axis=1).at[0].set(0)
-    U = jnp.concatenate([
-        jnp.concatenate([z, z], axis=2),
-        jnp.concatenate([z, Vt[1:]], axis=2)], axis=1)
-    U = U.at[K - 2].set(0) if K > 2 else jnp.zeros_like(U)
-    red = BlockTridiagonal(D=D, L=L, U=U)
-    from ..ops.spike import reduced_factor
-    return reduced_factor(red, method, reduced), None
+    recursive-SPIKE role; VERDICT r1 item 5).  Delegates to the shared
+    assembly (ops.spike._reduced_from_tips) with the distributed default
+    CR threshold (K-1 >= 33)."""
+    from ..ops.spike import _reduced_from_tips
+    return _reduced_from_tips(Vt, Vb, Wt, Wb, truncated=truncated,
+                              method=method, reduced=reduced,
+                              inverter="auto", cr_threshold=33)
 
 
 def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
