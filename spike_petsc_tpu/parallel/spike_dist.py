@@ -34,8 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.band import BandedMatrix, pad_banded
 from ..ops.blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
                             blocktri_factor, blocktri_matvec, blocktri_solve)
-from ..ops.spike import (_batched_tri_solve, _local_band_mask,
-                         _partition_geometry)
+from ..ops.spike import _batched_tri_solve, _partition_geometry
 from ..solvers import krylov
 from ..utils.registry import SOLVERS
 
@@ -118,7 +117,6 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
     data = jax.device_put(band.data.reshape(K, m, w),
                           NamedSharding(mesh, P(axis)))
 
-    mask = _local_band_mask(m, kl, ku, band.data.dtype)
     nb = m // b
 
     def local_setup(data_shard):                    # [ppd, m, w]
@@ -126,21 +124,20 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         Btip, Ctip = jax.vmap(
             lambda d, g: _local_tips_one(d, g, m, k, kl, ku, K))(
                 data_shard, gidx)                   # [ppd, k, k] x2
-        local = data_shard * mask[None]
+        # out-of-partition couplings live only in the L[0]/U[nb-1] blocks
+        # that band_to_blocktri zeroes (b >= k) — no mask pass needed
         blocks = jax.vmap(
             lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
-                                       b))(local)
+                                       b))(data_shard)
         if method == "cr":
             from ..ops.cyclic import cr_factor
             fact = jax.vmap(cr_factor)(blocks)
         else:
             fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
-        # spikes (k RHS per partition)
-        dt = data_shard.dtype
-        rhsV = jnp.zeros((ppd, nb, b, k), dt).at[:, nb - 1, b - k:, :].set(Btip)
-        rhsW = jnp.zeros((ppd, nb, b, k), dt).at[:, 0, :k, :].set(Ctip)
-        V = _batched_tri_solve(fact, rhsV)
-        W = _batched_tri_solve(fact, rhsW)
+        # spikes: shared forward + combined backward sweep (factors stream
+        # once each way; ops.spike._spike_columns)
+        from ..ops.spike import _spike_columns
+        V, W = _spike_columns(fact, Btip, Ctip, nb, b, k, data_shard.dtype)
         tips = jnp.stack([V[:, 0, :k, :], V[:, nb - 1, b - k:, :],
                           W[:, 0, :k, :], W[:, nb - 1, b - k:, :]],
                          axis=1)                     # [ppd, 4, k, k]
@@ -459,7 +456,6 @@ def dist_spike_factor_multislice(
     w = band.width
     data = jax.device_put(band.data.reshape(K, m, w),
                           NamedSharding(mesh, P((axis_slice, axis_p))))
-    mask = _local_band_mask(m, kl, ku, band.data.dtype)
     nb = m // b
 
     def local_setup(data_shard):                    # [ppd, m, w]
@@ -470,10 +466,10 @@ def dist_spike_factor_multislice(
         Btip, Ctip = jax.vmap(
             lambda d, g: _local_tips_one(d, g, m, k, kl, ku, K))(
                 data_shard, gidx)
-        local = data_shard * mask[None]
+        # locality is enforced by band_to_blocktri's L[0]/U[nb-1] zeroing
         blocks = jax.vmap(
             lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
-                                       b))(local)
+                                       b))(data_shard)
         if method == "cr":
             from ..ops.cyclic import cr_factor
             fact = jax.vmap(cr_factor)(blocks)
@@ -487,11 +483,8 @@ def dist_spike_factor_multislice(
         Ctip_pc = jnp.where((lidx == 0)[:, None, None],
                             jnp.zeros_like(Ctip), Ctip)
         dt = data_shard.dtype
-        rhsV = jnp.zeros((ppd, nb, b, k), dt).at[:, nb - 1, b - k:, :].set(
-            Btip_pc)
-        rhsW = jnp.zeros((ppd, nb, b, k), dt).at[:, 0, :k, :].set(Ctip_pc)
-        V = _batched_tri_solve(fact, rhsV)
-        W = _batched_tri_solve(fact, rhsW)
+        from ..ops.spike import _spike_columns
+        V, W = _spike_columns(fact, Btip_pc, Ctip_pc, nb, b, k, dt)
         tips = jnp.stack([V[:, 0, :k, :], V[:, nb - 1, b - k:, :],
                           W[:, 0, :k, :], W[:, nb - 1, b - k:, :]],
                          axis=1)                     # [ppd, 4, k, k]
