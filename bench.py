@@ -138,6 +138,8 @@ def main() -> None:
     g_its = int(np.asarray(g_its))
     g_rel = float(np.asarray(g_rnorm)) / float(np.asarray(
         jnp.linalg.norm(rhs)))
+    # end-to-end preconditioned-GMRES wall clock (matvec + PC + reductions)
+    gmres_s = min(timed(lambda: gmres_run(data, sf, rhs)) for _ in range(3))
 
     # ---- CPU LAPACK baseline (same precision) ------------------------------
     if os.environ.get("SPIKE_BENCH_SKIP_CPU") == "1":
@@ -148,7 +150,8 @@ def main() -> None:
             "vs_baseline": None, "partitions": K,
             "tpu_factor_ms": round(factor_s * 1e3, 3),
             "rel_residual_f32": relres,
-            "gmres_spikepc_its_rtol1e8": g_its}))
+            "gmres_spikepc_its_rtol1e8": g_its,
+            "gmres_wall_ms": round(gmres_s * 1e3, 2)}))
         return
 
     from scipy.linalg import lapack
@@ -228,6 +231,7 @@ def main() -> None:
         "rel_residual_f32": relres,
         "gmres_spikepc_its_rtol1e8": g_its,
         "gmres_final_relres": g_rel,
+        "gmres_wall_ms": round(gmres_s * 1e3, 2),
         "factor_compile_s": round(factor_compile_s, 2),
     }
     print(json.dumps(out))
