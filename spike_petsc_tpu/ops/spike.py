@@ -522,7 +522,15 @@ def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):
     return xbot_prev, xtop_next
 
 
-def _resolve_impl(sf: SpikeFactor, impl: str) -> str:
+def _rhs_itemsize(rhs_dtype) -> int:
+    """VMEM itemsize of the sweep carry for a given rhs dtype (the kernel
+    promotes to the f32-or-wider result type; an f64 rhs doubles the vector
+    scratch — ADVICE r2: the feasibility check must see the same size the
+    kernel will allocate, or 'auto' can pick pallas and then raise)."""
+    return jnp.dtype(jnp.result_type(rhs_dtype, jnp.float32)).itemsize
+
+
+def _resolve_impl(sf: SpikeFactor, impl: str, rhs_dtype=jnp.float32) -> str:
     """'auto' picks the fused manual-DMA Pallas sweep when it applies
     (TPU, method='inv' block-Thomas factors, lane-aligned block size, and
     the per-partition VMEM scratch feasible — small-K/large-nb factors
@@ -531,7 +539,8 @@ def _resolve_impl(sf: SpikeFactor, impl: str) -> str:
     if impl != "auto":
         return impl
     from .pallas.fused_sweep import fused_sweep_feasible
-    if jax.default_backend() == "tpu" and fused_sweep_feasible(sf.fact, sf.b):
+    if jax.default_backend() == "tpu" and fused_sweep_feasible(
+            sf.fact, sf.b, rhs_itemsize=_rhs_itemsize(rhs_dtype)):
         return "pallas_fused"
     return "xla"
 
@@ -571,7 +580,7 @@ def spike_solve(sf: SpikeFactor, rhs: jax.Array,
     rp = jnp.zeros((K * m,), rhs.dtype).at[:sf.n].set(rhs)
     rblk = rp.reshape(K, nb, b)
 
-    impl = _resolve_impl(sf, impl)
+    impl = _resolve_impl(sf, impl, rhs.dtype)
     batched_solve = _make_batched_solve(sf, impl)
 
     g = batched_solve(rblk)                                  # [K, nb, b]
@@ -618,7 +627,7 @@ def spike_solve_many(sf: SpikeFactor, rhs: jax.Array,
     rp = jnp.zeros((K * m, r), rhs.dtype).at[:sf.n].set(rhs)
     rblk = rp.reshape(K, nb, b, r)
 
-    resolved = _resolve_impl(sf, impl)
+    resolved = _resolve_impl(sf, impl, rhs.dtype)
     if impl == "auto" and resolved == "pallas_fused":
         # the fused kernel wins only while ONE VMEM-sized RHS chunk covers r
         # (measured v5e crossover, experiments/lab_serving.py: pallas 0.42 vs

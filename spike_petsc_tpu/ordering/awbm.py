@@ -4,7 +4,7 @@ The parallelizable approximate matching of Duff & Koster (2001) that the
 reference implements by hand as its accelerator-friendly alternative to exact
 MC64 (`MatGetOrdering_AWBM`, /root/reference/src/petsc_mat_awbm.c:42-225).
 Re-implemented here as vectorized NumPy phases (the natural stepping stone to
-the jittable device version in ``parallel/matching_dist.py``):
+the jittable device version in ``parallel/matching_dev.py``):
 
   0. weights  c_ij = log(colmax_j / |a_ij|)                        (:73-80)
   1. dual init u_i = min_j c_ij,  v_j = min_i (c_ij - u_i)         (:82-94)

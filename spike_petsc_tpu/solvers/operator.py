@@ -32,7 +32,12 @@ def as_matvec(a, n_hint: int = None) -> Tuple[Callable, int, object]:
     (6.8 vs 39 ms at N=1e6 bw=201 on v5e; conversion ~47 ms once).
     """
     if isinstance(a, BandedMatrix):
-        wide = (a.kl + a.ku + 1 >= 32 and max(a.kl, a.ku) <= 128
+        # the 128-blocked conversion stores 3*128 floats per row vs w in band
+        # form; only route through it when the band is wide enough that the
+        # blowup is modest (< ~4x) AND the Pallas matvec's bandwidth win
+        # dominates — narrow bands keep the shifted-axpy form (ADVICE r2:
+        # a w=32 band would pay 12x memory for little speedup)
+        wide = (a.kl + a.ku + 1 >= 96 and max(a.kl, a.ku) <= 128
                 and a.n >= 4 * 128)
         if wide and _use_blocktri_matvec():
             from ..ops.blocktri import band_to_blocktri

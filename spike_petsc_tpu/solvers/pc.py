@@ -147,7 +147,7 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     # -pc_spike_spike_dtype bf16 downcasts only V/W (accuracy-free — the
     # spikes decay away from the interfaces; bench default configuration)
     _dt = {"": None, "none": None, "bf16": jnp.bfloat16,
-           "f32": jnp.float32}
+           "f32": jnp.float32, "f64": jnp.float64}
     store_dtype = _dt[opts.get_string(f"pc_{name}_store_dtype", "")]
     spike_dtype = _dt[opts.get_string(f"pc_{name}_spike_dtype", "")]
     sf = spike_factor(band, K=K, block_b=block, method=method,
