@@ -184,6 +184,20 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
             lambda x: x.reshape(K, *x.shape[2:]), blocks)
     else:
         blocks = to_blocks(local)                           # [K, nb, b, b] x3
+    return _finish_factor(blocks, Btip, Ctip, n=n, K=K, m=m, b=b, k=k,
+                          method=method, truncated=truncated,
+                          store_spikes=store_spikes, store_dtype=store_dtype,
+                          reduced=reduced, shift=shift,
+                          shift_amount=shift_amount, inverter=inverter,
+                          spike_dtype=spike_dtype)
+
+
+def _finish_factor(blocks, Btip, Ctip, *, n, K, m, b, k, method, truncated,
+                   store_spikes, store_dtype, reduced, shift, shift_amount,
+                   inverter, spike_dtype) -> SpikeFactor:
+    """Shared factorization tail (partition factor -> spikes -> reduced
+    system -> mixed-precision cast) for both the band-storage entry
+    (spike_factor) and the blocktri-native entry (spike_factor_blocks)."""
     if method == "cr":
         # cyclic reduction: log2(nb) levels, one large batched inversion
         # call per level (vs nb sequential calls in block-Thomas) — trades
@@ -202,7 +216,7 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     red_fact = None
     red_Dinv = None
     if K > 1:
-        dtype = band.dtype
+        dtype = blocks.dtype
         Vfull, Wfull = _spike_columns(fact, Btip, Ctip, nb, b, k, dtype)
         V_top, V_bot = Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :]
         W_top, W_bot = Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]
@@ -229,6 +243,84 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     return SpikeFactor(fact=fact, Btip=Btip, Ctip=Ctip, red_fact=red_fact,
                        red_Dinv=red_Dinv, V=V, W=W, n=n, K=K, m=m, b=b, k=k,
                        truncated=truncated)
+
+
+@partial(jax.jit, static_argnames=("n", "kl", "ku", "K", "method",
+                                   "truncated", "store_spikes",
+                                   "store_dtype", "reduced", "shift",
+                                   "inverter", "spike_dtype"))
+def _spike_factor_blocks_impl(D, L, U, *, n, kl, ku, K, method, truncated,
+                              store_spikes, store_dtype, reduced, shift,
+                              shift_amount, inverter, spike_dtype):
+    NB, b = D.shape[0], D.shape[-1]
+    k = max(kl, ku, 1)
+    nb = NB // K
+    m = nb * b
+    Dr = D.reshape(K, nb, b, b)
+    Lr = L.reshape(K, nb, b, b)
+    Ur = U.reshape(K, nb, b, b)
+    # coupling tips live in the corners of the cross-partition blocks
+    # (the band structure confines U[p*nb+nb-1] to its bottom-left k x k
+    # corner and L[p*nb] to its top-right corner)
+    Btip = Ur[:, nb - 1, b - k:, :k].at[K - 1].set(0)
+    Ctip = Lr[:, 0, :k, b - k:].at[0].set(0)
+    blocks = BlockTridiagonal(D=Dr, L=Lr.at[:, 0].set(0),
+                              U=Ur.at[:, nb - 1].set(0))
+    return _finish_factor(blocks, Btip, Ctip, n=n, K=K, m=m, b=b, k=k,
+                          method=method, truncated=truncated,
+                          store_spikes=store_spikes, store_dtype=store_dtype,
+                          reduced=reduced, shift=shift,
+                          shift_amount=shift_amount, inverter=inverter,
+                          spike_dtype=spike_dtype)
+
+
+def spike_factor_blocks(T: BlockTridiagonal, n: int, K: int, kl: int,
+                        ku: int, method: str = "inv",
+                        truncated: bool = False, store_spikes: bool = False,
+                        store_dtype=None, reduced: str = "auto",
+                        shift: str = "none", shift_amount: float = 0.0,
+                        inverter: str = "auto",
+                        spike_dtype=None) -> SpikeFactor:
+    """Factor a banded matrix already assembled in GLOBAL block-tridiagonal
+    (p-major) layout — the native TPU assembly path.
+
+    The band-storage entry (``spike_factor``) spends ~1/3 of its factor time
+    on the band->blocktri layout conversion, which is access-pattern-bound
+    on TPU (~50-80 GB/s for the 800B-strided skew; ROADMAP r2 item 4).
+    Problems assembled directly in blocktri layout (models.problems.
+    blocktri_diagdom_device, or any stencil assembly emitting [NB, b, b]
+    blocks) skip it entirely: partitioning is a reshape, cross-partition
+    coupling tips are static corner slices of the boundary blocks, and the
+    factorization proper starts immediately — the step the reference's
+    PCSetUp_Banded performs with a host LU on extracted bands
+    (/root/reference/src/matbanded.c:165-178).
+
+    Args:
+      T: global block-tridiagonal [NB, b, b]; NB must be divisible by K and
+        rows beyond ``n`` must be unit-diagonal padding.  The banded
+        structure (half-bandwidths kl, ku <= b) must be respected: coupling
+        blocks carry entries only in their band corners.
+      n: true (unpadded) system size — solves slice results to [n].
+      K: partition count; kl/ku: half-bandwidths (set the tip size k).
+      Remaining options as in ``spike_factor``.
+    """
+    NB, b = T.nb, T.b
+    k = max(kl, ku, 1)
+    if kl > b or ku > b:
+        raise ValueError(f"block size {b} must cover half-bandwidths "
+                         f"(kl={kl}, ku={ku})")
+    if NB % K:
+        raise ValueError(f"block count {NB} must be divisible by K={K}")
+    if (NB // K) * b < 2 * k and K > 1:
+        raise ValueError(
+            f"partition rows {(NB // K) * b} must be >= 2*k={2 * k}; "
+            f"reduce K or bandwidth")
+    return _spike_factor_blocks_impl(
+        T.D, T.L, T.U, n=n, kl=kl, ku=ku, K=K, method=method,
+        truncated=truncated, store_spikes=store_spikes,
+        store_dtype=store_dtype, reduced=reduced, shift=shift,
+        shift_amount=shift_amount, inverter=inverter,
+        spike_dtype=spike_dtype)
 
 
 @partial(jax.jit, static_argnames=("kl", "ku", "b", "k", "method", "shift",

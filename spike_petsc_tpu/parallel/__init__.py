@@ -2,6 +2,7 @@
 
 from .mesh import make_mesh, make_mesh_2d, shard_leading
 from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
+                         dist_spike_solve_many,
                          make_dist_solver, make_dist_solver_batched,
                          make_mesh_multislice, dist_spike_factor_multislice,
                          make_dist_solver_multislice)
@@ -11,6 +12,7 @@ from .elastic import ResilientResult, SolveCheckpoint, resilient_solve
 __all__ = [
     "make_mesh", "make_mesh_2d", "shard_leading",
     "DistSpikeFactor", "dist_spike_factor", "dist_spike_solve",
+    "dist_spike_solve_many",
     "make_dist_solver", "make_dist_solver_batched",
     "make_mesh_multislice", "dist_spike_factor_multislice",
     "make_dist_solver_multislice",

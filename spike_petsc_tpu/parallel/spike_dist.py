@@ -17,6 +17,12 @@ axis and
   ``jax.lax.ppermute`` (nearest-neighbour ICI traffic only),
 * dot products psum over "p" (solvers pass ``axis_name`` to the KSP).
 
+Feature parity with the single-chip path (ops.spike): stored V/W spikes for
+1-sweep PCApplies, bf16 factor/spike storage, diagonal-shift pivot boosting,
+inverter selection with the Newton-probe safety net, and true multi-RHS
+serving (``local_spike_solve_many`` / ``dist_spike_solve_many``) where the
+factors stream ONCE for all right-hand sides.
+
 Everything is expressed with ``jax.shard_map`` so the communication pattern
 is explicit and XLA compiles one fused multi-chip program.
 """
@@ -33,8 +39,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.band import BandedMatrix, pad_banded
 from ..ops.blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
-                            blocktri_factor, blocktri_matvec, blocktri_solve)
-from ..ops.spike import _batched_tri_solve, _partition_geometry
+                            blocktri_factor, blocktri_matvec, blocktri_solve,
+                            sweep_precision)
+from ..ops.spike import (_batched_tri_solve, _partition_geometry,
+                         _rhs_itemsize)
 from ..solvers import krylov
 from ..utils.registry import SOLVERS
 
@@ -51,6 +59,8 @@ class DistSpikeFactor:
     Ctip: jax.Array                 # [K, k, k], sharded
     red_fact: Optional[BlockTriFactor]  # replicated reduced factorization
     red_Dinv: Optional[jax.Array]       # replicated truncated inverses
+    V: Optional[jax.Array]          # [K, nb, b, k] right spikes (store_spikes)
+    W: Optional[jax.Array]          # [K, nb, b, k] left spikes (store_spikes)
     n: int = field(metadata=dict(static=True))
     K: int = field(metadata=dict(static=True))
     m: int = field(metadata=dict(static=True))
@@ -81,7 +91,8 @@ def _local_tips_one(data_one: jax.Array, gidx, m: int, k: int, kl: int,
 
 
 def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
-                   method: str, reduced: str = "auto"):
+                   method: str, reduced: str = "auto",
+                   inverter: str = "auto"):
     """Assemble + factor the reduced interface system from gathered tips.
     Identical math to the single-chip path (ops.spike), executed replicated
     on every device.  ``reduced`` selects thomas/cr/auto: cyclic reduction
@@ -92,20 +103,116 @@ def _build_reduced(Vt, Vb, Wt, Wb, K: int, k: int, truncated: bool,
     from ..ops.spike import _reduced_from_tips
     return _reduced_from_tips(Vt, Vb, Wt, Wb, truncated=truncated,
                               method=method, reduced=reduced,
-                              inverter="auto", cr_threshold=33)
+                              inverter=inverter, cr_threshold=33)
+
+
+def _local_factor_fn(method: str, shift: str, shift_amount, inverter: str):
+    """Per-device batched factorization closure [ppd, nb, b, b] -> fact."""
+    if method == "cr":
+        from ..ops.cyclic import cr_factor
+        return jax.vmap(partial(cr_factor, shift=shift,
+                                shift_amount=shift_amount,
+                                inverter=inverter))
+    return jax.vmap(partial(blocktri_factor, method=method, shift=shift,
+                            shift_amount=shift_amount, inverter=inverter))
+
+
+def _cast_local(fact, V, W, method: str, store_dtype, spike_dtype):
+    """Mixed-precision storage, identical to the single-chip path: factors
+    (and V/W) downcast to ``store_dtype``; ``spike_dtype`` downcasts ONLY
+    the stored spikes (accuracy-free — they decay away from interfaces)."""
+    if store_dtype is not None:
+        if method == "cr":
+            from ..ops.cyclic import cast_cr_factor
+            fact = cast_cr_factor(fact, store_dtype)
+        else:
+            from ..ops.blocktri import cast_factor
+            fact = cast_factor(fact, store_dtype)
+        if V is not None:
+            V, W = V.astype(store_dtype), W.astype(store_dtype)
+    if spike_dtype is not None and V is not None:
+        V, W = V.astype(spike_dtype), W.astype(spike_dtype)
+    return fact, V, W
+
+
+def _shard_or_rep(tree, axis):
+    """PartitionSpec pytree: P(axis) for leaves with all-positive dims,
+    P() for zero-size placeholder fields (see blocktri_factor — XLA
+    canonicalizes them replicated) and scalars."""
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        return P(axis) if (len(shape) and all(d > 0 for d in shape)) else P()
+    return jax.tree_util.tree_map(spec, tree)
 
 
 def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
                       method: str = "inv", truncated: bool = False,
                       block_b: Optional[int] = None,
                       parts_per_device: int = 1,
-                      reduced: str = "auto") -> DistSpikeFactor:
+                      reduced: str = "auto",
+                      store_spikes: bool = False,
+                      store_dtype=None, spike_dtype=None,
+                      shift: str = "none", shift_amount: float = 0.0,
+                      inverter: str = "auto",
+                      safety_net: bool = True) -> DistSpikeFactor:
     """Factor a global banded matrix over the mesh with
     K = n_devices * parts_per_device partitions.
+
+    Accepts the full single-chip option set (see ops.spike.spike_factor):
+    ``store_spikes`` keeps V/W so distributed PCApplies stream the factors
+    ONCE (one sweep + spike-correction matvec instead of two sweeps);
+    ``store_dtype``/``spike_dtype`` are the bf16 mixed-precision modes;
+    ``shift`` boosts small Schur pivots in-scan; ``inverter`` selects the
+    batched-inverse engine, guarded by the Newton-probe ``safety_net``
+    (a distributed probe solve; junk factorizations are silently re-factored
+    with inverter='blocked' — the PC layer's host-level retry contract).
 
     ``reduced``: interface-system factorization — "thomas" (sequential
     scan), "cr" (cyclic reduction, log-depth), "auto" (cr when K-1 >= 33,
     keeping distributed solve latency flat in K)."""
+    def build(inv):
+        return _dist_spike_factor_impl(
+            band, mesh, axis, method=method, truncated=truncated,
+            block_b=block_b, parts_per_device=parts_per_device,
+            reduced=reduced, store_spikes=store_spikes,
+            store_dtype=store_dtype, spike_dtype=spike_dtype, shift=shift,
+            shift_amount=shift_amount, inverter=inv)
+
+    dsf = build(inverter)
+    if safety_net:
+        dsf, _ = _dist_safety_net(
+            band, dsf, mesh, axis, inverter, store_dtype, spike_dtype,
+            lambda: build("blocked"), exact=not truncated)
+    return dsf
+
+
+def _dist_safety_net(band, dsf, mesh, axis, inverter, store_dtype,
+                     spike_dtype, refactor, exact: bool = True):
+    """The PC layer's Newton-probe retry contract, applied to a distributed
+    factorization (ADVICE r2 medium: without this, a non-diagonally-dominant
+    matrix factored on a mesh silently yields a garbage preconditioner).
+    Runs a distributed probe solve; re-factors with inverter='blocked' when
+    the probe residual is junk.  Returns (dsf, fell_back)."""
+    from ..solvers.pc import _newton_probe_active, _probe_tolerance
+    if not _newton_probe_active(inverter):
+        return dsf, False
+    import numpy as _np
+    from ..ops.band import banded_matvec as _bmv
+    probe = _bmv(band, jnp.ones((band.n,), band.data.dtype))
+    xs = dist_spike_solve(dsf, probe, mesh, axis)
+    err = float(_np.asarray(jnp.linalg.norm(
+        _bmv(band, xs) - probe) / jnp.linalg.norm(probe)))
+    tol = _probe_tolerance(store_dtype, spike_dtype)
+    bad = not _np.isfinite(err) or (exact and err > tol) or err > 1e6
+    if bad:
+        return refactor(), True
+    return dsf, False
+
+
+def _dist_spike_factor_impl(band: BandedMatrix, mesh: Mesh, axis: str,
+                            *, method, truncated, block_b, parts_per_device,
+                            reduced, store_spikes, store_dtype, spike_dtype,
+                            shift, shift_amount, inverter) -> DistSpikeFactor:
     ndev = mesh.shape[axis]
     ppd = parts_per_device
     K = ndev * ppd
@@ -118,6 +225,7 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
                           NamedSharding(mesh, P(axis)))
 
     nb = m // b
+    factor_fn = _local_factor_fn(method, shift, shift_amount, inverter)
 
     def local_setup(data_shard):                    # [ppd, m, w]
         gidx = jax.lax.axis_index(axis) * ppd + jnp.arange(ppd)
@@ -129,41 +237,45 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         blocks = jax.vmap(
             lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
                                        b))(data_shard)
-        if method == "cr":
-            from ..ops.cyclic import cr_factor
-            fact = jax.vmap(cr_factor)(blocks)
-        else:
-            fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+        fact = factor_fn(blocks)
         # spikes: shared forward + combined backward sweep (factors stream
         # once each way; ops.spike._spike_columns)
         from ..ops.spike import _spike_columns
-        V, W = _spike_columns(fact, Btip, Ctip, nb, b, k, data_shard.dtype)
-        tips = jnp.stack([V[:, 0, :k, :], V[:, nb - 1, b - k:, :],
-                          W[:, 0, :k, :], W[:, nb - 1, b - k:, :]],
+        Vfull, Wfull = _spike_columns(fact, Btip, Ctip, nb, b, k,
+                                      data_shard.dtype)
+        tips = jnp.stack([Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :],
+                          Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]],
                          axis=1)                     # [ppd, 4, k, k]
         all_tips = jax.lax.all_gather(tips, axis)    # [ndev, ppd, 4, k, k]
         all_tips = all_tips.reshape(K, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
-            K, k, truncated, method, reduced)
-        return blocks, fact, Btip, Ctip, red_fact, red_Dinv
+            K, k, truncated, method, reduced, inverter)
+        V, W = (Vfull, Wfull) if store_spikes else (None, None)
+        fact, V, W = _cast_local(fact, V, W, method, store_dtype,
+                                 spike_dtype)
+        return blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W
 
-    if method == "cr":
-        from ..ops.cyclic import cr_factor
-        blocks_struct = BlockTridiagonal(
-            D=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
-            L=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
-            U=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype))
-        fact_struct = jax.eval_shape(jax.vmap(cr_factor), blocks_struct)
-        fact_specs = jax.tree_util.tree_map(lambda _: P(axis), fact_struct)
-    else:
-        fact_specs = _factor_field_specs(method, axis)
+    # derive spec pytrees from eval_shape of the actual builders (the
+    # factorization structure varies with method/shift/cast; zero-size
+    # placeholder fields must stay replicated)
+    sds = jax.ShapeDtypeStruct
+    blocks_struct = BlockTridiagonal(
+        D=sds((ppd, nb, b, b), band.data.dtype),
+        L=sds((ppd, nb, b, b), band.data.dtype),
+        U=sds((ppd, nb, b, b), band.data.dtype))
+    fact_struct = jax.eval_shape(factor_fn, blocks_struct)
+    if store_dtype is not None:
+        fact_struct = jax.eval_shape(
+            lambda f: _cast_local(f, None, None, method, store_dtype,
+                                  None)[0], fact_struct)
+    fact_specs = _shard_or_rep(fact_struct, axis)
     # reduced-factor structure depends on thomas-vs-cr choice: derive the
     # spec pytree from an eval_shape of the actual builder
-    tip_struct = jax.ShapeDtypeStruct((K, k, k), band.data.dtype)
+    tip_struct = sds((K, k, k), band.data.dtype)
     red_struct, _ = jax.eval_shape(
         partial(_build_reduced, K=K, k=k, truncated=truncated,
-                method=method, reduced=reduced),
+                method=method, reduced=reduced, inverter=inverter),
         tip_struct, tip_struct, tip_struct, tip_struct)
     out_specs = (
         jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
@@ -171,34 +283,20 @@ def dist_spike_factor(band: BandedMatrix, mesh: Mesh, axis: str = "p",
         P(axis), P(axis),
         jax.tree_util.tree_map(lambda _: P(), red_struct),
         P() if truncated else None,
+        P(axis) if store_spikes else None,
+        P(axis) if store_spikes else None,
     )
-    blocks, fact, Btip, Ctip, red_fact, red_Dinv = jax.shard_map(
+    blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W = jax.shard_map(
         local_setup, mesh=mesh, in_specs=(P(axis),), out_specs=out_specs,
         check_vma=False)(data)
     return DistSpikeFactor(blocks=blocks, fact=fact, Btip=Btip, Ctip=Ctip,
-                           red_fact=red_fact, red_Dinv=red_Dinv, n=n, K=K,
-                           m=m, b=b, k=k, ppd=ppd, truncated=truncated)
+                           red_fact=red_fact, red_Dinv=red_Dinv, V=V, W=W,
+                           n=n, K=K, m=m, b=b, k=k, ppd=ppd,
+                           truncated=truncated)
 
 
 def _blocktri_struct():
     return BlockTridiagonal(D=0, L=0, U=0)
-
-
-def _factor_struct(method):
-    return BlockTriFactor(F=0, U=0, Sinv=0, Slu=0, piv=0, method=method)
-
-
-def _factor_field_specs(method, axis):
-    """Per-field PartitionSpecs for a partition-sharded factorization:
-    block-Thomas methods have zero-size placeholder fields (see
-    blocktri_factor) that must be replicated, not sharded; CR factors are
-    sharded on every leaf."""
-    pax, rep = P(axis), P()
-    if method == "inv":
-        return BlockTriFactor(F=pax, U=pax, Sinv=pax, Slu=rep, piv=rep,
-                              method=method)
-    return BlockTriFactor(F=pax, U=pax, Sinv=rep, Slu=pax, piv=pax,
-                          method=method)
 
 
 # ---------------------------------------------------------------------------
@@ -208,21 +306,26 @@ def _factor_field_specs(method, axis):
 
 def local_interface_solve(dsf_local, g_top, g_bot, axis: str):
     """All-gather interface values, replicated reduced solve, slice mine.
-    g_top/g_bot: [ppd, k].  Returns (xbot_prev, xtop_next): [ppd, k]."""
+    g_top/g_bot: [ppd, k] or [ppd, k, r].
+    Returns (xbot_prev, xtop_next) of the same shape."""
     K, k, ppd = dsf_local.K, dsf_local.k, dsf_local.ppd
     gp = jax.lax.axis_index(axis) * ppd + jnp.arange(ppd)   # global ids
-    gt = jax.lax.all_gather(g_top, axis).reshape(K, k)
-    gb = jax.lax.all_gather(g_bot, axis).reshape(K, k)
-    rhs = jnp.concatenate([gb[:-1], gt[1:]], axis=1)        # [K-1, 2k]
+    trail = g_top.shape[2:]
+    gt = jax.lax.all_gather(g_top, axis).reshape(K, k, *trail)
+    gb = jax.lax.all_gather(g_bot, axis).reshape(K, k, *trail)
+    rhs = jnp.concatenate([gb[:-1], gt[1:]], axis=1)        # [K-1, 2k, *r]
     if dsf_local.truncated:
-        z = jnp.einsum("jpq,jq->jp", dsf_local.red_Dinv, rhs)
+        z = jnp.einsum("jpq,jq...->jp...", dsf_local.red_Dinv, rhs)
     else:
         from ..ops.spike import _solve_reduced_system
         z = _solve_reduced_system(dsf_local.red_fact, rhs)
-    zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
+    zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k, *trail), z.dtype)],
+                           axis=0)
     # xtop_next[p] = z[p, k:] (p < K-1), xbot_prev[p] = z[p-1, :k] (p > 0)
-    xtop_next = zpad[jnp.minimum(gp, K - 1), k:] * (gp < K - 1)[:, None]
-    xbot_prev = zpad[jnp.maximum(gp - 1, 0), :k] * (gp > 0)[:, None]
+    mask_next = (gp < K - 1).reshape(ppd, *([1] * (1 + len(trail))))
+    mask_prev = (gp > 0).reshape(ppd, *([1] * (1 + len(trail))))
+    xtop_next = zpad[jnp.minimum(gp, K - 1), k:] * mask_next
+    xbot_prev = zpad[jnp.maximum(gp - 1, 0), :k] * mask_prev
     return xbot_prev, xtop_next
 
 
@@ -234,11 +337,62 @@ def _local_tri_solve(dsf_local, rblk: jax.Array, impl: str) -> jax.Array:
     from ..ops.pallas.fused_sweep import fused_sweep_feasible
     use_fused = impl == "pallas_fused" or (
         impl == "auto" and jax.default_backend() == "tpu"
-        and fused_sweep_feasible(fact, dsf_local.b))
+        and fused_sweep_feasible(fact, dsf_local.b,
+                                 rhs_itemsize=_rhs_itemsize(rblk.dtype)))
     if use_fused:
         from ..ops.pallas.fused_sweep import blocktri_solve_fused_pallas
         return blocktri_solve_fused_pallas(fact, rblk)
     return _batched_tri_solve(fact, rblk)
+
+
+def _local_tri_solve_many(dsf_local, rblk: jax.Array, impl: str) -> jax.Array:
+    """Multi-RHS per-device batched solve [ppd, nb, b, r]: same auto rule as
+    ops.spike.spike_solve_many — the fused kernel wins only while one VMEM
+    chunk covers all r (chunking re-streams the factors; the XLA scan
+    streams them once for all right-hand sides)."""
+    fact = dsf_local.fact
+    r = rblk.shape[-1]
+    use_fused = impl in ("pallas", "pallas_fused")
+    if impl == "auto" and jax.default_backend() == "tpu":
+        from ..ops.pallas.fused_sweep import (_pick_kt_many,
+                                              fused_sweep_feasible)
+        if fused_sweep_feasible(fact, dsf_local.b,
+                                rhs_itemsize=_rhs_itemsize(rblk.dtype)):
+            cdtype = jnp.result_type(rblk.dtype, jnp.float32)
+            _, rc = _pick_kt_many(rblk.shape[0], dsf_local.nb, dsf_local.b,
+                                  r, jnp.dtype(fact.F.dtype).itemsize, 4,
+                                  jnp.dtype(cdtype).itemsize)
+            use_fused = rc >= r
+    if use_fused:
+        from ..ops.pallas.fused_sweep import blocktri_solve_fused_many_pallas
+        return blocktri_solve_fused_many_pallas(fact, rblk)
+    return _batched_tri_solve(fact, rblk)
+
+
+def _spike_correct(dsf_local, g, rblk, xbot_prev, xtop_next, solve_fn):
+    """Shared final SPIKE step: stored-spike 1-sweep correction when V/W
+    exist (x = g - V x_next^top - W x_prev^bot — factors streamed ONCE per
+    PCApply, as ops.spike.spike_solve:594-598), else the recompute second
+    sweep with boundary-corrected RHS.  Shapes: [ppd, nb, b] or
+    [ppd, nb, b, r] with interface vectors [ppd, k(, r)]."""
+    nb, b, k = dsf_local.nb, dsf_local.b, dsf_local.k
+    many = g.ndim == 4
+    if dsf_local.V is not None:
+        prec = sweep_precision(dsf_local.V, g)
+        eq = "pnbk,pkr->pnbr" if many else "pnbk,pk->pnb"
+        return (g - jnp.einsum(eq, dsf_local.V, xtop_next, precision=prec)
+                  - jnp.einsum(eq, dsf_local.W, xbot_prev, precision=prec))
+    prec = sweep_precision(dsf_local.Btip, g)
+    eq = "pcd,pdr->pcr" if many else "pcd,pd->pc"
+    corrB = jnp.einsum(eq, dsf_local.Btip, xtop_next, precision=prec)
+    corrC = jnp.einsum(eq, dsf_local.Ctip, xbot_prev, precision=prec)
+    if many:
+        r2 = rblk.at[:, nb - 1, b - k:, :].add(-corrB)
+        r2 = r2.at[:, 0, :k, :].add(-corrC)
+    else:
+        r2 = rblk.at[:, nb - 1, b - k:].add(-corrB)
+        r2 = r2.at[:, 0, :k].add(-corrC)
+    return solve_fn(r2)
 
 
 def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str,
@@ -251,10 +405,61 @@ def local_spike_solve(dsf_local, rhs_local: jax.Array, axis: str,
         return g.reshape(-1)
     xbot_prev, xtop_next = local_interface_solve(
         dsf_local, g[:, 0, :k], g[:, nb - 1, b - k:], axis)
-    corrB = jnp.einsum("pcd,pd->pc", dsf_local.Btip, xtop_next)
-    corrC = jnp.einsum("pcd,pd->pc", dsf_local.Ctip, xbot_prev)
-    r2 = rblk.at[:, nb - 1, b - k:].add(-corrB).at[:, 0, :k].add(-corrC)
-    return _local_tri_solve(dsf_local, r2, impl).reshape(-1)
+    x = _spike_correct(dsf_local, g, rblk, xbot_prev, xtop_next,
+                       lambda r2: _local_tri_solve(dsf_local, r2, impl))
+    return x.reshape(-1)
+
+
+def local_spike_solve_many(dsf_local, rblk: jax.Array, axis: str,
+                           impl: str = "auto") -> jax.Array:
+    """Per-device multi-RHS SPIKE solve; rblk: [ppd, nb, b, r] -> same.
+
+    The distributed serving path (BASELINE config 2's batched mode on a
+    mesh): the factor blocks stream once for ALL r right-hand sides, the
+    interface all_gather carries [K, k, r] strips, and the reduced system
+    is solved for all columns in one replicated call."""
+    nb, b, k = dsf_local.nb, dsf_local.b, dsf_local.k
+    g = _local_tri_solve_many(dsf_local, rblk, impl)
+    if dsf_local.K == 1:
+        return g
+    xbot_prev, xtop_next = local_interface_solve(
+        dsf_local, g[:, 0, :k, :], g[:, nb - 1, b - k:, :], axis)
+    return _spike_correct(
+        dsf_local, g, rblk, xbot_prev, xtop_next,
+        lambda r2: _local_tri_solve_many(dsf_local, r2, impl))
+
+
+def _local_blocks_matvec(dsf_local, xblk: jax.Array) -> jax.Array:
+    """Per-device block-tridiagonal matvec (no halo): [ppd, nb, b(, r)].
+
+    On TPU the ppd partitions are flattened into one [ppd*nb] block sequence
+    and run through the Pallas streaming matvec (band_to_blocktri zeroes
+    each partition's L[0]/U[nb-1], so flattening adds no spurious coupling)
+    — the XLA batched-GEMV form runs at ~40 GB/s vs ~700 for the kernel
+    (ops/pallas/matvec.py; VERDICT r2 missing #4)."""
+    blocks = dsf_local.blocks
+    ppd, nb, b = dsf_local.ppd, dsf_local.nb, dsf_local.b
+    if xblk.ndim == 3 and jax.default_backend() == "tpu":
+        from ..ops.pallas.matvec import blocktri_matvec_pallas
+        flat = BlockTridiagonal(D=blocks.D.reshape(ppd * nb, b, b),
+                                L=blocks.L.reshape(ppd * nb, b, b),
+                                U=blocks.U.reshape(ppd * nb, b, b))
+        y = blocktri_matvec_pallas(flat, xblk.reshape(ppd * nb, b))
+        return y.reshape(ppd, nb, b)
+    return jax.vmap(blocktri_matvec)(blocks, xblk)
+
+
+def _halo_corrections(dsf_local, x_top, x_bot, axis, ndev):
+    """ppermute the k-wide device-boundary strips and form the neighbour
+    vectors for the matvec coupling terms.  x_top/x_bot: [ppd, k(, r)] —
+    each partition's first/last k rows of x."""
+    top_from_next_dev = jax.lax.ppermute(
+        x_top[0], axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+    bot_from_prev_dev = jax.lax.ppermute(
+        x_bot[-1], axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+    next_tops = jnp.concatenate([x_top[1:], top_from_next_dev[None]], axis=0)
+    prev_bots = jnp.concatenate([bot_from_prev_dev[None], x_bot[:-1]], axis=0)
+    return next_tops, prev_bots
 
 
 def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:
@@ -264,23 +469,33 @@ def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:
     nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
     ppd, m = dsf_local.ppd, dsf_local.m
     xp = x_local.reshape(ppd, m)
-    y = jax.vmap(blocktri_matvec)(
-        dsf_local.blocks, xp.reshape(ppd, nb, b)).reshape(ppd, m)
+    y = _local_blocks_matvec(dsf_local, xp.reshape(ppd, nb, b)).reshape(
+        ppd, m)
     if K == 1:
         return y.reshape(-1)
-    ndev = K // ppd
-    # device halo: my first partition's top goes to the previous device; my
-    # last partition's bottom goes to the next device
-    top_from_next_dev = jax.lax.ppermute(
-        xp[0, :k], axis, [(i, (i - 1) % ndev) for i in range(ndev)])
-    bot_from_prev_dev = jax.lax.ppermute(
-        xp[-1, -k:], axis, [(i, (i + 1) % ndev) for i in range(ndev)])
-    next_tops = jnp.concatenate([xp[1:, :k], top_from_next_dev[None]], axis=0)
-    prev_bots = jnp.concatenate([bot_from_prev_dev[None], xp[:-1, -k:]],
-                                axis=0)
+    next_tops, prev_bots = _halo_corrections(
+        dsf_local, xp[:, :k], xp[:, -k:], axis, K // ppd)
     y = y.at[:, -k:].add(jnp.einsum("pcd,pd->pc", dsf_local.Btip, next_tops))
     y = y.at[:, :k].add(jnp.einsum("pcd,pd->pc", dsf_local.Ctip, prev_bots))
     return y.reshape(-1)
+
+
+def local_matvec_many(dsf_local, xblk: jax.Array, axis: str) -> jax.Array:
+    """Multi-RHS per-device banded SpMV; xblk: [ppd, nb, b, r] -> same.
+    Halo strips are [k, r] — still tiny nearest-neighbour ICI traffic."""
+    nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
+    ppd = dsf_local.ppd
+    y = _local_blocks_matvec(dsf_local, xblk)
+    if K == 1:
+        return y
+    next_tops, prev_bots = _halo_corrections(
+        dsf_local, xblk[:, 0, :k, :], xblk[:, nb - 1, b - k:, :],
+        axis, K // ppd)
+    y = y.at[:, nb - 1, b - k:, :].add(
+        jnp.einsum("pcd,pdr->pcr", dsf_local.Btip, next_tops))
+    y = y.at[:, 0, :k, :].add(
+        jnp.einsum("pcd,pdr->pcr", dsf_local.Ctip, prev_bots))
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -309,23 +524,44 @@ def dist_spike_solve(dsf: DistSpikeFactor, rhs, mesh: Mesh,
     return x.reshape(-1)[:dsf.n]
 
 
-def _dsf_specs(dsf: DistSpikeFactor, axis: str):
-    """PartitionSpec pytree matching DistSpikeFactor: partition-sharded
-    local fields, replicated reduced-system fields."""
-    from ..ops.cyclic import CRFactor
+def dist_spike_solve_many(dsf: DistSpikeFactor, rhs, mesh: Mesh,
+                          axis: str = "p") -> jax.Array:
+    """Direct multi-RHS SPIKE solve across the mesh; rhs [n, r] -> x [n, r].
 
-    def spec_like(tree, spec):
-        return jax.tree_util.tree_map(lambda _: spec, tree)
-    if isinstance(dsf.fact, CRFactor):
-        fact_specs = spec_like(dsf.fact, P(axis))
-    else:
-        fact_specs = _factor_field_specs(dsf.fact.method, axis)
+    The distributed analogue of ops.spike.spike_solve_many: factors stream
+    once for all right-hand sides (the serving economics of BASELINE
+    config 2, on a mesh)."""
+    rhs = jnp.asarray(rhs)
+    r = rhs.shape[1]
+    ppd, m, nb, b = dsf.ppd, dsf.m, dsf.nb, dsf.b
+    rp = jnp.zeros((dsf.K * m, r), rhs.dtype).at[:dsf.n].set(rhs)
+    rhs_sh = jax.device_put(rp.reshape(dsf.K, m, r),
+                            NamedSharding(mesh, P(axis)))
+
+    def local_fn(dsf_in, r_local):                 # [ppd, m, r]
+        rblk = r_local.reshape(ppd, nb, b, r)
+        return local_spike_solve_many(dsf_in, rblk, axis).reshape(ppd, m, r)
+
+    x = jax.shard_map(local_fn, mesh=mesh,
+                      in_specs=(_dsf_specs(dsf, axis), P(axis)),
+                      out_specs=P(axis), check_vma=False)(dsf, rhs_sh)
+    return x.reshape(dsf.K * m, r)[:dsf.n]
+
+
+def _dsf_specs(dsf: DistSpikeFactor, axis):
+    """PartitionSpec pytree matching DistSpikeFactor: partition-sharded
+    local fields (zero-size placeholders replicated), replicated
+    reduced-system fields."""
+    def rep_like(tree):
+        return jax.tree_util.tree_map(lambda _: P(), tree)
     return DistSpikeFactor(
-        blocks=spec_like(dsf.blocks, P(axis)),
-        fact=fact_specs,
+        blocks=_shard_or_rep(dsf.blocks, axis),
+        fact=_shard_or_rep(dsf.fact, axis),
         Btip=P(axis), Ctip=P(axis),
-        red_fact=spec_like(dsf.red_fact, P()),
+        red_fact=rep_like(dsf.red_fact),
         red_Dinv=None if dsf.red_Dinv is None else P(),
+        V=None if dsf.V is None else P(axis),
+        W=None if dsf.W is None else P(axis),
         n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k, ppd=dsf.ppd,
         truncated=dsf.truncated)
 
@@ -340,20 +576,70 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
     x model-parallel composition of this framework.
 
     Returns solve(rhs[R, n]) -> x[R, n] with R divisible by the rhs axis.
+
+    ``ksp_type`` selects the local engine:
+      * "preonly"    — one TRUE multi-RHS SPIKE solve (factors stream once
+                       for the whole local batch; direct-solve accuracy);
+      * "richardson" — multi-RHS iterative refinement X += M^-1 (B - A X)
+                       until every column meets rtol (multi-RHS matvec +
+                       PCApply; the serving mode for reduced-precision
+                       factor storage);
+      * any Krylov name — per-RHS solves under lax.map (per-column
+                       convergence control; factors re-streamed per RHS).
     """
-    method = SOLVERS.get(ksp_type)
-    ppd, m = dsf.ppd, dsf.m
+    ppd, m, nb, b = dsf.ppd, dsf.m, dsf.nb, dsf.b
 
-    def local_fn(dsf_in, r_local):
-        # r_local: [R/n_rhs_dev, ppd, m]
-        matvec = lambda v: local_matvec(dsf_in, v, axis_p)
-        pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis_p)) \
-            if use_pc else None
+    if ksp_type == "preonly":
+        def local_fn(dsf_in, r_local):
+            # r_local: [Rloc, ppd, m] -> rblk [ppd, nb, b, Rloc]
+            rloc = r_local.shape[0]
+            rblk = jnp.moveaxis(r_local, 0, -1).reshape(ppd, nb, b, rloc)
+            x = local_spike_solve_many(dsf_in, rblk, axis_p)
+            return jnp.moveaxis(x.reshape(ppd, m, rloc), -1, 0)
+    elif ksp_type == "richardson":
+        rtol = params.get("rtol", 1e-8)
+        maxit = params.get("maxit", 50)
 
-        def one(rl):
-            return method(matvec, rl.reshape(-1), None, pc_apply,
-                          axis_name=axis_p, **params).x.reshape(ppd, m)
-        return jax.lax.map(one, r_local)
+        def local_fn(dsf_in, r_local):
+            rloc = r_local.shape[0]
+            rblk = jnp.moveaxis(r_local, 0, -1).reshape(ppd, nb, b, rloc)
+            bnorm2 = jax.lax.psum(jnp.sum(
+                jnp.square(rblk), axis=(0, 1, 2)), axis_p)     # [Rloc]
+            bnorm2 = jnp.maximum(bnorm2, jnp.finfo(rblk.dtype).tiny)
+
+            def resid(X):
+                return rblk - local_matvec_many(dsf_in, X, axis_p)
+
+            def body(carry):
+                X, _, it = carry
+                R = resid(X)
+                X = X + local_spike_solve_many(dsf_in, R, axis_p)
+                rn2 = jax.lax.psum(jnp.sum(jnp.square(R), axis=(0, 1, 2)),
+                                   axis_p)
+                return X, jnp.max(jnp.sqrt(rn2 / bnorm2)), it + 1
+
+            def cond(carry):
+                _, rel, it = carry
+                return (rel > rtol) & (it < maxit)
+
+            X0 = local_spike_solve_many(dsf_in, rblk, axis_p)
+            X, _, _ = jax.lax.while_loop(
+                cond, body, (X0, jnp.array(jnp.inf, bnorm2.dtype),
+                             jnp.int32(1)))
+            return jnp.moveaxis(X.reshape(ppd, m, rloc), -1, 0)
+    else:
+        method = SOLVERS.get(ksp_type)
+
+        def local_fn(dsf_in, r_local):
+            # r_local: [R/n_rhs_dev, ppd, m]
+            matvec = lambda v: local_matvec(dsf_in, v, axis_p)
+            pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis_p)) \
+                if use_pc else None
+
+            def one(rl):
+                return method(matvec, rl.reshape(-1), None, pc_apply,
+                              axis_name=axis_p, **params).x.reshape(ppd, m)
+            return jax.lax.map(one, r_local)
 
     # factor fields are sharded over axis_p only (replicated across axis_rhs)
     fact_specs = _dsf_specs(dsf, axis_p)
@@ -403,10 +689,7 @@ def _per_slice_specs(red_tree, axis_slice: str):
     """Specs for a per-slice-varying reduced factorization: leading dim
     sliced over the slice axis; zero-size placeholder leaves (see
     blocktri_factor) stay replicated (XLA canonicalizes them that way)."""
-    def spec(leaf):
-        shape = getattr(leaf, "shape", ())
-        return P(axis_slice) if all(d > 0 for d in shape) else P()
-    return jax.tree_util.tree_map(spec, red_tree)
+    return _shard_or_rep(red_tree, axis_slice)
 
 
 def make_mesh_multislice(shape, axes=("slice", "p")) -> Mesh:
@@ -438,12 +721,52 @@ def dist_spike_factor_multislice(
         band: BandedMatrix, mesh: Mesh, axis_slice: str = "slice",
         axis_p: str = "p", method: str = "inv",
         block_b: Optional[int] = None, parts_per_device: int = 1,
-        reduced: str = "auto") -> DistSpikeFactor:
+        reduced: str = "auto", store_spikes: bool = False,
+        store_dtype=None, spike_dtype=None,
+        shift: str = "none", shift_amount: float = 0.0,
+        inverter: str = "auto", safety_net: bool = True) -> DistSpikeFactor:
     """Factor over a (slice, p) mesh: exact SPIKE within each slice,
     block-Jacobi coupling across slices (PC-grade; the matvec retains the
     exact cross-slice coupling).  K = n_slices * per_slice * ppd partitions
     total; the returned factor's reduced system is PER-SLICE (replicated
-    within a slice, different across slices)."""
+    within a slice, different across slices).
+
+    Accepts the same storage/shift/inverter options as dist_spike_factor;
+    stored V/W spikes are computed from the PC tips (slice boundaries
+    zeroed), so the 1-sweep PCApply stays ICI-only.  The safety net's probe
+    tolerance treats the factorization as inexact (block-Jacobi across
+    slices drops coupling on purpose), so it only rejects junk."""
+    def build(inv):
+        return _dist_spike_factor_multislice_impl(
+            band, mesh, axis_slice, axis_p, method=method, block_b=block_b,
+            parts_per_device=parts_per_device, reduced=reduced,
+            store_spikes=store_spikes, store_dtype=store_dtype,
+            spike_dtype=spike_dtype, shift=shift,
+            shift_amount=shift_amount, inverter=inv)
+
+    dsf = build(inverter)
+    if safety_net:
+        from ..solvers.pc import _newton_probe_active
+        if _newton_probe_active(inverter):
+            import numpy as _np
+            from ..ops.band import banded_matvec as _bmv
+            # block-Jacobi across slices is inexact by design: the probe is
+            # a PCApply (not a solve) — reject only non-finite/garbage
+            probe = _bmv(band, jnp.ones((band.n,), band.data.dtype))
+            res = make_dist_solver_multislice(
+                dsf, mesh, axis_slice, axis_p, ksp_type="richardson",
+                rtol=1e-30, maxit=1)(probe)
+            rel = float(_np.asarray(res.rnorm / jnp.linalg.norm(probe)))
+            if not _np.isfinite(rel) or rel > 1e6:
+                dsf = build("blocked")
+    return dsf
+
+
+def _dist_spike_factor_multislice_impl(
+        band: BandedMatrix, mesh: Mesh, axis_slice: str, axis_p: str,
+        *, method, block_b, parts_per_device, reduced, store_spikes,
+        store_dtype, spike_dtype, shift, shift_amount,
+        inverter) -> DistSpikeFactor:
     n_slices = mesh.shape[axis_slice]
     ndev_p = mesh.shape[axis_p]
     ppd = parts_per_device
@@ -457,6 +780,7 @@ def dist_spike_factor_multislice(
     data = jax.device_put(band.data.reshape(K, m, w),
                           NamedSharding(mesh, P((axis_slice, axis_p))))
     nb = m // b
+    factor_fn = _local_factor_fn(method, shift, shift_amount, inverter)
 
     def local_setup(data_shard):                    # [ppd, m, w]
         sidx = jax.lax.axis_index(axis_slice)
@@ -470,11 +794,7 @@ def dist_spike_factor_multislice(
         blocks = jax.vmap(
             lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
                                        b))(data_shard)
-        if method == "cr":
-            from ..ops.cyclic import cr_factor
-            fact = jax.vmap(cr_factor)(blocks)
-        else:
-            fact = jax.vmap(partial(blocktri_factor, method=method))(blocks)
+        fact = factor_fn(blocks)
         # PC tips: slice boundaries are PC-global edges (block-Jacobi
         # across slices -> zero DCN traffic in PCApply)
         lidx = gidx % Ks                            # index within slice
@@ -484,47 +804,53 @@ def dist_spike_factor_multislice(
                             jnp.zeros_like(Ctip), Ctip)
         dt = data_shard.dtype
         from ..ops.spike import _spike_columns
-        V, W = _spike_columns(fact, Btip_pc, Ctip_pc, nb, b, k, dt)
-        tips = jnp.stack([V[:, 0, :k, :], V[:, nb - 1, b - k:, :],
-                          W[:, 0, :k, :], W[:, nb - 1, b - k:, :]],
+        Vfull, Wfull = _spike_columns(fact, Btip_pc, Ctip_pc, nb, b, k, dt)
+        tips = jnp.stack([Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :],
+                          Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]],
                          axis=1)                     # [ppd, 4, k, k]
         # intra-slice gather ONLY (ICI)
         slice_tips = jax.lax.all_gather(tips, axis_p).reshape(Ks, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             slice_tips[:, 0], slice_tips[:, 1], slice_tips[:, 2],
-            slice_tips[:, 3], Ks, k, False, method, reduced)
-        return blocks, fact, Btip, Ctip, red_fact, red_Dinv
+            slice_tips[:, 3], Ks, k, False, method, reduced, inverter)
+        V, W = (Vfull, Wfull) if store_spikes else (None, None)
+        fact, V, W = _cast_local(fact, V, W, method, store_dtype,
+                                 spike_dtype)
+        return blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W
 
-    if method == "cr":
-        from ..ops.cyclic import cr_factor
-        blocks_struct = BlockTridiagonal(
-            D=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
-            L=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype),
-            U=jax.ShapeDtypeStruct((ppd, nb, b, b), band.data.dtype))
-        fact_struct = jax.eval_shape(jax.vmap(cr_factor), blocks_struct)
-        fact_specs = jax.tree_util.tree_map(
-            lambda _: P((axis_slice, axis_p)), fact_struct)
-    else:
-        fact_specs = _factor_field_specs(method, (axis_slice, axis_p))
-    tip_struct = jax.ShapeDtypeStruct((Ks, k, k), band.data.dtype)
+    sds = jax.ShapeDtypeStruct
+    pax = P((axis_slice, axis_p))
+    blocks_struct = BlockTridiagonal(
+        D=sds((ppd, nb, b, b), band.data.dtype),
+        L=sds((ppd, nb, b, b), band.data.dtype),
+        U=sds((ppd, nb, b, b), band.data.dtype))
+    fact_struct = jax.eval_shape(factor_fn, blocks_struct)
+    if store_dtype is not None:
+        fact_struct = jax.eval_shape(
+            lambda f: _cast_local(f, None, None, method, store_dtype,
+                                  None)[0], fact_struct)
+    fact_specs = _shard_or_rep(fact_struct, (axis_slice, axis_p))
+    tip_struct = sds((Ks, k, k), band.data.dtype)
     red_struct, _ = jax.eval_shape(
         partial(_build_reduced, K=Ks, k=k, truncated=False,
-                method=method, reduced=reduced),
+                method=method, reduced=reduced, inverter=inverter),
         tip_struct, tip_struct, tip_struct, tip_struct)
-    pax = P((axis_slice, axis_p))
     out_specs = (
         jax.tree_util.tree_map(lambda _: pax, _blocktri_struct()),
         fact_specs,
         pax, pax,
         _per_slice_specs(red_struct, axis_slice),
         None,
+        pax if store_spikes else None,
+        pax if store_spikes else None,
     )
-    blocks, fact, Btip, Ctip, red_fact, red_Dinv = jax.shard_map(
+    blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W = jax.shard_map(
         local_setup, mesh=mesh, in_specs=(pax,), out_specs=out_specs,
         check_vma=False)(data)
     return DistSpikeFactor(blocks=blocks, fact=fact, Btip=Btip, Ctip=Ctip,
-                           red_fact=red_fact, red_Dinv=red_Dinv, n=n, K=K,
-                           m=m, b=b, k=k, ppd=ppd, truncated=False)
+                           red_fact=red_fact, red_Dinv=red_Dinv, V=V, W=W,
+                           n=n, K=K, m=m, b=b, k=k, ppd=ppd,
+                           truncated=False)
 
 
 def _local_pc_tips_multislice(dsf_local, axis_slice, axis_p, ndev_p):
@@ -542,14 +868,17 @@ def _local_pc_tips_multislice(dsf_local, axis_slice, axis_p, ndev_p):
 
 
 def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
-                                 axis_p: str, ndev_p: int) -> jax.Array:
+                                 axis_p: str, ndev_p: int,
+                                 impl: str = "auto") -> jax.Array:
     """Per-device PCApply on a (slice, p) mesh: exact SPIKE within the
-    slice (all_gather over axis_p only), block-Jacobi across slices."""
+    slice (all_gather over axis_p only), block-Jacobi across slices.
+    Stored V/W spikes (computed from the PC tips at factor time) give the
+    1-sweep form here too."""
     nb, b, k, ppd = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.ppd
     Btip_pc, Ctip_pc, Ks = _local_pc_tips_multislice(
         dsf_local, axis_slice, axis_p, ndev_p)
     rblk = rhs_local.reshape(ppd, nb, b)
-    g = _batched_tri_solve(dsf_local.fact, rblk)
+    g = _local_tri_solve(dsf_local, rblk, impl)
     if Ks == 1:
         return g.reshape(-1)
     # per-slice interface solve (indices within the slice)
@@ -563,10 +892,18 @@ def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
     zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
     xtop_next = zpad[jnp.minimum(lp, Ks - 1), k:] * (lp < Ks - 1)[:, None]
     xbot_prev = zpad[jnp.maximum(lp - 1, 0), :k] * (lp > 0)[:, None]
+    if dsf_local.V is not None:
+        # V/W were built from the PC tips — 1-sweep correction form
+        prec = sweep_precision(dsf_local.V, g)
+        x = (g - jnp.einsum("pnbk,pk->pnb", dsf_local.V, xtop_next,
+                            precision=prec)
+               - jnp.einsum("pnbk,pk->pnb", dsf_local.W, xbot_prev,
+                            precision=prec))
+        return x.reshape(-1)
     corrB = jnp.einsum("pcd,pd->pc", Btip_pc, xtop_next)
     corrC = jnp.einsum("pcd,pd->pc", Ctip_pc, xbot_prev)
     r2 = rblk.at[:, nb - 1, b - k:].add(-corrB).at[:, 0, :k].add(-corrC)
-    return _batched_tri_solve(dsf_local.fact, r2).reshape(-1)
+    return _local_tri_solve(dsf_local, r2, impl).reshape(-1)
 
 
 def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
@@ -578,19 +915,14 @@ def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
     nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
     ppd, m = dsf_local.ppd, dsf_local.m
     xp = x_local.reshape(ppd, m)
-    y = jax.vmap(blocktri_matvec)(
-        dsf_local.blocks, xp.reshape(ppd, nb, b)).reshape(ppd, m)
+    y = _local_blocks_matvec(dsf_local, xp.reshape(ppd, nb, b)).reshape(
+        ppd, m)
     if K == 1:
         return y.reshape(-1)
     ndev = n_slices * ndev_p
     axes = (axis_slice, axis_p)
-    top_from_next_dev = jax.lax.ppermute(
-        xp[0, :k], axes, [(i, (i - 1) % ndev) for i in range(ndev)])
-    bot_from_prev_dev = jax.lax.ppermute(
-        xp[-1, -k:], axes, [(i, (i + 1) % ndev) for i in range(ndev)])
-    next_tops = jnp.concatenate([xp[1:, :k], top_from_next_dev[None]], axis=0)
-    prev_bots = jnp.concatenate([bot_from_prev_dev[None], xp[:-1, -k:]],
-                                axis=0)
+    next_tops, prev_bots = _halo_corrections(
+        dsf_local, xp[:, :k], xp[:, -k:], axes, ndev)
     y = y.at[:, -k:].add(jnp.einsum("pcd,pd->pc", dsf_local.Btip, next_tops))
     y = y.at[:, :k].add(jnp.einsum("pcd,pd->pc", dsf_local.Ctip, prev_bots))
     return y.reshape(-1)
@@ -623,7 +955,10 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
     specs = DistSpikeFactor(
         blocks=specs.blocks, fact=specs.fact, Btip=pax, Ctip=pax,
         red_fact=_per_slice_specs(dsf.red_fact, axis_slice),
-        red_Dinv=None, n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
+        red_Dinv=None,
+        V=None if dsf.V is None else pax,
+        W=None if dsf.W is None else pax,
+        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
         ppd=dsf.ppd, truncated=dsf.truncated)
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,

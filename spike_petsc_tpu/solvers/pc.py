@@ -92,6 +92,17 @@ def _newton_probe_active(inverter: str) -> bool:
         inverter == "auto" and jax.default_backend() == "tpu")
 
 
+def _probe_tolerance(store_dtype, spike_dtype) -> float:
+    """Probe-residual acceptance threshold: reduced-precision storage
+    legitimately floors the probe residual — only errors well beyond each
+    mode's floor indicate inverter failure."""
+    if store_dtype is not None:
+        return 5e-2
+    if spike_dtype is not None:
+        return 5e-3
+    return 1e-3
+
+
 def _newton_safety_net(band, sf, inverter, store_dtype, spike_dtype,
                        refactor, exact: bool = True):
     """Newton-family safety net: the fast inverters assume the near-
@@ -115,14 +126,7 @@ def _newton_safety_net(band, sf, inverter, store_dtype, spike_dtype,
     xs = _ssolve(sf, probe)
     err = float(_np.asarray(jnp.linalg.norm(
         _bmv(band, xs) - probe) / jnp.linalg.norm(probe)))
-    # reduced-precision storage legitimately floors the probe residual —
-    # only treat errors well beyond each mode's floor as inverter failure
-    if store_dtype is not None:
-        tol = 5e-2
-    elif spike_dtype is not None:
-        tol = 5e-3
-    else:
-        tol = 1e-3
+    tol = _probe_tolerance(store_dtype, spike_dtype)
     bad = not _np.isfinite(err) or (exact and err > tol) or err > 1e6
     if bad:
         return refactor(), True

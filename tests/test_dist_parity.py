@@ -1,0 +1,232 @@
+"""Distributed-path feature parity with the single-chip SPIKE (VERDICT r2
+item 1): stored V/W spikes (1-sweep PCApply), bf16 factor/spike storage,
+diagonal shift, inverter safety net, and true multi-RHS distributed serving
+(item 2) — all on the 8-device virtual CPU mesh (the reference's analogue is
+``mpiexec -n N`` on one host, /root/reference/src/makefile:18)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spike_petsc_tpu import sparse as hsp
+from spike_petsc_tpu.models import problems
+from spike_petsc_tpu.ops.band import BandedMatrix
+from spike_petsc_tpu.parallel import (dist_spike_factor, dist_spike_solve,
+                                      dist_spike_solve_many,
+                                      make_dist_solver,
+                                      make_dist_solver_batched, make_mesh)
+from spike_petsc_tpu.ops.spike import spike_factor, spike_solve
+
+
+def banded_of(acsr, dtype=None):
+    data, kl, ku = hsp.csr_to_banded_arrays(acsr)
+    data = jnp.asarray(data) if dtype is None else jnp.asarray(data, dtype)
+    return BandedMatrix(data=data, kl=kl, ku=ku)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, axis="p")
+
+
+def test_dist_stored_spikes_matches_recompute(mesh):
+    """store_spikes=True: PCApply becomes one factor sweep + V/W correction
+    (ops.spike's 1-sweep form) and must agree with the 2-sweep recompute."""
+    n = 640
+    a = problems.spd_banded(n, 4, seed=31)
+    bm = banded_of(a)
+    dsf_r = dist_spike_factor(bm, mesh, block_b=8, parts_per_device=2)
+    dsf_s = dist_spike_factor(bm, mesh, block_b=8, parts_per_device=2,
+                              store_spikes=True)
+    assert dsf_s.V is not None and dsf_s.V.shape == (16, dsf_s.nb,
+                                                     dsf_s.b, dsf_s.k)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(n)
+    rhs = jnp.asarray(a @ u)
+    x_r = np.asarray(dist_spike_solve(dsf_r, rhs, mesh))
+    x_s = np.asarray(dist_spike_solve(dsf_s, rhs, mesh))
+    np.testing.assert_allclose(x_s, u, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(x_s, x_r, rtol=1e-9, atol=1e-10)
+    # and matches the single-chip stored-spike factorization
+    sf = spike_factor(bm, K=16, block_b=8, store_spikes=True)
+    x_single = np.asarray(spike_solve(sf, rhs))
+    np.testing.assert_allclose(x_s, x_single, rtol=1e-9, atol=1e-10)
+
+
+def test_dist_mixed_precision_storage(mesh):
+    """bf16-stored factors / bf16 spikes on the mesh: PC-grade accuracy,
+    exact within the mode's documented floor (the flagship bench config's
+    mixed-precision modes, now distributed)."""
+    n = 512
+    a = problems.spd_banded(n, 3, seed=37)
+    bm = banded_of(a, jnp.float32)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(n).astype(np.float32)
+    rhs = jnp.asarray(np.asarray(a @ u, dtype=np.float32))
+
+    # bf16 factor storage
+    dsf_bf = dist_spike_factor(bm, mesh, block_b=8, store_dtype=jnp.bfloat16)
+    assert dsf_bf.fact.F.dtype == jnp.bfloat16
+    x = np.asarray(dist_spike_solve(dsf_bf, rhs, mesh))
+    assert np.linalg.norm(x - u) / np.linalg.norm(u) < 5e-2
+
+    # bf16 spikes only (factors stay f32)
+    dsf_sp = dist_spike_factor(bm, mesh, block_b=8, store_spikes=True,
+                               spike_dtype=jnp.bfloat16)
+    assert dsf_sp.fact.F.dtype == jnp.float32
+    assert dsf_sp.V.dtype == jnp.bfloat16
+    x2 = np.asarray(dist_spike_solve(dsf_sp, rhs, mesh))
+    assert np.linalg.norm(x2 - u) / np.linalg.norm(u) < 5e-3
+
+
+def test_dist_shift_nonzero(mesh):
+    """Diagonal-shift pivot boosting on the mesh: the zero-diagonal
+    tridiagonal (singular pivot blocks at odd block sizes) factors finite,
+    reports boosted pivots, and the shifted PC still drives the in-mesh
+    GMRES to the exact solution (PETSc -pc_factor_shift_type nonzero
+    parity, distributed)."""
+    n = 120
+    a = problems.zero_diag_tridiag(n)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=3, shift="nonzero")
+    assert dsf.fact.nshift is not None
+    assert int(np.asarray(dsf.fact.nshift).sum()) >= 1
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal(n)
+    x = np.asarray(dist_spike_solve(dsf, jnp.asarray(rhs), mesh))
+    assert np.all(np.isfinite(x))
+    # the in-mesh Krylov solver recovers full accuracy on the shifted PC
+    solver = make_dist_solver(dsf, mesh, ksp_type="gmres", rtol=1e-10,
+                              maxit=300)
+    res = solver(jnp.asarray(rhs))
+    assert int(res.reason) > 0
+    import scipy.sparse.linalg as spla
+    xs = spla.spsolve(a.tocsc(), rhs)
+    np.testing.assert_allclose(np.asarray(res.x), xs, rtol=1e-5, atol=1e-6)
+
+
+def test_dist_inverter_safety_net(mesh):
+    """A non-diagonally-dominant matrix factored with the Newton inverter on
+    the mesh must either recover (probe + blocked re-factor) or fail loudly —
+    never silently return a garbage preconditioner (ADVICE r2 medium)."""
+    n = 320
+    # an indefinite-ish banded matrix: Newton-Schulz with Jacobi init
+    # diverges (Jacobi iteration matrix spectral radius > 1)
+    rng = np.random.default_rng(5)
+    import scipy.sparse as sp
+    diags = {0: 0.05 * rng.standard_normal(n) + 0.1,
+             1: np.ones(n - 1), -1: np.ones(n - 1),
+             2: 0.8 * np.ones(n - 2), -2: 0.8 * np.ones(n - 2)}
+    a = sp.diags(list(diags.values()), list(diags.keys())).tocsr()
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=4, inverter="newton")
+    rhs = rng.standard_normal(n)
+    x = np.asarray(dist_spike_solve(dsf, jnp.asarray(rhs), mesh))
+    import scipy.sparse.linalg as spla
+    xs = spla.spsolve(a.tocsc(), rhs)
+    # with the safety net the dist factor fell back to 'blocked' and the
+    # direct solve is accurate
+    assert np.linalg.norm(x - xs) / np.linalg.norm(xs) < 1e-6
+
+
+def test_dist_safety_net_not_triggered_when_healthy(mesh):
+    """The probe must NOT re-factor diagonally-dominant systems (the fast
+    path keeps the Newton inverses)."""
+    n = 256
+    a = problems.spd_banded(n, 3, seed=43)
+    bm = banded_of(a)
+    dsf_net = dist_spike_factor(bm, mesh, block_b=4, inverter="newton")
+    dsf_raw = dist_spike_factor(bm, mesh, block_b=4, inverter="newton",
+                                safety_net=False)
+    # identical factors -> the net accepted the newton factorization
+    np.testing.assert_array_equal(np.asarray(dsf_net.fact.Sinv),
+                                  np.asarray(dsf_raw.fact.Sinv))
+
+
+def test_dist_solve_many_matches_single_chip(mesh):
+    """dist_spike_solve_many: factors stream once for all r right-hand
+    sides; exact agreement with per-RHS solves and the single-chip
+    multi-RHS path (VERDICT r2 item 2)."""
+    from spike_petsc_tpu.ops.spike import spike_solve_many
+    n, r = 512, 5
+    a = problems.nonsym_banded(n, 3, 2, seed=47)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=8, parts_per_device=2,
+                            store_spikes=True)
+    rng = np.random.default_rng(3)
+    U = rng.standard_normal((n, r))
+    B = np.stack([a @ U[:, j] for j in range(r)], axis=1)
+    X = np.asarray(dist_spike_solve_many(dsf, jnp.asarray(B), mesh))
+    assert X.shape == (n, r)
+    np.testing.assert_allclose(X, U, rtol=1e-7, atol=1e-8)
+    sf = spike_factor(bm, K=16, block_b=8, store_spikes=True)
+    Xs = np.asarray(spike_solve_many(sf, jnp.asarray(B)))
+    np.testing.assert_allclose(X, Xs, rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("serve_mode", ["preonly", "richardson"])
+def test_dist_batched_serving_true_multirhs(serve_mode):
+    """make_dist_solver_batched's true multi-RHS local engines on the 2-D
+    (rhs x p) mesh: no lax.map of one-RHS solves — the whole local batch
+    rides one multi-RHS SPIKE apply (+ refinement for 'richardson')."""
+    from spike_petsc_tpu.parallel import make_mesh_2d
+    mesh2 = make_mesh_2d((2, 4), axes=("rhs", "p"))
+    n = 512
+    a = problems.spd_banded(n, 3, seed=53)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh2, axis="p", block_b=8,
+                            parts_per_device=2, store_spikes=True)
+    solver = make_dist_solver_batched(dsf, mesh2, ksp_type=serve_mode,
+                                      rtol=1e-10, maxit=20)
+    rng = np.random.default_rng(7)
+    U = rng.standard_normal((6, n))
+    B = np.stack([a @ U[i] for i in range(6)])
+    X = np.asarray(solver(jnp.asarray(B)))
+    np.testing.assert_allclose(X, U, rtol=1e-7, atol=1e-8)
+
+
+def test_dist_batched_refinement_recovers_bf16(mesh):
+    """richardson serving mode + bf16-stored factors: multi-RHS iterative
+    refinement recovers full accuracy from reduced-precision storage — the
+    distributed serving recipe for the mixed-precision flagship config."""
+    from spike_petsc_tpu.parallel import make_mesh_2d
+    mesh2 = make_mesh_2d((2, 4), axes=("rhs", "p"))
+    n = 384
+    a = problems.spd_banded(n, 3, seed=59)
+    bm = banded_of(a, jnp.float32)
+    dsf = dist_spike_factor(bm, mesh2, axis="p", block_b=8,
+                            store_spikes=True, store_dtype=jnp.bfloat16,
+                            spike_dtype=jnp.bfloat16)
+    solver = make_dist_solver_batched(dsf, mesh2, ksp_type="richardson",
+                                      rtol=1e-6, maxit=30)
+    rng = np.random.default_rng(11)
+    U = rng.standard_normal((4, n)).astype(np.float32)
+    B = np.stack([np.asarray(a @ U[i], dtype=np.float32) for i in range(4)])
+    X = np.asarray(solver(jnp.asarray(B)))
+    for i in range(4):
+        rel = np.linalg.norm(a @ X[i] - B[i]) / np.linalg.norm(B[i])
+        assert rel < 1e-5, rel
+
+
+def test_multislice_stored_spikes_and_bf16():
+    """Multislice factor accepts the parity options: stored PC-tip spikes
+    (ICI-only 1-sweep PCApply) and bf16 spike storage."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_multislice,
+                                          make_mesh_multislice)
+    n = 768
+    a = problems.spd_banded(n, 4, seed=61)
+    bm = banded_of(a)
+    mesh = make_mesh_multislice((2, 4))
+    dsf = dist_spike_factor_multislice(bm, mesh, block_b=8,
+                                       parts_per_device=2,
+                                       store_spikes=True)
+    assert dsf.V is not None
+    solver = make_dist_solver_multislice(dsf, mesh, ksp_type="gmres",
+                                         rtol=1e-10, maxit=40)
+    rng = np.random.default_rng(13)
+    u = rng.standard_normal(n)
+    res = solver(jnp.asarray(a @ u))
+    assert int(res.reason) > 0 and int(res.its) <= 15
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7, atol=1e-8)
