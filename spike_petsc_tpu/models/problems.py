@@ -151,3 +151,59 @@ def general_sparse(n: int, density: float = 5e-3, seed: int = 0,
     row_abs = np.asarray(np.abs(a).sum(axis=1)).ravel()
     a = a + sp.diags(1.1 * row_abs + 1.0, 0, dtype=dtype)
     return a.tocsr()
+
+
+def blocktri_diagdom_device(n: int, kl: int, ku: int, K: int, b: int,
+                            seed: int = 0, dtype="float32"):
+    """Diagonally-dominant random banded matrix assembled DIRECTLY in global
+    block-tridiagonal (p-major) layout on device — the native TPU assembly
+    path for spike_factor_blocks.
+
+    Statistically the bench problem (uniform(-1,1) band entries, diagonal =
+    row 1-norm + 1) but built as [NB, b, b] D/L/U blocks with static band
+    masks: no [n, w] band storage exists, so the factor pays zero layout
+    conversion (the ~40 ms access-pattern-bound step of the band entry at
+    the bench config; ROADMAP r2 item 4).  Rows/cols beyond ``n`` are unit
+    diagonal padding so NB = K * ceil(ceil(n/K)/b) blocks partition evenly.
+
+    Returns (T: BlockTridiagonal [NB, b, b], n_pad).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..ops.blocktri import BlockTridiagonal
+
+    if kl > b or ku > b:
+        raise ValueError(f"half-bandwidths (kl={kl}, ku={ku}) must be <= b")
+    rows = -(-n // K)
+    m = -(-rows // b) * b
+    NB = K * (m // b)
+    npad = NB * b
+    dt = jnp.dtype(dtype)
+
+    key = jax.random.PRNGKey(seed)
+    kD, kL, kU = jax.random.split(key, 3)
+    D = jax.random.uniform(kD, (NB, b, b), dt, minval=-1.0, maxval=1.0)
+    L = jax.random.uniform(kL, (NB, b, b), dt, minval=-1.0, maxval=1.0)
+    U = jax.random.uniform(kU, (NB, b, b), dt, minval=-1.0, maxval=1.0)
+
+    p = jnp.arange(b)[:, None]
+    q = jnp.arange(b)[None, :]
+    mD = ((q - p <= ku) & (p - q <= kl)).astype(dt)           # |j - r| band
+    mU = (b + q - p <= ku).astype(dt)                         # j = r + b + ...
+    mL = (p - q - b <= kl).astype(dt) * (q - p >= b - kl).astype(dt)
+    # global row/col validity: rows >= n are identity, cols >= n are zero
+    i = jnp.arange(NB)[:, None, None]
+    r_glob = i * b + p[None]                                  # [NB, b, 1]
+    row_ok = (r_glob < n)
+    colD_ok = (i * b + q[None]) < n
+    colU_ok = ((i + 1) * b + q[None]) < n
+    colL_ok = ((i - 1) * b + q[None]) < n
+    D = D * mD * row_ok * colD_ok
+    U = (U * mU * row_ok * colU_ok).at[NB - 1].set(0)
+    L = (L * mL * row_ok * colL_ok).at[0].set(0)
+    rowsum = (jnp.sum(jnp.abs(D), axis=-1) + jnp.sum(jnp.abs(L), axis=-1)
+              + jnp.sum(jnp.abs(U), axis=-1))                 # [NB, b]
+    diag = jnp.where(row_ok[..., 0], rowsum + 1.0, 1.0)
+    eye = jnp.eye(b, dtype=dt)
+    D = D * (1.0 - eye) + diag[..., :, None] * eye
+    return BlockTridiagonal(D=D, L=L, U=U), npad

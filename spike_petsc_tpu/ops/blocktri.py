@@ -129,6 +129,32 @@ def band_to_blocktri(band: BandedMatrix, b: int) -> BlockTridiagonal:
     return BlockTridiagonal(D=D, L=L, U=U)
 
 
+def blocktri_to_band(t: BlockTridiagonal, kl: int, ku: int) -> BandedMatrix:
+    """Inverse of band_to_blocktri: global block-tridiagonal blocks (banded
+    structure, kl/ku <= b) -> diagonal-offset band storage [nb*b, w].
+
+    The same pad-and-reshape skew as the forward conversion, run backwards:
+    concatenate [L|D|U] per block row, widen the row view by one so row p
+    reads at a +p offset, and the band columns become one static slice.
+    Interop path for blocktri-native assemblies (spike_factor_blocks) that
+    need band-form consumers (CPU baselines, banded matvec, I/O)."""
+    nb, b = t.nb, t.b
+    if kl > b or ku > b:
+        raise ValueError(f"half-bandwidths (kl={kl}, ku={ku}) must be <= "
+                         f"block size {b}")
+    w = kl + ku + 1
+    cat = jnp.concatenate([t.L, t.D, t.U], axis=-1)          # [nb, b, 3b]
+    W0 = 3 * b
+    # widen to W0 + 1: viewed row p starts at flat p*(W0+1) = (p, col p) —
+    # band[p, d] = cat[p, p + (b - kl) + d], and p + b + ku <= 3b - 1 keeps
+    # every read inside the original row
+    flat = jnp.concatenate(
+        [cat.reshape(nb, b * W0), jnp.zeros((nb, b), t.dtype)], axis=1)
+    sk = flat.reshape(nb, b, W0 + 1)
+    band = sk[:, :, b - kl:b - kl + w]
+    return BandedMatrix(data=band.reshape(nb * b, w), kl=kl, ku=ku)
+
+
 def blocktri_to_dense(t: BlockTridiagonal) -> jax.Array:
     nb, b = t.nb, t.b
     n = nb * b
