@@ -124,22 +124,132 @@ def main() -> None:
 
     # BASELINE's second metric: Krylov iterations with the SPIKE
     # preconditioner (exact factorization -> direct-solve-quality PC; the
-    # preconditioned GMRES residual collapses immediately)
+    # preconditioned GMRES residual collapses immediately).  The operator
+    # rides the manual-DMA blocktri matvec (the library's as_matvec route
+    # for wide TPU bands, ~700 GB/s vs 90 for the shifted-axpy band form),
+    # pre-padded ONCE to the kernel's chunk grid; GMRES wall uses the same
+    # differenced chained-loop timing as the solve metric (a one-shot jit
+    # call includes the ~28 ms tunnel dispatch floor).
+    from spike_petsc_tpu.ops.blocktri import (BlockTridiagonal,
+                                              band_to_blocktri)
+    from spike_petsc_tpu.ops.pallas.matvec import (blocktri_matvec_dma,
+                                                   mv_padded_nb)
     from spike_petsc_tpu.solvers.krylov import gmres
 
+    T = jax.jit(lambda d: band_to_blocktri(
+        BandedMatrix(data=d, kl=k, ku=k), 128))(data)
+    bb = T.b
+    nbp = mv_padded_nb(T.nb, bb)
+    padT = jax.jit(lambda D, L, U: BlockTridiagonal(
+        D=jnp.pad(D, ((0, nbp - T.nb), (0, 0), (0, 0))),
+        L=jnp.pad(L, ((0, nbp - T.nb), (0, 0), (0, 0))),
+        U=jnp.pad(U, ((0, nbp - T.nb), (0, 0), (0, 0)))))
+    T = padT(T.D, T.L, T.U)
+    sync(T)
+
+    def _mk_mv(Tm):
+        def mv(v):
+            xb = jnp.pad(v, (0, nbp * bb - n)).reshape(nbp, bb)
+            return blocktri_matvec_dma(Tm, xb).reshape(-1)[:n]
+        return mv
+
     @jax.jit
-    def gmres_run(band_data, sf_in, b_in):
-        bnd = BandedMatrix(data=band_data, kl=k, ku=k)
-        r = gmres(lambda v: banded_matvec(bnd, v), b_in, None,
-                  lambda v: spike_solve(sf_in, v), rtol=1e-8, maxit=30,
-                  restart=30)
-        return r.its, r.rnorm
-    g_its, g_rnorm = gmres_run(data, sf, rhs)
+    def gmres_once(TD, TL, TU, sf_in, b_in):
+        res = gmres(_mk_mv(BlockTridiagonal(D=TD, L=TL, U=TU)), b_in, None,
+                    lambda v: spike_solve(sf_in, v), rtol=1e-8, maxit=30,
+                    restart=30)
+        return res.its, res.rnorm
+
+    @partial(jax.jit, static_argnames=("r",))
+    def gmres_loop(TD, TL, TU, sf_in, b_in, r):
+        mv = _mk_mv(BlockTridiagonal(D=TD, L=TL, U=TU))
+
+        def body(i, bcur):
+            res = gmres(mv, bcur, None, lambda v: spike_solve(sf_in, v),
+                        rtol=1e-8, maxit=30, restart=30)
+            return bcur + 0.0 * res.x
+        return jax.lax.fori_loop(0, r, body, b_in)
+
+    g_its, g_rnorm = gmres_once(T.D, T.L, T.U, sf, rhs)
     g_its = int(np.asarray(g_its))
     g_rel = float(np.asarray(g_rnorm)) / float(np.asarray(
         jnp.linalg.norm(rhs)))
-    # end-to-end preconditioned-GMRES wall clock (matvec + PC + reductions)
-    gmres_s = min(timed(lambda: gmres_run(data, sf, rhs)) for _ in range(3))
+    timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 1))     # compile
+    timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 5))     # compile
+    t_g1 = min(timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 1))
+               for _ in range(3))
+    t_g5 = min(timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 5))
+               for _ in range(3))
+    gmres_s = max((t_g5 - t_g1) / 4.0, 1e-9)
+    if gmres_s < 1e-4:          # tunnel anomaly guard, as for the solve
+        gmres_s = t_g1
+    del T
+
+    # ---- native-assembly factor --------------------------------------------
+    # the same problem class assembled DIRECTLY in global blocktri layout:
+    # the factor skips the access-pattern-bound band->blocktri conversion
+    # (~40 ms of tpu_factor_ms) entirely (VERDICT r2 item 5)
+    from spike_petsc_tpu.models.problems import blocktri_diagdom_device
+    from spike_petsc_tpu.ops.spike import spike_factor_blocks
+
+    Tn, _ = blocktri_diagdom_device(n, k, k, K, 128, seed=0)
+    sync(Tn)
+
+    @partial(jax.jit, static_argnames=("Kp",))
+    def factor_native_fn(TD, TL, TU, Kp):
+        return spike_factor_blocks(
+            BlockTridiagonal(D=TD, L=TL, U=TU), n=n, K=Kp, kl=k, ku=k,
+            method=method, store_spikes=spikes, store_dtype=store_dtype,
+            spike_dtype=spike_dtype)
+
+    timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))     # compile
+    factor_native_s = min(timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))
+                          for _ in range(3))
+    del Tn
+
+    # ---- TPU high-accuracy: f32 factors + emulated-f64 refinement ----------
+    # SURVEY §7 hard-part 3, second branch: the operator lives in XLA's
+    # emulated f64 (f32-pair, ~1e-15 effective precision; matvec 37.5 ms at
+    # this config on v5e) while the factorization and its Pallas sweeps stay
+    # native f32/bf16 — richardson refinement reaches <= 1e-12 relative
+    # residual ON the chip (VERDICT r2 item 4: f64-grade accuracy without
+    # the CPU reroute).  Opt out with SPIKE_BENCH_F64=0 (adds ~1 min of
+    # compile through the tunnel).
+    refine_out = {}
+    if os.environ.get("SPIKE_BENCH_F64", "1") == "1":
+        from spike_petsc_tpu.solvers.krylov import richardson
+
+        jax.config.update("jax_enable_x64", True)
+        data64 = data.astype(jnp.float64)
+        rhs64 = banded_matvec(BandedMatrix(data=data64, kl=k, ku=k),
+                              jnp.ones((n,), jnp.float64))
+        _ = np.asarray(rhs64[:8])
+
+        @jax.jit
+        def refine_run(d64, sf_in, b64):
+            bnd = BandedMatrix(data=d64, kl=k, ku=k)
+
+            def pcapply(r):
+                r_lo = r.astype(jnp.float32)
+                with jax.enable_x64(False):   # Pallas can't lower under x64
+                    y = spike_solve(sf_in, r_lo)
+                return y.astype(b64.dtype)
+            res = richardson(lambda v: banded_matvec(bnd, v), b64, None,
+                             pcapply, rtol=1e-12, maxit=20)
+            return res.its, res.rnorm / jnp.linalg.norm(b64)
+
+        r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
+        t0 = time.perf_counter()
+        r_its, r_rel = refine_run(data64, sf, rhs64)
+        r_rel_v = float(np.asarray(r_rel))
+        refine_wall = time.perf_counter() - t0
+        refine_out = {
+            "f64_refine_relres": r_rel_v,
+            "f64_refine_its": int(np.asarray(r_its)),
+            "f64_refine_wall_ms": round(refine_wall * 1e3, 1),
+        }
+        del data64, rhs64
+        jax.config.update("jax_enable_x64", False)
 
     # ---- CPU LAPACK baseline (same precision) ------------------------------
     if os.environ.get("SPIKE_BENCH_SKIP_CPU") == "1":
@@ -149,9 +259,10 @@ def main() -> None:
             "value": round(solve_s * 1e3, 4), "unit": "ms",
             "vs_baseline": None, "partitions": K,
             "tpu_factor_ms": round(factor_s * 1e3, 3),
+            "tpu_factor_native_ms": round(factor_native_s * 1e3, 3),
             "rel_residual_f32": relres,
             "gmres_spikepc_its_rtol1e8": g_its,
-            "gmres_wall_ms": round(gmres_s * 1e3, 2)}))
+            "gmres_wall_ms": round(gmres_s * 1e3, 2), **refine_out}))
         return
 
     from scipy.linalg import lapack
@@ -223,6 +334,7 @@ def main() -> None:
         "gflops_useful_band": round(band_flops / solve_s / 1e9, 2),
         "factor_stream_gbs": round(eff_gbs, 1),
         "tpu_factor_ms": round(factor_s * 1e3, 3),
+        "tpu_factor_native_ms": round(factor_native_s * 1e3, 3),
         "cpu_factor_ms": round(cpu_factor_s * 1e3, 3),
         "cpu_solve_ms": round(cpu_solve_s * 1e3, 3),
         "factor_speedup": round(cpu_factor_s / factor_s, 3),
@@ -233,6 +345,7 @@ def main() -> None:
         "gmres_final_relres": g_rel,
         "gmres_wall_ms": round(gmres_s * 1e3, 2),
         "factor_compile_s": round(factor_compile_s, 2),
+        **refine_out,
     }
     print(json.dumps(out))
 

@@ -121,7 +121,7 @@ def _fused_kernel(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
         y_scr[:, i, :] = y
         return y
 
-    jax.lax.fori_loop(1, nb, fwd_body, y_scr[:, 0, :], unroll=False)
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), fwd_body, y_scr[:, 0, :], unroll=False)
 
     # ---- backward sweep ---------------------------------------------------
     # stream index j = 0..nb-1 walks blocks i = nb-1-j; Sinv needed at every
@@ -158,7 +158,7 @@ def _fused_kernel(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
 
         return x
 
-    jax.lax.fori_loop(1, nb, bwd_body, x_last, unroll=False)
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), bwd_body, x_last, unroll=False)
 
 
 def _pick_kt(K: int, nb: int, b: int, itemsize: int, nbuf: int,
@@ -295,7 +295,7 @@ def _fused_kernel_many(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
         y_scr[:, i] = y
         return y
 
-    jax.lax.fori_loop(1, nb, fwd_body, y_scr[:, 0], unroll=False)
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), fwd_body, y_scr[:, 0], unroll=False)
 
     for s in range(nbuf):
         if s < nb:
@@ -329,7 +329,7 @@ def _fused_kernel_many(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
 
         return x
 
-    jax.lax.fori_loop(1, nb, bwd_body, x_last, unroll=False)
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), bwd_body, x_last, unroll=False)
 
 
 def _pick_kt_many(K: int, nb: int, b: int, r: int, itemsize: int,

@@ -19,6 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _use_interpret() -> bool:
@@ -71,3 +72,176 @@ def blocktri_matvec_pallas(T, x: jax.Array, kt: int = 8) -> jax.Array:
         interpret=_use_interpret(),
     )(D, L, U, xm, xc, xp)
     return y[:nb]
+
+
+# ---------------------------------------------------------------------------
+# Manual-DMA variant: the auto-pipelined grid above pays a per-grid-step cost
+# that caps it at ~230 GB/s (≈1000 steps at kt=8); this kernel follows the
+# fused sweep's recipe (fused_sweep.py) — few grid steps, an in-kernel
+# fori_loop streaming the D/L/U blocks HBM->VMEM through an nbuf-deep
+# make_async_copy pipeline — which measures ~700 GB/s factor streaming on
+# v5e.  Unlike the sweeps there is no sequential dependency, so every
+# (chunk, block) pair is independent.
+# ---------------------------------------------------------------------------
+
+def _mv_dma_kernel(d_hbm, l_hbm, u_hbm, xm_ref, xc_ref, xp_ref, o_ref,
+                   dbuf, lbuf, ubuf, dsem, lsem, usem, *, kt, nbk, nbuf):
+    c = pl.program_id(0)
+    part = pl.ds(c * kt, kt)
+    cdtype = o_ref.dtype
+
+    def dmas(slot, i):
+        return (pltpu.make_async_copy(d_hbm.at[part, i], dbuf.at[slot],
+                                      dsem.at[slot]),
+                pltpu.make_async_copy(l_hbm.at[part, i], lbuf.at[slot],
+                                      lsem.at[slot]),
+                pltpu.make_async_copy(u_hbm.at[part, i], ubuf.at[slot],
+                                      usem.at[slot]))
+
+    for s in range(min(nbuf, nbk)):
+        for cp in dmas(s, s):
+            cp.start()
+
+    def body(i, carry):
+        slot = i % nbuf
+        for cp in dmas(slot, i):
+            cp.wait()
+        d = dbuf[slot].astype(cdtype)
+        lm = lbuf[slot].astype(cdtype)
+        um = ubuf[slot].astype(cdtype)
+        y = (jnp.sum(d * xc_ref[:, i][:, None, :], axis=-1)
+             + jnp.sum(lm * xm_ref[:, i][:, None, :], axis=-1)
+             + jnp.sum(um * xp_ref[:, i][:, None, :], axis=-1))
+
+        @pl.when(i + nbuf < nbk)
+        def _():
+            for cp in dmas(slot, i + nbuf):
+                cp.start()
+
+        o_ref[:, i] = y
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nbk), body, jnp.int32(0), unroll=False)
+
+
+def _pick_mv_geometry(nb: int, b: int, itemsize: int, nbuf: int):
+    """(Kc, kt, nbk): chunk the block axis into Kc rows of nbk blocks, kt
+    chunks per grid step, sized so 3*nbuf mat buffers + 4 double-buffered
+    [kt, nbk, b] vector blocks fit the VMEM budget."""
+    from .fused_sweep import _budget
+    kt = 8
+    Kc = 64
+    while True:
+        nbk = -(-nb // Kc)
+        mats = 3 * nbuf * kt * b * b * itemsize
+        vecs = 4 * 2 * kt * nbk * b * 4
+        if mats + vecs <= _budget() or kt == 1:
+            return Kc, kt, nbk
+        if kt > 2:
+            kt //= 2
+        else:
+            Kc *= 2
+
+
+def mv_padded_nb(nb: int, b: int, itemsize: int = 4, nbuf: int = 4) -> int:
+    """Block count the DMA matvec kernel wants (nb rounded up to its chunk
+    grid).  Callers holding a long-lived operator should pad their
+    BlockTridiagonal to this count ONCE (zero blocks) — inside a solver
+    loop, a per-call pad of the [nb, b, b] arrays costs ~2x the kernel
+    itself in pure copy traffic (measured: 6.9 ms padded-per-call vs 2.0 ms
+    pre-padded at N=1e6, b=128 on v5e)."""
+    Kc, _, nbk = _pick_mv_geometry(nb, b, itemsize, nbuf)
+    return Kc * nbk
+
+
+def _mv_dma_call(D, L, U, xm, xc, xp, kt: int, nbuf: int):
+    """Chunked core: D/L/U [Kc, nbk, b, b], vectors [Kc, nbk, b]; kt must
+    divide Kc.  Returns y [Kc, nbk, b] in the vector dtype."""
+    Kc, nbk, b, _ = D.shape
+    kern = partial(_mv_dma_kernel, kt=kt, nbk=nbk, nbuf=nbuf)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    vec = pl.BlockSpec((kt, nbk, b), lambda c: (c, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(Kc // kt,),
+        in_specs=[hbm, hbm, hbm, vec, vec, vec],
+        out_specs=vec,
+        out_shape=jax.ShapeDtypeStruct((Kc, nbk, b), xc.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, kt, b, b), D.dtype),
+            pltpu.VMEM((nbuf, kt, b, b), D.dtype),
+            pltpu.VMEM((nbuf, kt, b, b), D.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        interpret=_use_interpret(),
+    )(D, L, U, xm, xc, xp)
+
+
+def _shift3(x, nbp):
+    """(x_{i-1}, x_i, x_{i+1}) views of the zero-guarded block vector."""
+    xg = jnp.pad(x, ((1, 1 + (nbp - x.shape[0])), (0, 0)))
+    xm = jax.lax.dynamic_slice_in_dim(xg, 0, nbp, axis=0)
+    xc = jax.lax.dynamic_slice_in_dim(xg, 1, nbp, axis=0)
+    xp = jax.lax.dynamic_slice_in_dim(xg, 2, nbp, axis=0)
+    return xm, xc, xp
+
+
+@partial(jax.jit, static_argnames=("nbuf",))
+def blocktri_matvec_dma(T, x: jax.Array, nbuf: int = 4) -> jax.Array:
+    """y = T @ x via the manual-DMA streaming kernel ([nb, b, b] blocks,
+    x [nb, b]).  Factor blocks may be narrower than f32 (promoted
+    in-register); the carry/output dtype follows x.
+
+    For best performance pre-pad T to ``mv_padded_nb(nb, b)`` blocks — the
+    in-call fallback pad below copies the full matrix every call."""
+    nb, b = T.nb, T.b
+    itemsize = jnp.dtype(T.dtype).itemsize
+    Kc, kt, nbk = _pick_mv_geometry(nb, b, itemsize, nbuf)
+    nbp = Kc * nbk
+    pad = nbp - nb
+
+    def padb(a):
+        return jnp.pad(a, ((0, pad), (0, 0), (0, 0))) if pad else a
+
+    D = padb(T.D).reshape(Kc, nbk, b, b)
+    L = padb(T.L).reshape(Kc, nbk, b, b)
+    U = padb(T.U).reshape(Kc, nbk, b, b)
+    xm, xc, xp = (v.reshape(Kc, nbk, b) for v in _shift3(x, nbp))
+    y = _mv_dma_call(D, L, U, xm, xc, xp, kt, nbuf)
+    return y.reshape(nbp, b)[:nb]
+
+
+@partial(jax.jit, static_argnames=("nbuf",))
+def blocktri_matvec_dma_chunked(T, x: jax.Array, nbuf: int = 4) -> jax.Array:
+    """y = T @ x for pre-chunked blocks [Kc, nbk, b, b] and x [Kc, nbk, b],
+    where the flattened Kc*nbk sequence is one global block-tridiagonal
+    system (chunk boundaries carry coupling through L/U as usual).
+
+    The distributed path's natural entry: its per-device blocks are already
+    [ppd, nb, b, b], so partitioning doubles as the kernel's chunk grid —
+    no pad, no copy.  Falls back to flatten+pad when kt can't divide Kc
+    within the VMEM budget."""
+    Kc, nbk, b, _ = T.D.shape
+    from .fused_sweep import _budget
+    itemsize = jnp.dtype(T.D.dtype).itemsize
+
+    def fits(kt):
+        return (3 * nbuf * kt * b * b * itemsize
+                + 4 * 2 * kt * nbk * b * 4) <= _budget()
+    kt = next((t for t in range(min(8, Kc), 0, -1)
+               if Kc % t == 0 and fits(t)), None)
+    flatT = None
+    if kt is None:
+        from ..blocktri import BlockTridiagonal
+        flatT = BlockTridiagonal(D=T.D.reshape(Kc * nbk, b, b),
+                                 L=T.L.reshape(Kc * nbk, b, b),
+                                 U=T.U.reshape(Kc * nbk, b, b))
+        return blocktri_matvec_dma(
+            flatT, x.reshape(Kc * nbk, b), nbuf=nbuf).reshape(Kc, nbk, b)
+    nbp = Kc * nbk
+    xm, xc, xp = (v.reshape(Kc, nbk, b)
+                  for v in _shift3(x.reshape(nbp, b), nbp))
+    return _mv_dma_call(T.D, T.L, T.U, xm, xc, xp, kt, nbuf)

@@ -440,12 +440,11 @@ def _local_blocks_matvec(dsf_local, xblk: jax.Array) -> jax.Array:
     blocks = dsf_local.blocks
     ppd, nb, b = dsf_local.ppd, dsf_local.nb, dsf_local.b
     if xblk.ndim == 3 and jax.default_backend() == "tpu":
-        from ..ops.pallas.matvec import blocktri_matvec_pallas
-        flat = BlockTridiagonal(D=blocks.D.reshape(ppd * nb, b, b),
-                                L=blocks.L.reshape(ppd * nb, b, b),
-                                U=blocks.U.reshape(ppd * nb, b, b))
-        y = blocktri_matvec_pallas(flat, xblk.reshape(ppd * nb, b))
-        return y.reshape(ppd, nb, b)
+        # [ppd, nb, ...] is already the manual-DMA kernel's chunk layout
+        # (no pad/copy); per-partition L[0]/U[nb-1] are zero, so the
+        # flattened sequence adds no spurious coupling
+        from ..ops.pallas.matvec import blocktri_matvec_dma_chunked
+        return blocktri_matvec_dma_chunked(blocks, xblk)
     return jax.vmap(blocktri_matvec)(blocks, xblk)
 
 

@@ -140,8 +140,11 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
         return jnp.where(used, y, 0.0)
 
     def cycle(state):
-        x, its, rnorm, reason, hist, thist = state
-        r = residual(x)
+        # the (preconditioned) residual rides the carry: computed once
+        # before the loop and refreshed only when another cycle actually
+        # follows — a converged 1-cycle solve does exactly its+1 matvecs
+        # instead of its+3
+        x, r, its, rnorm, reason, hist, thist = state
         beta = norm(r)
         safe_beta = jnp.where(beta > 0, beta, 1.0)
 
@@ -243,11 +246,15 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
             if right:
                 dx = psolve(dx)
         x = x + dx
-        return (x, its, rnorm, reason, hist, thist)
+        # residual for the NEXT cycle; skipped (branch not executed on TPU)
+        # when this cycle ended the solve
+        r = jax.lax.cond(reason == CONVERGED_ITERATING,
+                         lambda op: residual(op[0]), lambda op: op[1],
+                         (x, r))
+        return (x, r, its, rnorm, reason, hist, thist)
 
     def outer_cond(state):
-        _, its, _, reason, _, _ = state
-        return reason == CONVERGED_ITERATING
+        return state[4] == CONVERGED_ITERATING
 
     r0 = residual(x0)
     rnorm0 = _norm(r0, axis_name)
@@ -255,8 +262,8 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
     if monitor_true:
         thist0 = thist0.at[0].set(norm(b - matvec(x0)))
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
-    state = (x0, jnp.int32(0), rnorm0, reason0, hist0, thist0)
-    x, its, rnorm, reason, hist, thist = jax.lax.while_loop(
+    state = (x0, r0, jnp.int32(0), rnorm0, reason0, hist0, thist0)
+    x, _, its, rnorm, reason, hist, thist = jax.lax.while_loop(
         outer_cond, cycle, state)
     return KSPResult(x=x, its=its, reason=reason, rnorm=rnorm, history=hist,
                      true_history=thist)

@@ -38,16 +38,28 @@ def as_matvec(a, n_hint: int = None) -> Tuple[Callable, int, object]:
         # dominates — narrow bands keep the shifted-axpy form (ADVICE r2:
         # a w=32 band would pay 12x memory for little speedup)
         wide = (a.kl + a.ku + 1 >= 96 and max(a.kl, a.ku) <= 128
-                and a.n >= 4 * 128)
+                and a.n >= 4 * 128
+                # f64 stays on the shifted-axpy form: Pallas kernels don't
+                # support the emulated f64 pair type (high-accuracy TPU
+                # runs keep an f64 operator for refinement residuals only)
+                and jnp.dtype(a.dtype).itemsize <= 4)
         if wide and _use_blocktri_matvec():
             from ..ops.blocktri import band_to_blocktri
-            from ..ops.pallas.matvec import blocktri_matvec_pallas
+            from ..ops.pallas.matvec import blocktri_matvec_dma, mv_padded_nb
             T = band_to_blocktri(a, 128)
             nb, b = T.nb, T.b
+            # pad ONCE to the DMA kernel's chunk grid; a per-call pad would
+            # copy the full [nb, b, b] matrices every matvec (~2x the kernel)
+            nbp = mv_padded_nb(nb, b, jnp.dtype(T.dtype).itemsize)
+            if nbp != nb:
+                T = BlockTridiagonal(
+                    D=jnp.pad(T.D, ((0, nbp - nb), (0, 0), (0, 0))),
+                    L=jnp.pad(T.L, ((0, nbp - nb), (0, 0), (0, 0))),
+                    U=jnp.pad(T.U, ((0, nbp - nb), (0, 0), (0, 0))))
 
             def mv(x):
-                xb = jnp.pad(x, (0, nb * b - a.n)).reshape(nb, b)
-                return blocktri_matvec_pallas(T, xb).reshape(-1)[:a.n]
+                xb = jnp.pad(x, (0, nbp * b - a.n)).reshape(nbp, b)
+                return blocktri_matvec_dma(T, xb).reshape(-1)[:a.n]
             return mv, a.n, a.dtype
         return (lambda x: banded_matvec(a, x)), a.n, a.dtype
 

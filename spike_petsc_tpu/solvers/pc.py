@@ -154,6 +154,17 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
            "f32": jnp.float32, "f64": jnp.float64}
     store_dtype = _dt[opts.get_string(f"pc_{name}_store_dtype", "")]
     spike_dtype = _dt[opts.get_string(f"pc_{name}_spike_dtype", "")]
+    # -pc_<name>_factor_dtype casts the BAND before factoring (vs
+    # store_dtype, which casts the finished factor): the TPU high-accuracy
+    # recipe keeps the operator f64 (emulated, matvec-only) while the whole
+    # factorization runs in native f32 — PCApply casts at the boundary, so
+    # any f64 KSP (richardson refinement, gmres) composes untouched
+    orig_dtype = band.dtype
+    factor_dtype = _dt[opts.get_string(f"pc_{name}_factor_dtype", "")]
+    if factor_dtype is not None and orig_dtype != factor_dtype:
+        from ..ops.band import BandedMatrix
+        band = BandedMatrix(data=band.data.astype(factor_dtype),
+                            kl=band.kl, ku=band.ku)
     sf = spike_factor(band, K=K, block_b=block, method=method,
                       truncated=truncated, store_spikes=store,
                       shift=shift, shift_amount=shift_amount,
@@ -161,6 +172,8 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
                       spike_dtype=spike_dtype)
     info = dict(partitions=K, block=sf.b, tip=sf.k, method=method,
                 truncated=truncated)
+    if factor_dtype is not None and orig_dtype != factor_dtype:
+        info["factor_dtype"] = jnp.dtype(factor_dtype).name
     if store_dtype is not None:
         info["store_dtype"] = jnp.dtype(store_dtype).name
     if spike_dtype is not None and store:
@@ -189,6 +202,20 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
             raise FloatingPointError(
                 f"pc '{name}': factorization has singular Schur pivots "
                 f"(reorder/scale the matrix first)")
+    if factor_dtype is not None and orig_dtype != factor_dtype:
+        def apply(r, _sf=sf, _fd=factor_dtype, _od=orig_dtype):
+            r_lo = r.astype(_fd)
+            if jnp.dtype(_od).itemsize > 4 >= jnp.dtype(_fd).itemsize:
+                # f64 caller, f32 factors: trace the inner solve with x64
+                # promotion OFF — Pallas Mosaic lowering recurses forever
+                # on i64-typed index converts (JAX bug), and the kernel
+                # only ever sees f32/i32 anyway
+                with jax.enable_x64(False):
+                    y = spike_solve(_sf, r_lo)
+            else:
+                y = spike_solve(_sf, r_lo)
+            return y.astype(_od)
+        return PC(name=name, apply=apply, info=info)
     return PC(name=name, apply=partial(spike_solve, sf), info=info)
 
 

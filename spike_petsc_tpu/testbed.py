@@ -93,12 +93,16 @@ def _main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
         # TPU XLA implements LuDecomposition only for f32/c64; f64 runs (the
         # PETSc-parity configuration) route to the host CPU backend unless the
-        # user explicitly pins a platform.
+        # user explicitly pins a platform.  On-TPU f64-grade accuracy is
+        # available via mixed-precision refinement: -x64 1 -platform tpu
+        # -ksp_type richardson -pc_type spike -pc_spike_factor_dtype f32
+        # (f32 factors, emulated-f64 operator residuals; docs/HOWTO.md).
         if not platform:
             platform = "cpu"
             print("x64 requested: running on cpu backend "
-                  "(TPU has no f64 factorization path; override with "
-                  "-platform tpu)", file=sys.stderr)
+                  "(override with -platform tpu and add "
+                  "-pc_<name>_factor_dtype f32 for on-TPU f64 refinement)",
+                  file=sys.stderr)
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)

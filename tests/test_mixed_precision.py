@@ -89,3 +89,31 @@ def test_pc_spike_dtype_options():
     res = gmres(lambda v: banded_matvec(bm, v), rhs, None, pcb.apply,
                 rtol=1e-8, maxit=30)
     assert int(res.reason) > 0 and int(res.its) <= 5
+
+
+def test_factor_dtype_refinement_reaches_f64_grade():
+    """-pc_spike_factor_dtype f32 on an f64 operator: the band is cast and
+    factored in f32 while PCApply casts at the boundary, so a plain f64
+    richardson becomes mixed-precision iterative refinement reaching
+    f64-grade residuals (the TPU high-accuracy recipe; on TPU the inner
+    solve additionally traces under jax.enable_x64(False) because Pallas
+    cannot lower i64 — SURVEY §7 hard-part 3)."""
+    from spike_petsc_tpu import Options
+    from spike_petsc_tpu.solvers.ksp import solve
+
+    n, k = 6000, 6
+    rng = np.random.default_rng(7)
+    data = rng.uniform(-1, 1, (n, 2 * k + 1))
+    data[:, k] = np.abs(data).sum(axis=1) + 1.0
+    band = BandedMatrix(data=jnp.asarray(data, jnp.float64), kl=k, ku=k)
+    u = rng.standard_normal(n)
+    rhs = banded_matvec(band, jnp.asarray(u))
+    res = solve(band, rhs, options=Options({
+        "ksp_type": "richardson", "pc_type": "spike",
+        "pc_spike_partitions": "8", "pc_spike_factor_dtype": "f32",
+        "pc_spike_store_spikes": "1", "ksp_rtol": "1e-13",
+        "ksp_max_it": "30"}))
+    assert res.x.dtype == jnp.float64
+    rel = float(jnp.linalg.norm(banded_matvec(band, res.x) - rhs)
+                / jnp.linalg.norm(rhs))
+    assert rel < 1e-12 and int(res.its) <= 5
