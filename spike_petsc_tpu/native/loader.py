@@ -24,7 +24,7 @@ _LOCK = threading.Lock()
 _lib = None
 _tried = False
 
-_SOURCES = ["assignment.cpp", "hopcroft_karp.cpp"]
+_SOURCES = ["assignment.cpp", "hopcroft_karp.cpp", "bottleneck_sorted.cpp"]
 
 
 def _compile() -> Optional[str]:
@@ -65,6 +65,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.spike_hopcroft_karp.argtypes = [
             ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_double,
             i64p]
+        lib.spike_bottleneck_sorted.restype = ctypes.c_int
+        lib.spike_bottleneck_sorted.argtypes = [
+            ctypes.c_int64, i64p, i64p, f64p, i64p,
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
         return _lib
 
@@ -111,3 +115,24 @@ def get_hopcroft_karp():
         return match, int(card)
 
     return hopcroft_karp
+
+
+def get_bottleneck_sorted():
+    """Returns fn(n, col_ptr, row_ind, weights) -> (match, best_t, feasible)
+    — the job-3 warm-started sorted-threshold bisection engine
+    (native/src/bottleneck_sorted.cpp) — or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    def bottleneck_sorted(n, col_ptr, row_ind, weights):
+        col_ptr = np.ascontiguousarray(col_ptr, np.int64)
+        row_ind = np.ascontiguousarray(row_ind, np.int64)
+        weights = np.ascontiguousarray(weights, np.float64)
+        match = np.empty(n, np.int64)
+        best_t = ctypes.c_double(0.0)
+        ok = lib.spike_bottleneck_sorted(n, col_ptr, row_ind, weights,
+                                         match, ctypes.byref(best_t))
+        return match, float(best_t.value), bool(ok)
+
+    return bottleneck_sorted

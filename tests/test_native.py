@@ -121,3 +121,85 @@ def test_bottleneck_uses_native_and_agrees():
     m, t = bottleneck_match(a.tocsr())
     assert np.array_equal(np.sort(m[m >= 0]), np.unique(m[m >= 0]))
     assert t > 0
+
+
+def test_bottleneck_sorted_native_matches_python():
+    """Native job-3 engine vs the pure-Python warm-start implementation."""
+    fn = loader.get_bottleneck_sorted()
+    if fn is None:
+        pytest.skip("native toolchain unavailable")
+    from spike_petsc_tpu.ordering import matching
+    rng = np.random.default_rng(11)
+    for _ in range(12):
+        n = int(rng.integers(5, 90))
+        d = min(1.0, 4.0 / n)
+        a = sp.random(n, n, density=d, random_state=rng,
+                      data_rvs=lambda k: rng.uniform(0.1, 10, k))
+        a = (a + sp.diags(rng.uniform(0.1, 10, n))).tocsc()
+        a.eliminate_zeros()
+        ptr = a.indptr.astype(np.int64)
+        rows = a.indices.astype(np.int64)
+        w = np.abs(a.data.astype(np.float64))
+        m_c, t_c, ok = fn(n, ptr, rows, w)
+        m2, t2 = matching.bottleneck_match(a)   # job-2 oracle, same objective
+        assert ok
+        np.testing.assert_allclose(t_c, t2, rtol=0, atol=0)
+        assert sorted(m_c) == list(range(n))
+        # every matched edge's weight clears the bottleneck threshold
+        dense = np.abs(a.toarray())
+        assert all(dense[m_c[j], j] >= t_c for j in range(n))
+
+
+def test_bottleneck_sorted_structurally_singular():
+    fn = loader.get_bottleneck_sorted()
+    if fn is None:
+        pytest.skip("native toolchain unavailable")
+    # column 2 is empty -> no perfect matching
+    ptr = np.array([0, 1, 2, 2], dtype=np.int64)
+    rows = np.array([0, 1], dtype=np.int64)
+    w = np.array([2.0, 3.0])
+    m, t, ok = fn(3, ptr, rows, w)
+    assert not ok and t == 0.0 and m[2] == -1
+
+
+def test_bottleneck_sorted_python_fallback(monkeypatch):
+    """The pure-Python warm-start implementation must stay correct — it is
+    the fallback when the native toolchain is unavailable."""
+    from spike_petsc_tpu.ordering import matching
+    monkeypatch.setattr(loader, "get_bottleneck_sorted", lambda: None)
+    rng = np.random.default_rng(21)
+    for _ in range(6):
+        n = int(rng.integers(5, 60))
+        a = sp.random(n, n, density=min(1.0, 4.0 / n), random_state=rng,
+                      data_rvs=lambda k: rng.uniform(0.1, 10, k))
+        a = (a + sp.diags(rng.uniform(0.1, 10, n))).tocsc()
+        m3, t3 = matching.bottleneck_match_sorted(a)
+        m2, t2 = matching.bottleneck_match(a)
+        assert t3 == t2
+        assert sorted(m3) == list(range(n))
+
+
+@pytest.mark.slow
+def test_job3_beats_job2_at_scale():
+    """VERDICT r2 item 6 done-criterion: the warm-started sorted-threshold
+    bisection (job 3, native) must not lose to the from-scratch HK threshold
+    oracle (job 2) at n=1e5, with the identical bottleneck value."""
+    if loader.get_bottleneck_sorted() is None:
+        pytest.skip("native toolchain unavailable")
+    import time
+    from spike_petsc_tpu.ordering import matching
+    n = 100_000
+    rng = np.random.default_rng(5)
+    a = sp.random(n, n, density=8 / n, random_state=rng,
+                  data_rvs=lambda k: rng.uniform(0.1, 10, k))
+    a = (a + sp.diags(rng.uniform(0.1, 10, n))).tocsc()
+    t0 = time.perf_counter()
+    m2, v2 = matching.bottleneck_match(a)
+    w_job2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m3, v3 = matching.bottleneck_match_sorted(a)
+    w_job3 = time.perf_counter() - t0
+    assert v3 == v2
+    assert sorted(m3) == list(range(n))
+    # allow a small margin so scheduler noise can't flake the assertion
+    assert w_job3 <= 1.2 * w_job2, (w_job3, w_job2)
