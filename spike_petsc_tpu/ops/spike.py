@@ -87,6 +87,23 @@ def _partition_geometry(n: int, K: int, kl: int, ku: int,
     return k, b, m
 
 
+def _skew_tip(rows: jax.Array, off: int, k: int) -> jax.Array:
+    """``out[..., r, c] = rows[..., r, off - r + c]`` for ``c in [0, k)`` —
+    the per-row -r shift done as ONE flatten + re-view at width-1 (the same
+    pad-and-reshape skew as band_to_blocktri), instead of k per-row static
+    slices: each tiny slice is a separate HBM op on TPU and k=100 of them
+    cost ~36 ms at the bench config vs ~1 ms for the skew.
+
+    Requires ``0 <= off - r + c < rows.shape[-1]`` for the used index range
+    (callers pad ``rows`` so out-of-band reads land in zeros).
+    """
+    *lead, kk, Wp = rows.shape
+    flat = rows.reshape(*lead, kk * Wp)
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, off)])
+    skew = jax.lax.slice_in_dim(flat, off, off + kk * (Wp - 1), axis=-1)
+    return skew.reshape(*lead, kk, Wp - 1)[..., :k]
+
+
 def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int,
                   zero_boundaries: bool = True):
     """Pull the k x k coupling corners out of global band storage.
@@ -99,18 +116,15 @@ def _extract_tips(data: jax.Array, K: int, m: int, k: int, kl: int, ku: int,
     global matrix, which zero the true global boundaries themselves).
     """
     w = kl + ku + 1
-    # per tip row r the needed band offsets are CONTIGUOUS (k static slices
-    # beat a 2-D gather by ~100x on TPU; see banded_matvec); lane-pad by k
-    # so offsets outside [0, w) read zeros
     rowsB = data.reshape(K, m, w)[:, m - k:, :]            # [K, k, w]
     rowsC = data.reshape(K, m, w)[:, :k, :]
-    rowsB = jnp.pad(rowsB, ((0, 0), (0, 0), (2 * k, 2 * k)))
-    rowsC = jnp.pad(rowsC, ((0, 0), (0, 0), (2 * k, 2 * k)))
-    # B_tip[p][r, c] at offset c + k - r + kl; C_tip[p][r, c] at c - k - r + kl
-    Btip = jnp.stack([rowsB[:, r, 3 * k - r + kl:4 * k - r + kl]
-                      for r in range(k)], axis=1)          # [K, k, k]
-    Ctip = jnp.stack([rowsC[:, r, k + kl - r:2 * k + kl - r]
-                      for r in range(k)], axis=1)
+    # B_tip[p][r, c] at band offset c + k - r + kl (right-pad: reads up to
+    # 2k + kl - 1); C_tip at c - k - r + kl (left-pad 2k: negative offsets
+    # read zeros).  Both are off = k + kl in their padded coordinates.
+    Btip = _skew_tip(jnp.pad(rowsB, ((0, 0), (0, 0), (0, 2 * k))),
+                     k + kl, k)                            # [K, k, k]
+    Ctip = _skew_tip(jnp.pad(rowsC, ((0, 0), (0, 0), (2 * k, 0))),
+                     k + kl, k)
     if zero_boundaries:
         Btip = Btip.at[K - 1].set(0)
         Ctip = Ctip.at[0].set(0)
@@ -198,6 +212,9 @@ def _finish_factor(blocks, Btip, Ctip, *, n, K, m, b, k, method, truncated,
     """Shared factorization tail (partition factor -> spikes -> reduced
     system -> mixed-precision cast) for both the band-storage entry
     (spike_factor) and the blocktri-native entry (spike_factor_blocks)."""
+    nb = m // b
+    dtype = blocks.dtype
+    yw = None
     if method == "cr":
         # cyclic reduction: log2(nb) levels, one large batched inversion
         # call per level (vs nb sequential calls in block-Thomas) — trades
@@ -206,18 +223,28 @@ def _finish_factor(blocks, Btip, Ctip, *, n, K, m, b, k, method, truncated,
         fact = jax.vmap(partial(cr_factor, shift=shift,
                                 shift_amount=shift_amount,
                                 inverter=inverter))(blocks)
+    elif method == "inv" and K > 1:
+        # fused factor + W-spike forward sweep: the spike solve's fwd pass
+        # rides the factor scan instead of re-reading the stacked F blocks
+        from .blocktri import blocktri_factor_inv_waux
+        Cb = jnp.zeros((K, b, k), dtype).at[:, :k, :].set(Ctip)
+        fact, yw = jax.vmap(partial(blocktri_factor_inv_waux, shift=shift,
+                                    shift_amount=shift_amount,
+                                    inverter=inverter))(blocks, Cb)
     else:
         fact = jax.vmap(partial(blocktri_factor, method=method, shift=shift,
                                 shift_amount=shift_amount,
                                 inverter=inverter))(blocks)
-    nb = m // b
 
     V = W = None
     red_fact = None
     red_Dinv = None
     if K > 1:
-        dtype = blocks.dtype
-        Vfull, Wfull = _spike_columns(fact, Btip, Ctip, nb, b, k, dtype)
+        if yw is not None:
+            Vfull, Wfull = _spike_columns_from_waux(fact, Btip, yw, b, k,
+                                                    dtype)
+        else:
+            Vfull, Wfull = _spike_columns(fact, Btip, Ctip, nb, b, k, dtype)
         V_top, V_bot = Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :]
         W_top, W_bot = Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]
         if store_spikes:
@@ -337,18 +364,28 @@ def _group_factor_impl(local, Btip_g, Ctip_g, *, kl, ku, b, k, method,
     to_blocks = jax.vmap(
         lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku), b))
     blocks = to_blocks(local)
+    nb = m // b
+    dtype = local.dtype
     if method == "cr":
         from .cyclic import cr_factor
         fact = jax.vmap(partial(cr_factor, shift=shift,
                                 shift_amount=shift_amount,
                                 inverter=inverter))(blocks)
+        Vfull, Wfull = _spike_columns(fact, Btip_g, Ctip_g, nb, b, k, dtype)
+    elif method == "inv":
+        # fused factor + W-spike forward sweep, as in _finish_factor
+        from .blocktri import blocktri_factor_inv_waux
+        Cb = jnp.zeros((Kg, b, k), dtype).at[:, :k, :].set(Ctip_g)
+        fact, yw = jax.vmap(partial(blocktri_factor_inv_waux, shift=shift,
+                                    shift_amount=shift_amount,
+                                    inverter=inverter))(blocks, Cb)
+        Vfull, Wfull = _spike_columns_from_waux(fact, Btip_g, yw, b, k,
+                                                dtype)
     else:
         fact = jax.vmap(partial(blocktri_factor, method=method, shift=shift,
                                 shift_amount=shift_amount,
                                 inverter=inverter))(blocks)
-    nb = m // b
-    dtype = local.dtype
-    Vfull, Wfull = _spike_columns(fact, Btip_g, Ctip_g, nb, b, k, dtype)
+        Vfull, Wfull = _spike_columns(fact, Btip_g, Ctip_g, nb, b, k, dtype)
     tips = (Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :],
             Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :])
     V = W = None
@@ -569,7 +606,6 @@ def _spike_columns(fact, Btip, Ctip, nb: int, b: int, k: int, dtype):
         return _batched_tri_solve(fact, rhsV), _batched_tri_solve(fact, rhsW)
 
     def per_partition(f, Bt, Ct):
-        Bb = jnp.zeros((b, k), dtype).at[b - k:, :].set(Bt)
         Cb = jnp.zeros((b, k), dtype).at[:k, :].set(Ct)
 
         def fwd(y_prev, fi):
@@ -578,22 +614,38 @@ def _spike_columns(fact, Btip, Ctip, nb: int, b: int, k: int, dtype):
 
         _, yw_rest = jax.lax.scan(fwd, Cb, f.F[1:])
         yw = jnp.concatenate([Cb[None], yw_rest], axis=0)    # [nb, b, k]
-
-        x_last = mv(f.Sinv[-1], jnp.concatenate([Bb, yw[-1]], axis=-1))
-
-        def bwd(x_next, inputs):
-            sinv, u, ywi = inputs
-            y = jnp.concatenate([jnp.zeros((b, k), x_next.dtype), ywi],
-                                axis=-1)                     # [b, 2k]
-            x = mv(sinv, y - mv(u, x_next))
-            return x, x
-
-        _, x_rest = jax.lax.scan(
-            bwd, x_last, (f.Sinv[:-1], f.U[:-1], yw[:-1]), reverse=True)
-        x = jnp.concatenate([x_rest, x_last[None]], axis=0)  # [nb, b, 2k]
-        return x[..., :k], x[..., k:]
+        return _spike_bwd_one(f, Bt, yw, b, k, dtype)
 
     return jax.vmap(per_partition)(fact, Btip, Ctip)
+
+
+def _spike_bwd_one(f, Bt, yw, b: int, k: int, dtype):
+    """Shared V/W backward sweep for one partition given the W forward
+    sweep result ``yw`` (from ``_spike_columns``'s fwd scan, or fused into
+    the factor scan by ``blocktri_factor_inv_waux``)."""
+    from .blocktri import _sweep_matvec as mv
+
+    Bb = jnp.zeros((b, k), dtype).at[b - k:, :].set(Bt)
+    x_last = mv(f.Sinv[-1], jnp.concatenate([Bb, yw[-1]], axis=-1))
+
+    def bwd(x_next, inputs):
+        sinv, u, ywi = inputs
+        y = jnp.concatenate([jnp.zeros((b, k), x_next.dtype), ywi],
+                            axis=-1)                         # [b, 2k]
+        x = mv(sinv, y - mv(u, x_next))
+        return x, x
+
+    _, x_rest = jax.lax.scan(
+        bwd, x_last, (f.Sinv[:-1], f.U[:-1], yw[:-1]), reverse=True)
+    x = jnp.concatenate([x_rest, x_last[None]], axis=0)      # [nb, b, 2k]
+    return x[..., :k], x[..., k:]
+
+
+def _spike_columns_from_waux(fact, Btip, yw, b: int, k: int, dtype):
+    """V/W spikes when the W forward sweep was fused into the factor scan."""
+    return jax.vmap(
+        lambda f, Bt, ywp: _spike_bwd_one(f, Bt, ywp, b, k, dtype)
+    )(fact, Btip, yw)
 
 
 def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):

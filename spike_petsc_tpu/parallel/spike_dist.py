@@ -77,14 +77,14 @@ class DistSpikeFactor:
 def _local_tips_one(data_one: jax.Array, gidx, m: int, k: int, kl: int,
                     ku: int, K: int):
     """k x k coupling corners of ONE partition; zeroed at the global edges
-    (same static-slice form as ops.spike._extract_tips — TPU gathers are
-    ~0.2 GB/s, see ops.band.banded_matvec)."""
-    rowsB = jnp.pad(data_one[m - k:, :], ((0, 0), (2 * k, 2 * k)))
-    rowsC = jnp.pad(data_one[:k, :], ((0, 0), (2 * k, 2 * k)))
-    Btip = jnp.stack([rowsB[r, 3 * k - r + kl:4 * k - r + kl]
-                      for r in range(k)], axis=0)
-    Ctip = jnp.stack([rowsC[r, k + kl - r:2 * k + kl - r]
-                      for r in range(k)], axis=0)
+    (same flatten-and-reskew form as ops.spike._extract_tips — TPU gathers
+    are ~0.2 GB/s and k separate tiny slices cost ~0.4 ms each, see
+    ops.spike._skew_tip)."""
+    from ..ops.spike import _skew_tip
+    Btip = _skew_tip(jnp.pad(data_one[m - k:, :], ((0, 0), (0, 2 * k))),
+                     k + kl, k)
+    Ctip = _skew_tip(jnp.pad(data_one[:k, :], ((0, 0), (2 * k, 0))),
+                     k + kl, k)
     Btip = jnp.where(gidx == K - 1, jnp.zeros_like(Btip), Btip)
     Ctip = jnp.where(gidx == 0, jnp.zeros_like(Ctip), Ctip)
     return Btip, Ctip
@@ -115,6 +115,29 @@ def _local_factor_fn(method: str, shift: str, shift_amount, inverter: str):
                                 inverter=inverter))
     return jax.vmap(partial(blocktri_factor, method=method, shift=shift,
                             shift_amount=shift_amount, inverter=inverter))
+
+
+def _factor_and_spikes(blocks, Btip, Ctip, factor_fn, method: str, shift,
+                       shift_amount, inverter, nb: int, b: int, k: int):
+    """Per-device batched factor + V/W spikes.  For method='inv' the
+    W-spike forward sweep is fused into the factor scan
+    (ops.blocktri.blocktri_factor_inv_waux — one pass over F instead of
+    two), matching the single-chip _finish_factor path; other methods take
+    the generic factor + _spike_columns pair."""
+    dtype = blocks.dtype
+    if method == "inv":
+        from ..ops.blocktri import blocktri_factor_inv_waux
+        from ..ops.spike import _spike_columns_from_waux
+        Cb = jnp.zeros((Ctip.shape[0], b, k), dtype).at[:, :k, :].set(Ctip)
+        fact, yw = jax.vmap(partial(blocktri_factor_inv_waux, shift=shift,
+                                    shift_amount=shift_amount,
+                                    inverter=inverter))(blocks, Cb)
+        Vfull, Wfull = _spike_columns_from_waux(fact, Btip, yw, b, k, dtype)
+    else:
+        from ..ops.spike import _spike_columns
+        fact = factor_fn(blocks)
+        Vfull, Wfull = _spike_columns(fact, Btip, Ctip, nb, b, k, dtype)
+    return fact, Vfull, Wfull
 
 
 def _cast_local(fact, V, W, method: str, store_dtype, spike_dtype):
@@ -237,12 +260,9 @@ def _dist_spike_factor_impl(band: BandedMatrix, mesh: Mesh, axis: str,
         blocks = jax.vmap(
             lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
                                        b))(data_shard)
-        fact = factor_fn(blocks)
-        # spikes: shared forward + combined backward sweep (factors stream
-        # once each way; ops.spike._spike_columns)
-        from ..ops.spike import _spike_columns
-        Vfull, Wfull = _spike_columns(fact, Btip, Ctip, nb, b, k,
-                                      data_shard.dtype)
+        fact, Vfull, Wfull = _factor_and_spikes(
+            blocks, Btip, Ctip, factor_fn, method, shift, shift_amount,
+            inverter, nb, b, k)
         tips = jnp.stack([Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :],
                           Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]],
                          axis=1)                     # [ppd, 4, k, k]
@@ -793,7 +813,6 @@ def _dist_spike_factor_multislice_impl(
         blocks = jax.vmap(
             lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku),
                                        b))(data_shard)
-        fact = factor_fn(blocks)
         # PC tips: slice boundaries are PC-global edges (block-Jacobi
         # across slices -> zero DCN traffic in PCApply)
         lidx = gidx % Ks                            # index within slice
@@ -801,9 +820,9 @@ def _dist_spike_factor_multislice_impl(
                             jnp.zeros_like(Btip), Btip)
         Ctip_pc = jnp.where((lidx == 0)[:, None, None],
                             jnp.zeros_like(Ctip), Ctip)
-        dt = data_shard.dtype
-        from ..ops.spike import _spike_columns
-        Vfull, Wfull = _spike_columns(fact, Btip_pc, Ctip_pc, nb, b, k, dt)
+        fact, Vfull, Wfull = _factor_and_spikes(
+            blocks, Btip_pc, Ctip_pc, factor_fn, method, shift,
+            shift_amount, inverter, nb, b, k)
         tips = jnp.stack([Vfull[:, 0, :k, :], Vfull[:, nb - 1, b - k:, :],
                           Wfull[:, 0, :k, :], Wfull[:, nb - 1, b - k:, :]],
                          axis=1)                     # [ppd, 4, k, k]
