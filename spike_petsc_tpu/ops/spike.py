@@ -448,10 +448,12 @@ def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
     intermediates (block conversion, factor scan, spike sweeps) are freed
     before the next group runs — peak memory is the FINAL factor storage
     plus one group's working set, instead of everything at once.  This is
-    what lets N=4e6 x bw=201 factor on one 16 GB chip in bf16 PC mode
-    (the monolithic path OOMs near N=2e6 f32 / 4e6 bf16).  Same result as
-    spike_factor up to f32 summation order (bit-identical in practice:
-    per-partition math is unchanged, only batching differs).
+    what lets N=4e6 x bw=201 factor on one 16 GB chip: bf16 PC mode at
+    groups>=8, and FULL f32 storage at groups>=16 (measured on v5e:
+    12.6 GB at rest, relres 8.3e-5; the monolithic path OOMs near N=2e6
+    f32).  Same result as spike_factor up to f32 summation order
+    (bit-identical in practice: per-partition math is unchanged, only
+    batching differs).
     """
     if K % groups or groups < 1:
         raise ValueError(f"groups={groups} must divide K={K}")
@@ -467,8 +469,19 @@ def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
 
     # slice groups out of the ORIGINAL band (a full padded copy of the band
     # would double the band's footprint — the thing this path exists to
-    # avoid); only the last group's slice needs row padding
-    facts, Vs, Ws, tips, Btips, Ctips = [], [], [], [], [], []
+    # avoid); only the last group's slice needs row padding.
+    # Group results are written into PREALLOCATED full-K buffers via a
+    # donated dynamic_update_slice (in-place on device) — the end-of-loop
+    # concatenate this replaces transiently doubled the factor footprint,
+    # which is what blocked f32 storage at N=4e6 on a 16 GB chip
+    # (ROADMAP r3 item 4; the bf16 path fit either way).
+    @partial(jax.jit, donate_argnums=0)
+    def _acc(out_tree, piece_tree, g):
+        return jax.tree_util.tree_map(
+            lambda o, x: jax.lax.dynamic_update_slice_in_dim(
+                o, x, g * Kg, axis=0), out_tree, piece_tree)
+
+    out = None
     for g in range(groups):
         r0 = g * Kg * m
         seg = band.data[r0:min((g + 1) * Kg * m, n)]
@@ -482,26 +495,19 @@ def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
             Btip_g = Btip_g.at[Kg - 1].set(0)
         if g == 0:
             Ctip_g = Ctip_g.at[0].set(0)
-        fact_g, V_g, W_g, tips_g = _group_factor_impl(
+        piece = (*_group_factor_impl(
             local_g, Btip_g, Ctip_g, kl=kl, ku=ku, b=b, k=k,
             method=method, shift=shift, shift_amount=shift_amount,
             inverter=inverter, store_spikes=store_spikes,
-            store_dtype=store_dtype, spike_dtype=spike_dtype)
-        facts.append(fact_g)
-        Vs.append(V_g)
-        Ws.append(W_g)
-        tips.append(tips_g)
-        Btips.append(Btip_g)
-        Ctips.append(Ctip_g)
-    Btip = jnp.concatenate(Btips, axis=0)
-    Ctip = jnp.concatenate(Ctips, axis=0)
-
-    fact = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *facts)
-    V = (jnp.concatenate(Vs, axis=0) if store_spikes else None)
-    W = (jnp.concatenate(Ws, axis=0) if store_spikes else None)
-    V_top, V_bot, W_top, W_bot = (
-        jnp.concatenate([t[i] for t in tips], axis=0) for i in range(4))
+            store_dtype=store_dtype, spike_dtype=spike_dtype),
+            Btip_g, Ctip_g)
+        if out is None:
+            out = jax.tree_util.tree_map(
+                lambda x: jnp.zeros((K,) + x.shape[1:], x.dtype), piece)
+        out = _acc(out, piece, g)
+    fact, V, W, (V_top, V_bot, W_top, W_bot), Btip, Ctip = out
+    if not store_spikes:
+        V = W = None
 
     red_fact = red_Dinv = None
     if K > 1:
