@@ -190,7 +190,9 @@ def blocktri_diagdom_device(n: int, kl: int, ku: int, K: int, b: int,
     q = jnp.arange(b)[None, :]
     mD = ((q - p <= ku) & (p - q <= kl)).astype(dt)           # |j - r| band
     mU = (b + q - p <= ku).astype(dt)                         # j = r + b + ...
-    mL = (p - q - b <= kl).astype(dt) * (q - p >= b - kl).astype(dt)
+    # L holds A[r, j] with j = r - b + (q - p): the band bound r - j <= kl
+    # is q - p >= b - kl (the upper bound j <= r + ku is vacuous here)
+    mL = (q - p >= b - kl).astype(dt)
     # global row/col validity: rows >= n are identity, cols >= n are zero
     i = jnp.arange(NB)[:, None, None]
     r_glob = i * b + p[None]                                  # [NB, b, 1]

@@ -127,17 +127,25 @@ def _mv_dma_kernel(d_hbm, l_hbm, u_hbm, xm_ref, xc_ref, xp_ref, o_ref,
 def _pick_mv_geometry(nb: int, b: int, itemsize: int, nbuf: int):
     """(Kc, kt, nbk): chunk the block axis into Kc rows of nbk blocks, kt
     chunks per grid step, sized so 3*nbuf mat buffers + 4 double-buffered
-    [kt, nbk, b] vector blocks fit the VMEM budget."""
+    [kt, nbk, b] vector blocks fit the VMEM budget.
+
+    Returns None when no geometry fits — even kt=1, nbk=1 exceeds VMEM
+    (3*nbuf single b x b blocks alone; b >= ~350 f32 at the default
+    budget) — so callers can fall back to the XLA matvec instead of
+    looping forever shrinking the wrong dimension (code-review r3)."""
     from .fused_sweep import _budget
+    mats1 = 3 * nbuf * b * b * itemsize          # kt=1 matrix buffers
+    if mats1 + 4 * 2 * b * 4 > _budget():
+        return None
     kt = 8
     Kc = 64
     while True:
         nbk = -(-nb // Kc)
         mats = 3 * nbuf * kt * b * b * itemsize
         vecs = 4 * 2 * kt * nbk * b * 4
-        if mats + vecs <= _budget() or kt == 1:
+        if mats + vecs <= _budget():
             return Kc, kt, nbk
-        if kt > 2:
+        if kt > 1:
             kt //= 2
         else:
             Kc *= 2
@@ -150,7 +158,10 @@ def mv_padded_nb(nb: int, b: int, itemsize: int = 4, nbuf: int = 4) -> int:
     loop, a per-call pad of the [nb, b, b] arrays costs ~2x the kernel
     itself in pure copy traffic (measured: 6.9 ms padded-per-call vs 2.0 ms
     pre-padded at N=1e6, b=128 on v5e)."""
-    Kc, _, nbk = _pick_mv_geometry(nb, b, itemsize, nbuf)
+    geom = _pick_mv_geometry(nb, b, itemsize, nbuf)
+    if geom is None:        # DMA kernel infeasible -> XLA path, no padding
+        return nb
+    Kc, _, nbk = geom
     return Kc * nbk
 
 
@@ -199,7 +210,11 @@ def blocktri_matvec_dma(T, x: jax.Array, nbuf: int = 4) -> jax.Array:
     in-call fallback pad below copies the full matrix every call."""
     nb, b = T.nb, T.b
     itemsize = jnp.dtype(T.dtype).itemsize
-    Kc, kt, nbk = _pick_mv_geometry(nb, b, itemsize, nbuf)
+    geom = _pick_mv_geometry(nb, b, itemsize, nbuf)
+    if geom is None:        # block too large for VMEM: XLA matvec fallback
+        from ..blocktri import blocktri_matvec
+        return blocktri_matvec(T, x)
+    Kc, kt, nbk = geom
     nbp = Kc * nbk
     pad = nbp - nb
 

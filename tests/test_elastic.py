@@ -161,3 +161,27 @@ def test_global_maxit_clamped():
                           maxit=7, segment_its=5, ksp_type="cg",
                           use_pc=False)
     assert res.its <= 7
+
+
+def test_persistent_fault_halves_after_one_same_size_retry():
+    """When the health probe keeps reporting all devices alive but failures
+    persist (a fault the probe cannot see), the default policy allows ONE
+    same-size retry per failure streak and then halves the mesh anyway
+    (code-review r3: len(jax.devices()) is a cached enumeration, so a real
+    chip loss can look 'healthy' forever)."""
+    a, bm, u, rhs = _problem(n=768, k=4, seed=5)
+    fails = []
+
+    def fail_twice(segment):
+        if segment == 0 and len(fails) < 2:
+            fails.append(True)
+            raise RuntimeError("injected: persistent fault, healthy probe")
+
+    res = resilient_solve(bm, rhs, n_devices=8, block_b=8, rtol=1e-10,
+                          maxit=80, segment_its=4,
+                          fault_injector=fail_twice, max_failures=3)
+    assert res.failures == 2
+    # first failure: same-size retry (8); second: halved mesh (4)
+    assert (8,) in res.meshes_used and (4,) in res.meshes_used
+    assert res.reason == CONVERGED_RTOL
+    np.testing.assert_allclose(res.x, u, rtol=1e-7, atol=1e-8)

@@ -80,3 +80,40 @@ def test_dma_matvec_bf16_blocks():
                          L=T16.L.astype(jnp.float32),
                          U=T16.U.astype(jnp.float32)), x))
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mv_geometry_terminates_and_falls_back_for_large_blocks():
+    """code-review r3: b >= ~352 f32 (or ~256 f64) made _pick_mv_geometry
+    loop forever (kt never reached 1, and matrix buffers don't shrink with
+    Kc).  Infeasible blocks must yield None and the public entry points
+    must fall back to the XLA matvec instead of hanging."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spike_petsc_tpu.ops.blocktri import BlockTridiagonal, blocktri_matvec
+    from spike_petsc_tpu.ops.pallas.matvec import (_pick_mv_geometry,
+                                                   blocktri_matvec_dma,
+                                                   mv_padded_nb)
+
+    # the verified non-terminating configs are now FEASIBLE at kt=1 (the
+    # old loop stopped halving kt at 2 and doubled Kc forever)
+    for nb_, b_, item in [(1000, 384, 4), (1000, 256, 8)]:
+        geom = _pick_mv_geometry(nb_, b_, item, 4)
+        assert geom is not None and geom[1] == 1, (nb_, b_, geom)
+    # feasible config still returns a power-of-two-compatible geometry
+    geom = _pick_mv_geometry(1000, 128, 4, 4)
+    assert geom is not None and geom[0] % geom[1] == 0
+    # blocks whose kt=1 buffers alone exceed any VMEM budget: None
+    assert _pick_mv_geometry(1000, 768, 4, 4) is None
+    # padded-count query degrades to "no padding" for the XLA path
+    assert mv_padded_nb(1000, 768, 4) == 1000
+
+    rng = np.random.default_rng(0)
+    nb, b = 6, 768
+    T = BlockTridiagonal(
+        D=jnp.asarray(rng.standard_normal((nb, b, b)), jnp.float32),
+        L=jnp.asarray(rng.standard_normal((nb, b, b)), jnp.float32),
+        U=jnp.asarray(rng.standard_normal((nb, b, b)), jnp.float32))
+    x = jnp.asarray(rng.standard_normal((nb, b)), jnp.float32)
+    y = blocktri_matvec_dma(T, x)          # must not hang: XLA fallback
+    np.testing.assert_allclose(np.asarray(y), np.asarray(blocktri_matvec(T, x)),
+                               rtol=1e-5, atol=1e-5)
