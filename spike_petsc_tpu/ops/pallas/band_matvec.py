@@ -1,0 +1,159 @@
+"""Pallas banded matvec: y[i] = sum_d data[i, d] * x[i + d - kl].
+
+The minimal-traffic SpMV for band storage.  The XLA shifted-axpy form
+(ops/band.py banded_matvec) reads the band once but materializes w
+lane-misaligned shifted operands and measures only ~20-50 GB/s on v5e; the
+block-tridiagonal conversion route (solvers/operator.py) reaches kernel
+bandwidth but inflates storage to 3*128 floats per row (1.9x the band at
+w=201, 30x at w=13).  This kernel streams exactly the n*w band entries:
+
+* setup (once per operator): transpose the [n, w] diagonal-offset storage
+  to diagonal-major [w, Sg, 128] tiles (``prepare_banded_mv``) — each
+  diagonal is then lane-contiguous and every grid step's block is one
+  dense DMA;
+* per call: pad x by kl in front (so window t of the flattened tile grid
+  reads xp[t] with zero lane phase) and run an auto-pipelined grid over
+  row tiles of T = S*128 elements;
+* in-kernel: the shift by diagonal offset d = 128 q + p decomposes into a
+  lane-phase concat (one per distinct p, shared by all q — at most
+  min(w, 128) shuffles) plus free sublane slices, accumulating
+  acc += diag_tile[d] * window[q : q + S] on the VPU.
+
+This fills the MatMult role of the reference's hot loop
+(/root/reference/src/testbed.c:310) for bands of ANY width, where the
+blocktri route only paid off at w >= ~96.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..band import BandedMatrix, banded_matvec
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(d3_ref, xa_ref, xb_ref, o_ref, *, w: int, S: int, qmax: int):
+    # window of S + qmax + 1 sublane rows starting at this tile's origin:
+    # body block + the head of the NEXT body block (same array, two specs)
+    xw = jnp.concatenate([xa_ref[...], xb_ref[: qmax + 1]], axis=0)
+    acc = jnp.zeros((S, 128), jnp.float32)
+    for p in range(min(w, 128)):
+        if p == 0:
+            xr = xw                                     # [S + qmax + 1, 128]
+        else:
+            # flat shift by p lanes: row s of xr holds xw_flat[s*128 + p ...]
+            xr = jnp.concatenate([xw[:-1, p:], xw[1:, :p]], axis=1)
+        for q in range(qmax + 1):
+            d = 128 * q + p
+            if d < w:
+                acc = acc + d3_ref[d].astype(jnp.float32) * xr[q:q + S]
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _pick_S(w: int, itemsize: int) -> int:
+    """Sublane rows per grid step: the largest multiple of 8 whose
+    double-buffered [w, S, 128] diagonal block fits the VMEM budget."""
+    from .fused_sweep import _budget
+    S = max(8, int(_budget() * 0.7) // (2 * w * 128 * itemsize) // 8 * 8)
+    return min(S, 512)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PreparedBandMV:
+    """One-time diagonal-major layout for the Pallas banded matvec.
+
+    Attributes:
+      d3: [w, NBg * S, 128]; d3[d, a, l] = A[128 a + l, 128 a + l + d - kl]
+          (zero where out of range).
+      kl/ku/n: the source band's shape (static).
+      S: sublane rows per grid step (static).
+    """
+
+    d3: jax.Array
+    kl: int = field(metadata=dict(static=True))
+    ku: int = field(metadata=dict(static=True))
+    n: int = field(metadata=dict(static=True))
+    S: int = field(metadata=dict(static=True))
+
+    @property
+    def w(self) -> int:
+        return self.kl + self.ku + 1
+
+
+def banded_mv_feasible(bm_or_w, n: int = None, dtype=jnp.float32) -> bool:
+    """True when the Pallas banded kernel handles this band: fixed-width
+    dtypes only (no emulated f64 pairs on TPU), w small enough that the
+    unrolled lane-phase loop stays compilable, n big enough to fill a tile."""
+    if isinstance(bm_or_w, BandedMatrix):
+        w, n, dtype = bm_or_w.width, bm_or_w.n, bm_or_w.dtype
+    else:
+        w = int(bm_or_w)
+    return (jnp.dtype(dtype).itemsize <= 4 and 3 <= w <= 512
+            and n >= 2 * 128)
+
+
+def prepare_banded_mv(bm: BandedMatrix, S: int = None) -> PreparedBandMV:
+    """Transpose band storage to the kernel's diagonal-major tile layout.
+
+    One pass over the band (cheap next to the blocktri conversion this
+    replaces); hold the result for the lifetime of the operator — Krylov
+    loops amortize it over every iteration.
+    """
+    if not banded_mv_feasible(bm):
+        raise ValueError(
+            f"banded Pallas matvec infeasible for w={bm.width}, n={bm.n}, "
+            f"dtype={bm.dtype}; use ops.band.banded_matvec")
+    w, n = bm.width, bm.n
+    if S is None:
+        # no use tiling wider than the problem: cap at one-tile coverage
+        S = min(_pick_S(w, jnp.dtype(bm.dtype).itemsize),
+                max(8, -(-n // 128) // 8 * 8))
+    T = S * 128
+    NBg = -(-n // T)
+    d3 = jnp.pad(bm.data, ((0, NBg * T - n), (0, 0))).T.reshape(w, NBg * S, 128)
+    return PreparedBandMV(d3=d3, kl=bm.kl, ku=bm.ku, n=n, S=S)
+
+
+@jax.jit
+def banded_matvec_prepared(prep: PreparedBandMV, x: jax.Array) -> jax.Array:
+    """y = A @ x from the prepared layout; x [n] in a fixed-width dtype."""
+    w, S, n = prep.w, prep.S, prep.n
+    qmax = (w - 1) // 128
+    Sg = prep.d3.shape[1]
+    NBg = Sg // S
+    # xp[t] = x[t - kl]; one extra body block so spec B (the i+1 block) stays
+    # in range on the last step
+    xp = jnp.pad(x, (prep.kl, (NBg + 1) * S * 128 - prep.kl - n))
+    xp = xp.reshape((NBg + 1) * S, 128)
+
+    kern = partial(_kernel, w=w, S=S, qmax=qmax)
+    y = pl.pallas_call(
+        kern,
+        grid=(NBg,),
+        in_specs=[
+            pl.BlockSpec((w, S, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((S, 128), lambda i: (i, 0)),
+            pl.BlockSpec((S, 128), lambda i: (i + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((S, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Sg, 128), x.dtype),
+        interpret=_use_interpret(),
+    )(prep.d3, xp, xp)
+    return y.reshape(-1)[:n]
+
+
+def banded_matvec_pallas(bm: BandedMatrix, x: jax.Array) -> jax.Array:
+    """Convenience one-shot form (prepares the layout per call — inside a
+    solver loop use prepare_banded_mv once + banded_matvec_prepared)."""
+    if not banded_mv_feasible(bm):
+        return banded_matvec(bm, x)
+    return banded_matvec_prepared(prepare_banded_mv(bm), x)
