@@ -5,7 +5,8 @@ from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
                          dist_spike_solve_many,
                          make_dist_solver, make_dist_solver_batched,
                          make_mesh_multislice, dist_spike_factor_multislice,
-                         make_dist_solver_multislice)
+                         make_dist_solver_multislice,
+                         make_dist_solver_multislice_batched)
 from .matching_dev import auction_match, auction_match_dist
 from .elastic import ResilientResult, SolveCheckpoint, resilient_solve
 
@@ -16,6 +17,7 @@ __all__ = [
     "make_dist_solver", "make_dist_solver_batched",
     "make_mesh_multislice", "dist_spike_factor_multislice",
     "make_dist_solver_multislice",
+    "make_dist_solver_multislice_batched",
     "auction_match", "auction_match_dist",
     "ResilientResult", "SolveCheckpoint", "resilient_solve",
 ]

@@ -875,6 +875,29 @@ def _dist_spike_factor_multislice_impl(
                            truncated=False)
 
 
+def _interface_solve_in_slice(dsf_local, g_top, g_bot, axis_p: str, Ks: int):
+    """Per-slice interface solve: all-gather the tips over axis_p ONLY
+    (ICI), solve this slice's replicated reduced system, slice mine.
+    g_top/g_bot: [ppd, k] or [ppd, k, r]; returns (xbot_prev, xtop_next)
+    of the same shape (indices within the slice — slice edges masked to
+    zero, which is exactly the block-Jacobi PC-tip contract)."""
+    k, ppd = dsf_local.k, dsf_local.ppd
+    lp = jax.lax.axis_index(axis_p) * ppd + jnp.arange(ppd)
+    trail = g_top.shape[2:]
+    gt = jax.lax.all_gather(g_top, axis_p).reshape(Ks, k, *trail)
+    gb = jax.lax.all_gather(g_bot, axis_p).reshape(Ks, k, *trail)
+    rhs_red = jnp.concatenate([gb[:-1], gt[1:]], axis=1)    # [Ks-1, 2k, *r]
+    from ..ops.spike import _solve_reduced_system
+    z = _solve_reduced_system(dsf_local.red_fact, rhs_red)
+    zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k, *trail), z.dtype)],
+                           axis=0)
+    mshape = (ppd,) + (1,) * (1 + len(trail))
+    xtop_next = zpad[jnp.minimum(lp, Ks - 1), k:] * \
+        (lp < Ks - 1).reshape(mshape)
+    xbot_prev = zpad[jnp.maximum(lp - 1, 0), :k] * (lp > 0).reshape(mshape)
+    return xbot_prev, xtop_next
+
+
 def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
                                  axis_p: str, ndev_p: int,
                                  impl: str = "auto") -> jax.Array:
@@ -888,17 +911,8 @@ def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
     g = _local_tri_solve(dsf_local, rblk, impl)
     if Ks == 1:
         return g.reshape(-1)
-    # per-slice interface solve (indices within the slice)
-    pidx = jax.lax.axis_index(axis_p)
-    lp = pidx * ppd + jnp.arange(ppd)
-    gt = jax.lax.all_gather(g[:, 0, :k], axis_p).reshape(Ks, k)
-    gb = jax.lax.all_gather(g[:, nb - 1, b - k:], axis_p).reshape(Ks, k)
-    rhs_red = jnp.concatenate([gb[:-1], gt[1:]], axis=1)
-    from ..ops.spike import _solve_reduced_system
-    z = _solve_reduced_system(dsf_local.red_fact, rhs_red)
-    zpad = jnp.concatenate([z, jnp.zeros((1, 2 * k), z.dtype)], axis=0)
-    xtop_next = zpad[jnp.minimum(lp, Ks - 1), k:] * (lp < Ks - 1)[:, None]
-    xbot_prev = zpad[jnp.maximum(lp - 1, 0), :k] * (lp > 0)[:, None]
+    xbot_prev, xtop_next = _interface_solve_in_slice(
+        dsf_local, g[:, 0, :k], g[:, nb - 1, b - k:], axis_p, Ks)
     # shared correction dispatch (stored V/W 1-sweep vs tip recompute) —
     # the PC-tip masking is carried by the interface vectors themselves:
     # xtop_next/xbot_prev are zero exactly where the PC tips differ from
@@ -907,6 +921,26 @@ def local_spike_solve_multislice(dsf_local, rhs_local, axis_slice: str,
     x = _spike_correct(dsf_local, g, rblk, xbot_prev, xtop_next,
                        lambda r2: _local_tri_solve(dsf_local, r2, impl))
     return x.reshape(-1)
+
+
+def local_spike_solve_multislice_many(dsf_local, rblk: jax.Array,
+                                      axis_slice: str, axis_p: str,
+                                      ndev_p: int,
+                                      impl: str = "auto") -> jax.Array:
+    """Multi-RHS per-device PCApply on a (slice, p) mesh;
+    rblk: [ppd, nb, b, r] -> same.  The huge-N serving form: factor blocks
+    stream once for ALL r right-hand sides, interface strips gather [Ks, k, r]
+    over the intra-slice axis only — still zero DCN traffic in PCApply."""
+    nb, b, k, ppd = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.ppd
+    Ks = ndev_p * ppd
+    g = _local_tri_solve_many(dsf_local, rblk, impl)
+    if Ks == 1:
+        return g
+    xbot_prev, xtop_next = _interface_solve_in_slice(
+        dsf_local, g[:, 0, :k, :], g[:, nb - 1, b - k:, :], axis_p, Ks)
+    return _spike_correct(
+        dsf_local, g, rblk, xbot_prev, xtop_next,
+        lambda r2: _local_tri_solve_many(dsf_local, r2, impl))
 
 
 def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
@@ -979,6 +1013,113 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
         x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh)
         return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
                          rnorm=rnorm, history=hist)
+
+    return solve_fn
+
+
+def make_dist_solver_multislice_batched(
+        dsf: DistSpikeFactor, mesh: Mesh, axis_slice: str = "slice",
+        axis_p: str = "p", ksp_type: str = "richardson", **params):
+    """Multi-RHS serving over the (slice, p) mesh itself — the huge-N
+    serving layout: rows span every chip (DCN included), and each device
+    solves ALL r right-hand sides on its row shard, so no rhs mesh axis is
+    spent on replicas (make_dist_solver_batched covers that regime).
+
+    Returns solve(rhs[n, r]) -> x[n, r].  ``ksp_type``:
+      * "richardson" (default) — multi-RHS refinement X += M^-1 (B - A X):
+        the PC is per-slice exact SPIKE (ICI-only, factors streamed once
+        for all r), the residual matvec carries the TRUE cross-slice
+        coupling (k-wide DCN strips), so the iteration converges to the
+        exact solution;
+      * "preonly"    — ONE multislice PCApply: block-Jacobi across slices,
+        i.e. PC-grade accuracy (exact only when cross-slice coupling is
+        zero); the cheapest mode when slices are weakly coupled;
+      * any Krylov name — per-RHS solves under lax.map with per-column
+        convergence control.
+    """
+    ppd, m, nb, b = dsf.ppd, dsf.m, dsf.nb, dsf.b
+    n_slices = mesh.shape[axis_slice]
+    ndev_p = mesh.shape[axis_p]
+    axes = (axis_slice, axis_p)
+
+    if ksp_type == "preonly":
+        def local_fn(dsf_in, r_local):                # [ppd, m, r]
+            rblk = r_local.reshape(ppd, nb, b, r_local.shape[-1])
+            x = local_spike_solve_multislice_many(
+                dsf_in, rblk, axis_slice, axis_p, ndev_p)
+            return x.reshape(ppd, m, -1)
+    elif ksp_type == "richardson":
+        rtol = params.get("rtol", 1e-8)
+        maxit = params.get("maxit", 50)
+
+        def local_fn(dsf_in, r_local):
+            rblk = r_local.reshape(ppd, nb, b, r_local.shape[-1])
+            bnorm2 = jax.lax.psum(jnp.sum(
+                jnp.square(rblk), axis=(0, 1, 2)), axes)       # [r]
+            bnorm2 = jnp.maximum(bnorm2, jnp.finfo(rblk.dtype).tiny)
+
+            def pc(R):
+                return local_spike_solve_multislice_many(
+                    dsf_in, R, axis_slice, axis_p, ndev_p)
+
+            def resid_rel(X):
+                R = rblk - local_matvec_many(dsf_in, X, axes)
+                rn2 = jax.lax.psum(jnp.sum(jnp.square(R), axis=(0, 1, 2)),
+                                   axes)
+                return R, jnp.max(jnp.sqrt(rn2 / bnorm2))
+
+            def body(carry):
+                X, R, _, it = carry
+                X = X + pc(R)
+                R, rel = resid_rel(X)
+                return X, R, rel, it + 1
+
+            def cond(carry):
+                _, _, rel, it = carry
+                return (rel > rtol) & (it < maxit)
+
+            X0 = pc(rblk)
+            R0, rel0 = resid_rel(X0)
+            X, _, _, _ = jax.lax.while_loop(
+                cond, body, (X0, R0, rel0, jnp.int32(1)))
+            return X.reshape(ppd, m, -1)
+    else:
+        method = SOLVERS.get(ksp_type)
+
+        def local_fn(dsf_in, r_local):
+            matvec = lambda v: local_matvec_multislice(
+                dsf_in, v, axis_slice, axis_p, n_slices, ndev_p)
+            pc_apply = lambda v: local_spike_solve_multislice(
+                dsf_in, v, axis_slice, axis_p, ndev_p)
+
+            def one(rl):
+                return method(matvec, rl.reshape(-1), None, pc_apply,
+                              axis_name=axes, **params).x.reshape(ppd, m)
+            x = jax.lax.map(one, jnp.moveaxis(r_local, -1, 0))
+            return jnp.moveaxis(x, 0, -1)
+
+    pax = P(axes)
+    specs = _dsf_specs(dsf, axes)
+    specs = DistSpikeFactor(
+        blocks=specs.blocks, fact=specs.fact, Btip=pax, Ctip=pax,
+        red_fact=_per_slice_specs(dsf.red_fact, axis_slice),
+        red_Dinv=None,
+        V=None if dsf.V is None else pax,
+        W=None if dsf.W is None else pax,
+        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
+        ppd=dsf.ppd, truncated=dsf.truncated)
+    shmapped = jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=(specs, P(axes)),
+                             out_specs=P(axes), check_vma=False)
+
+    @jax.jit
+    def solve_fn(rhs):
+        r = rhs.shape[1]
+        rp = jnp.zeros((dsf.K * dsf.m, r), rhs.dtype).at[:dsf.n].set(rhs)
+        rhs_sh = jax.device_put(rp.reshape(dsf.K, dsf.m, r),
+                                NamedSharding(mesh, P(axes)))
+        x = shmapped(dsf, rhs_sh)
+        return x.reshape(dsf.K * dsf.m, r)[:dsf.n]
 
     return solve_fn
 

@@ -230,3 +230,76 @@ def test_multislice_stored_spikes_and_bf16():
     res = solver(jnp.asarray(a @ u))
     assert int(res.reason) > 0 and int(res.its) <= 15
     np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7, atol=1e-8)
+
+
+def test_multislice_batched_richardson_converges():
+    """Huge-N serving layout: rows span the whole (slice, p) mesh, every
+    device solves ALL r right-hand sides on its shard.  Richardson keeps
+    the exact cross-slice matvec, so it converges to the true solution
+    even though the PC drops cross-slice coupling."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_multislice_batched,
+                                          make_mesh_multislice)
+    n, r = 768, 5
+    a = problems.spd_banded(n, 4, seed=71)
+    bm = banded_of(a)
+    mesh = make_mesh_multislice((2, 4))
+    dsf = dist_spike_factor_multislice(bm, mesh, block_b=8,
+                                       parts_per_device=2, store_spikes=True)
+    solver = make_dist_solver_multislice_batched(
+        dsf, mesh, ksp_type="richardson", rtol=1e-9, maxit=40)
+    rng = np.random.default_rng(72)
+    U = rng.standard_normal((n, r))
+    B = jnp.asarray(a @ U)
+    X = np.asarray(solver(B))
+    for i in range(r):
+        rel = np.linalg.norm(a @ X[:, i] - np.asarray(B[:, i])) \
+            / np.linalg.norm(B[:, i])
+        assert rel < 1e-6, (i, rel)
+
+
+def test_multislice_batched_preonly_is_pc_grade():
+    """preonly = one block-Jacobi-across-slices PCApply: exact within each
+    slice, approximate at slice boundaries — a genuine PC application (and
+    exactly the single-slice answer when n_slices == 1)."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_multislice_batched,
+                                          make_mesh_multislice)
+    n, r = 512, 3
+    a = problems.spd_banded(n, 3, seed=73)
+    bm = banded_of(a)
+    rng = np.random.default_rng(74)
+    U = rng.standard_normal((n, r))
+    B = jnp.asarray(a @ U)
+
+    mesh1 = make_mesh_multislice((1, 8))       # single slice: exact SPIKE
+    dsf1 = dist_spike_factor_multislice(bm, mesh1, block_b=8)
+    X1 = np.asarray(make_dist_solver_multislice_batched(
+        dsf1, mesh1, ksp_type="preonly")(B))
+    np.testing.assert_allclose(X1, U, rtol=1e-6, atol=1e-7)
+
+    mesh2 = make_mesh_multislice((2, 4))       # 2 slices: PC-grade only
+    dsf2 = dist_spike_factor_multislice(bm, mesh2, block_b=8)
+    X2 = np.asarray(make_dist_solver_multislice_batched(
+        dsf2, mesh2, ksp_type="preonly")(B))
+    # a real preconditioner: much closer than the rhs, not exact
+    err = np.linalg.norm(X2 - U) / np.linalg.norm(U)
+    assert 1e-10 < err < 0.5, err
+
+
+def test_multislice_batched_krylov_per_rhs():
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_multislice_batched,
+                                          make_mesh_multislice)
+    n, r = 512, 3
+    a = problems.nonsym_banded(n, 3, 2, seed=75)
+    bm = banded_of(a)
+    mesh = make_mesh_multislice((2, 4))
+    dsf = dist_spike_factor_multislice(bm, mesh, block_b=8)
+    solver = make_dist_solver_multislice_batched(
+        dsf, mesh, ksp_type="gmres", rtol=1e-10, maxit=40)
+    rng = np.random.default_rng(76)
+    U = rng.standard_normal((n, r))
+    B = jnp.asarray(a @ U)
+    X = np.asarray(solver(B))
+    np.testing.assert_allclose(X, U, rtol=1e-6, atol=1e-7)
