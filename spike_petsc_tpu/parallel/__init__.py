@@ -9,6 +9,7 @@ from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
                          make_dist_solver_multislice_batched)
 from .matching_dev import auction_match, auction_match_dist
 from .elastic import ResilientResult, SolveCheckpoint, resilient_solve
+from .autodiff import dist_solve_banded_diff
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "shard_leading",
@@ -20,4 +21,5 @@ __all__ = [
     "make_dist_solver_multislice_batched",
     "auction_match", "auction_match_dist",
     "ResilientResult", "SolveCheckpoint", "resilient_solve",
+    "dist_solve_banded_diff",
 ]

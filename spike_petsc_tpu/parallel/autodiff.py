@@ -1,0 +1,78 @@
+"""Differentiable DISTRIBUTED banded solves (implicit-function adjoint).
+
+The mesh version of ops.autodiff.solve_banded_diff: the forward pass is a
+distributed SPIKE factor + solve over the device mesh; the backward pass is
+one distributed factor of A^T plus one distributed solve,
+
+    dL/db          = A^{-T} g
+    dL/ddata[i, d] = -lam[i] * x[i + d - kl],
+
+so gradients never differentiate through the factorization recurrences.
+This makes PDE-constrained optimization / differentiable-physics loops whose
+inner step is a MULTI-CHIP banded solve first-class — a capability class the
+reference cannot offer (its MPI path is solve-only,
+/root/reference/src/wbm.c:270-273).
+
+The factor uses ``inverter="blocked"`` (always-correct blocked Schur): the
+Newton-probe safety net is a host-level retry and cannot live inside a
+traced/differentiated computation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..ops.band import BandedMatrix, banded_transpose
+from .spike_dist import _dist_spike_factor_impl, dist_spike_solve
+
+
+def _factor_blocked(data, kl, ku, mesh, axis, block_b, parts_per_device):
+    band = BandedMatrix(data=data, kl=kl, ku=ku)
+    return _dist_spike_factor_impl(
+        band, mesh, axis, method="inv", truncated=False, block_b=block_b,
+        parts_per_device=parts_per_device, reduced="auto",
+        store_spikes=False, store_dtype=None, spike_dtype=None,
+        shift="none", shift_amount=0.0, inverter="blocked")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def dist_solve_banded_diff(data: jax.Array, rhs: jax.Array, kl: int, ku: int,
+                           mesh: Mesh, axis: str = "p",
+                           block_b: int = None,
+                           parts_per_device: int = 1) -> jax.Array:
+    """Differentiable distributed solve of the banded system defined by
+    diagonal-offset ``data`` ([n, kl+ku+1]); gradients flow to both ``data``
+    and ``rhs``.  The system is partitioned over ``mesh.shape[axis]`` devices
+    (times ``parts_per_device``)."""
+    dsf = _factor_blocked(data, kl, ku, mesh, axis, block_b, parts_per_device)
+    return dist_spike_solve(dsf, rhs, mesh, axis)
+
+
+def _fwd(data, rhs, kl, ku, mesh, axis, block_b, parts_per_device):
+    x = dist_solve_banded_diff(data, rhs, kl, ku, mesh, axis, block_b,
+                               parts_per_device)
+    return x, (data, x)
+
+
+def _bwd(kl, ku, mesh, axis, block_b, parts_per_device, res, g):
+    data, x = res
+    band_t = banded_transpose(BandedMatrix(data=data, kl=kl, ku=ku))
+    dsft = _factor_blocked(band_t.data, ku, kl, mesh, axis, block_b,
+                           parts_per_device)
+    lam = dist_spike_solve(dsft, g, mesh, axis)         # A^{-T} g
+    # band-restricted outer product from w shifted slices (ops/autodiff.py);
+    # a global elementwise op — XLA shards it along the row sharding
+    n = data.shape[0]
+    w = kl + ku + 1
+    xpad = jnp.pad(x, (kl, ku))
+    xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
+                    for d in range(w)], axis=1)
+    ddata = -lam[:, None] * xg
+    return ddata.astype(data.dtype), lam.astype(x.dtype)
+
+
+dist_solve_banded_diff.defvjp(_fwd, _bwd)

@@ -58,3 +58,43 @@ def test_jit_grad_composes():
         lambda d: jnp.sum(solve_banded_diff(d, rhs, kl, ku, 2))))
     g = f(data)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_distributed_gradients_match_single_chip():
+    """dist_solve_banded_diff's implicit adjoint on the 8-device mesh agrees
+    with the single-chip adjoint (and hence the dense oracle)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from spike_petsc_tpu.parallel import make_mesh, dist_solve_banded_diff
+    from spike_petsc_tpu.ops.autodiff import solve_banded_diff
+
+    rng = np.random.default_rng(7)
+    n, kl, ku = 256, 2, 2
+    w = kl + ku + 1
+    data = rng.standard_normal((n, w))
+    i = np.arange(n)[:, None]
+    col = i + np.arange(w)[None, :] - kl
+    data = np.where((col >= 0) & (col < n), data, 0)
+    data[:, kl] = np.sum(np.abs(data), axis=1) + 1.0
+    data = jnp.asarray(data)
+    rhs = jnp.asarray(rng.standard_normal(n))
+    mesh = make_mesh(8, axis="p")
+
+    def loss_dist(d, b):
+        return jnp.sum(jnp.square(
+            dist_solve_banded_diff(d, b, kl, ku, mesh, block_b=8)))
+
+    def loss_single(d, b):
+        return jnp.sum(jnp.square(solve_banded_diff(d, b, kl, ku, K=8)))
+
+    gd, gb = jax.grad(loss_dist, argnums=(0, 1))(data, rhs)
+    gd_ref, gb_ref = jax.grad(loss_single, argnums=(0, 1))(data, rhs)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
+                               rtol=1e-8, atol=1e-10)
+    # jit(grad) composes (device_put-with-sharding stages as a constraint)
+    gj = jax.jit(jax.grad(loss_dist))(data, rhs)
+    np.testing.assert_allclose(np.asarray(gj), np.asarray(gd_ref),
+                               rtol=1e-8, atol=1e-10)
