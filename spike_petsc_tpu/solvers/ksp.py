@@ -58,7 +58,10 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
     """
     opts = options or Options()
     ksp_type = ksp_type or opts.get_string("ksp_type", "gmres")
-    matvec, n, _ = as_matvec(A, n_hint=n_hint)
+    # -mat_matvec_impl auto|banded_pallas|blocktri|xla: operator SpMV route
+    # (the MatMult engine of the hot loop, /root/reference/src/testbed.c:310)
+    matvec, n, _ = as_matvec(A, n_hint=n_hint,
+                             impl=opts.get_string("mat_matvec_impl", "auto"))
 
     if pc is None:
         name = pc_type or opts.get_string("pc_type", "none")

@@ -23,27 +23,54 @@ def _use_blocktri_matvec() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def as_matvec(a, n_hint: int = None) -> Tuple[Callable, int, object]:
+def _banded_pallas_route(a: BandedMatrix):
+    """(matvec, n, dtype) through the minimal-traffic Pallas banded kernel
+    (ops/pallas/band_matvec.py): diagonal-major layout prepared ONCE, exactly
+    n*w band entries streamed per call — covers ANY width where the blocktri
+    conversion only paid off at w >= ~96."""
+    from ..ops.pallas.band_matvec import (banded_matvec_prepared,
+                                          prepare_banded_mv)
+    prep = prepare_banded_mv(a)
+    return (lambda x: banded_matvec_prepared(prep, x)), a.n, a.dtype
+
+
+def as_matvec(a, n_hint: int = None,
+              impl: str = "auto") -> Tuple[Callable, int, object]:
     """Return (matvec, n, dtype) for any supported operator representation.
 
-    On TPU, wide BandedMatrix operators route through a one-time
-    block-tridiagonal conversion + the Pallas matvec kernel: amortized over
-    a Krylov solve's iterations this is ~6x the shifted-axpy banded matvec
-    (6.8 vs 39 ms at N=1e6 bw=201 on v5e; conversion ~47 ms once).
+    ``impl`` selects the BandedMatrix route (ignored for other types):
+      * "auto"          — on TPU, wide bands take a one-time block-
+                          tridiagonal conversion + the Pallas DMA matvec
+                          (~6x the shifted-axpy form at N=1e6 bw=201 on
+                          v5e), narrow bands the XLA shifted-axpy form;
+      * "banded_pallas" — the diagonal-major Pallas banded kernel (minimal
+                          HBM traffic, any width; falls back to XLA when
+                          infeasible);
+      * "blocktri"      — force the blocktri conversion route;
+      * "xla"           — force the XLA shifted-axpy form.
     """
     if isinstance(a, BandedMatrix):
-        # the 128-blocked conversion stores 3*128 floats per row vs w in band
-        # form; only route through it when the band is wide enough that the
-        # blowup is modest (< ~4x) AND the Pallas matvec's bandwidth win
-        # dominates — narrow bands keep the shifted-axpy form (ADVICE r2:
-        # a w=32 band would pay 12x memory for little speedup)
-        wide = (a.kl + a.ku + 1 >= 96 and max(a.kl, a.ku) <= 128
-                and a.n >= 4 * 128
-                # f64 stays on the shifted-axpy form: Pallas kernels don't
-                # support the emulated f64 pair type (high-accuracy TPU
-                # runs keep an f64 operator for refinement residuals only)
-                and jnp.dtype(a.dtype).itemsize <= 4)
-        if wide and _use_blocktri_matvec():
+        if impl == "xla":
+            return (lambda x: banded_matvec(a, x)), a.n, a.dtype
+        if impl == "banded_pallas":
+            from ..ops.pallas.band_matvec import banded_mv_feasible
+            if banded_mv_feasible(a):
+                return _banded_pallas_route(a)
+            return (lambda x: banded_matvec(a, x)), a.n, a.dtype
+        # the 128-blocked conversion needs b=128 >= max(kl, ku), a few tiles
+        # of rows, and a fixed-width dtype (no emulated f64 pairs on TPU —
+        # high-accuracy runs keep an f64 operator for refinement residuals
+        # only)
+        bt_ok = (max(a.kl, a.ku) <= 128 and a.n >= 4 * 128
+                 and jnp.dtype(a.dtype).itemsize <= 4)
+        # the conversion stores 3*128 floats per row vs w in band form; in
+        # 'auto', only route through it when the band is wide enough that
+        # the blowup is modest (< ~4x) AND the Pallas matvec's bandwidth
+        # win dominates — narrow bands keep the shifted-axpy form (ADVICE
+        # r2: a w=32 band would pay 12x memory for little speedup)
+        wide = bt_ok and a.kl + a.ku + 1 >= 96
+        if ((wide and impl == "auto") or (bt_ok and impl == "blocktri")) \
+                and _use_blocktri_matvec():
             from ..ops.blocktri import band_to_blocktri
             from ..ops.pallas.matvec import blocktri_matvec_dma, mv_padded_nb
             T = band_to_blocktri(a, 128)

@@ -239,3 +239,43 @@ def test_as_matvec_blocktri_pallas_route(monkeypatch):
     assert nn == n
     np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(ref),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_as_matvec_impl_routing(monkeypatch):
+    """-mat_matvec_impl selects the banded operator route: banded_pallas
+    (diagonal-major Pallas kernel), blocktri (forced conversion), xla —
+    all parity with banded_matvec; infeasible requests degrade to xla."""
+    import jax
+    from spike_petsc_tpu.solvers import operator as op_mod
+    from spike_petsc_tpu.ops.band import BandedMatrix, banded_matvec
+    from spike_petsc_tpu.solvers.ksp import solve
+    from spike_petsc_tpu.utils.options import Options
+
+    n, k = 1024, 6
+    w = 2 * k + 1
+    key = jax.random.PRNGKey(5)
+    data = jax.random.uniform(key, (n, w), jnp.float32, minval=-1, maxval=1)
+    data = data.at[:, k].set(jnp.sum(jnp.abs(data), axis=1) + 1)
+    bm = BandedMatrix(data=data, kl=k, ku=k)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (n,), jnp.float32)
+    ref = np.asarray(banded_matvec(bm, x))
+    monkeypatch.setattr(op_mod, "_use_blocktri_matvec", lambda: True)
+    for impl in ("banded_pallas", "blocktri", "xla", "auto"):
+        mv, nn, _ = op_mod.as_matvec(bm, impl=impl)
+        assert nn == n
+        np.testing.assert_allclose(np.asarray(mv(x)), ref,
+                                   rtol=2e-5, atol=2e-5, err_msg=impl)
+    # f64 pallas request degrades to the XLA form instead of raising
+    bm64 = BandedMatrix(data=data.astype(jnp.float64), kl=k, ku=k)
+    mv64, _, _ = op_mod.as_matvec(bm64, impl="banded_pallas")
+    np.testing.assert_allclose(np.asarray(mv64(x.astype(jnp.float64))), ref,
+                               rtol=1e-5, atol=1e-5)
+    # and the option threads through the options-driven solve surface
+    u = jnp.ones((n,), jnp.float32)
+    b = banded_matvec(bm, u)
+    res = solve(bm, b, options=Options({"mat_matvec_impl": "banded_pallas",
+                                        "ksp_rtol": 1e-8}),
+                ksp_type="gmres", pc_type="jacobi")
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(u),
+                               rtol=1e-4, atol=1e-4)
