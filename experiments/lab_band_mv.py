@@ -111,9 +111,58 @@ def run(n, k):
                   f" S={prep.S}, relerr {err:.1e})")
 
 
+def run_df64(n, k):
+    """Emulated-f64 stage: precision (vs x64 XLA reference) and wall time.
+    On real TPU this validates that Mosaic preserves the kernel's
+    error-free transforms (XLA:CPU codegen does NOT — see
+    tests/test_band_matvec_pallas.py::_Ref)."""
+    from spike_petsc_tpu.ops.pallas.band_matvec import (
+        banded_matvec_prepared_f64, prepare_banded_mv_f64)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        w = 2 * k + 1
+        key = jax.random.PRNGKey(0)
+        data = jax.random.uniform(key, (n, w), jnp.float64,
+                                  minval=-1.0, maxval=1.0)
+        band = BandedMatrix(data=data, kl=k, ku=k)
+        x = jax.random.uniform(jax.random.fold_in(key, 1), (n,), jnp.float64)
+        ref = np.asarray(banded_matvec(band, x))       # XLA emulated f64
+        prep = prepare_banded_mv_f64(band)
+        got = np.asarray(banded_matvec_prepared_f64(prep, x))
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        print(f"== df64 n={n} k={k}: relerr vs x64-XLA = {rel:.2e}"
+              f"  ({'EFTs PRESERVED' if rel < 1e-12 else 'EFTs BROKEN'})")
+
+        @partial(jax.jit, static_argnames=("r",))
+        def loop_pl(r, x=x):
+            return jax.lax.fori_loop(
+                0, r, lambda i, y: banded_matvec_prepared_f64(
+                    prep, y / jnp.max(jnp.abs(y))), x)
+        ms, cs = measure("df64 pallas", lambda r: loop_pl(r))
+        gb = 2 * n * w * 4 / 1e9
+        if ms is not None:
+            print(f"  df64 pallas      : {ms:8.3f} ms  {gb/ms*1e3:6.1f} GB/s"
+                  f"  (compile {cs:.1f}s)")
+
+        @partial(jax.jit, static_argnames=("r",))
+        def loop_xla(r, x=x):
+            return jax.lax.fori_loop(
+                0, r, lambda i, y: banded_matvec(
+                    band, y / jnp.max(jnp.abs(y))), x)
+        ms, cs = measure("df64 xla", lambda r: loop_xla(r))
+        if ms is not None:
+            print(f"  x64 XLA          : {ms:8.3f} ms  {gb/ms*1e3:6.1f} GB/s"
+                  f"  (compile {cs:.1f}s)")
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    ks = [int(v) for v in sys.argv[2:]] or [100, 6, 50, 255]
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n = int(args[0]) if args else 1_000_000
+    ks = [int(v) for v in args[1:]] or [100, 6, 50, 255]
     print(f"backend: {jax.default_backend()}")
     for k in ks:
         run(n, k)
+    if "--df64" in sys.argv or len(sys.argv) <= 2:
+        run_df64(n, ks[0])

@@ -157,3 +157,159 @@ def banded_matvec_pallas(bm: BandedMatrix, x: jax.Array) -> jax.Array:
     if not banded_mv_feasible(bm):
         return banded_matvec(bm, x)
     return banded_matvec_prepared(prepare_banded_mv(bm), x)
+
+
+# ---------------------------------------------------------------------------
+# Emulated-f64 (double-f32) variant: the residual matvec of the on-TPU
+# high-accuracy refinement path.  XLA's x64 emulation of the shifted-axpy
+# banded matvec pays the same misaligned-operand penalty as the f32 form
+# (37.5 ms at N=1e6 bw=201 on v5e); this kernel streams the split hi/lo
+# pairs (same bytes as f64) and does compensated Dekker/two-sum arithmetic
+# on the VPU, keeping ~1e-15 effective precision at f32 port widths.
+# ---------------------------------------------------------------------------
+
+def _split(a):
+    """Exact 12|12-bit split of f32 by mantissa masking.
+
+    The classic Dekker split (c = 4097*a; h = c - (c - a)) is destroyed by
+    fma contraction: XLA:CPU fuses the multiply into the subtraction at
+    sufficient program size (measured: exact at w <= 113 unrolled diagonals,
+    ~1e-7 at w >= 121), and Mosaic may contract too.  Masking the low 12
+    mantissa bits involves no multiply, so there is nothing to contract;
+    h carries <= 12 significant bits, l = a - h is exact, and all four
+    half-products in the Dekker multiplication stay exact."""
+    h = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.uint32) & jnp.uint32(0xFFFFF000),
+        jnp.float32)
+    return h, a - h
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _kernel_df64(dh_ref, dl_ref, xah_ref, xal_ref, xbh_ref, xbl_ref,
+                 oh_ref, ol_ref, *, w: int, S: int, qmax: int):
+    f32 = jnp.float32
+    xwh = jnp.concatenate([xah_ref[...], xbh_ref[: qmax + 1]], axis=0)
+    xwl = jnp.concatenate([xal_ref[...], xbl_ref[: qmax + 1]], axis=0)
+    # split the window ONCE (each x element is reused by up to w diagonals)
+    xw1, xw2 = _split(xwh)
+    shi = jnp.zeros((S, 128), f32)
+    slo = jnp.zeros((S, 128), f32)
+    for p in range(min(w, 128)):
+        if p == 0:
+            x1, x2, xl = xw1, xw2, xwl
+        else:
+            x1 = jnp.concatenate([xw1[:-1, p:], xw1[1:, :p]], axis=1)
+            x2 = jnp.concatenate([xw2[:-1, p:], xw2[1:, :p]], axis=1)
+            xl = jnp.concatenate([xwl[:-1, p:], xwl[1:, :p]], axis=1)
+        for q in range(qmax + 1):
+            d = 128 * q + p
+            if d < w:
+                dh = dh_ref[d]
+                dl = dl_ref[d]
+                d1, d2 = _split(dh)
+                x1q, x2q, xlq = x1[q:q + S], x2[q:q + S], xl[q:q + S]
+                xh = x1q + x2q                       # reconstruct hi part
+                ph = dh * xh                          # product hi
+                # Dekker: exact error of dh*xh from the four half-products
+                perr = ((d1 * x1q - ph) + d1 * x2q + d2 * x1q) + d2 * x2q
+                cross = dh * xlq + dl * xh            # first-order lo terms
+                shi, e = _two_sum(shi, ph)
+                slo = slo + (e + (perr + cross))
+    oh_ref[...] = shi
+    ol_ref[...] = slo
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PreparedBandMVF64:
+    """Split hi/lo diagonal-major layout for the emulated-f64 matvec."""
+
+    d3hi: jax.Array
+    d3lo: jax.Array
+    kl: int = field(metadata=dict(static=True))
+    ku: int = field(metadata=dict(static=True))
+    n: int = field(metadata=dict(static=True))
+    S: int = field(metadata=dict(static=True))
+
+    @property
+    def w(self) -> int:
+        return self.kl + self.ku + 1
+
+
+def prepare_banded_mv_f64(bm: BandedMatrix, S: int = None) -> PreparedBandMVF64:
+    """Split an f64 band into (hi, lo) f32 pairs in the kernel's
+    diagonal-major layout.  Requires x64 enabled (the source band is f64)."""
+    if not banded_mv_feasible(bm.width, n=bm.n, dtype=jnp.float32):
+        raise ValueError(
+            f"banded df64 Pallas matvec infeasible for w={bm.width}, "
+            f"n={bm.n}; use ops.band.banded_matvec under x64")
+    w, n = bm.width, bm.n
+    if S is None:
+        # two streamed diagonal arrays -> same VMEM budget split across both
+        S = min(_pick_S(w, 2 * 4),
+                max(8, -(-n // 128) // 8 * 8))
+    T = S * 128
+    NBg = -(-n // T)
+    d64 = jnp.pad(bm.data, ((0, NBg * T - n), (0, 0)))
+    dhi = d64.astype(jnp.float32)
+    dlo = (d64 - dhi.astype(d64.dtype)).astype(jnp.float32)
+    shape = (w, NBg * S, 128)
+    return PreparedBandMVF64(d3hi=dhi.T.reshape(shape),
+                             d3lo=dlo.T.reshape(shape),
+                             kl=bm.kl, ku=bm.ku, n=n, S=S)
+
+
+@jax.jit
+def banded_matvec_prepared_f64(prep: PreparedBandMVF64,
+                               x: jax.Array) -> jax.Array:
+    """y = A @ x with ~1e-15 effective precision; x and y are f64 (the
+    split/merge at the boundary is cheap XLA elementwise work — the w-wide
+    compensated accumulation runs inside the kernel).
+
+    TPU-targeted: Mosaic compiles the kernel directly and preserves the
+    error-free transforms.  The CPU interpret path does NOT reliably: XLA:CPU
+    codegen reassociates floating point inside large compiled clusters
+    (shape-dependently; measured ~1e-7 instead of ~1e-14 at w >= ~121 even
+    with fast-math and fusion emitters disabled, while eager evaluation of
+    the identical kernel jaxpr is exact to ~1e-13).  On CPU, plain
+    ops.band.banded_matvec under x64 is native f64 — use that; the
+    interpret path here is for plumbing tests only."""
+    w, S, n = prep.w, prep.S, prep.n
+    qmax = (w - 1) // 128
+    Sg = prep.d3hi.shape[1]
+    NBg = Sg // S
+    xp = jnp.pad(x.astype(jnp.float64),
+                 (prep.kl, (NBg + 1) * S * 128 - prep.kl - n))
+    xph = xp.astype(jnp.float32)
+    xpl = (xp - xph.astype(xp.dtype)).astype(jnp.float32)
+    xph = xph.reshape((NBg + 1) * S, 128)
+    xpl = xpl.reshape((NBg + 1) * S, 128)
+
+    kern = partial(_kernel_df64, w=w, S=S, qmax=qmax)
+    mat = pl.BlockSpec((w, S, 128), lambda i: (0, i, 0))
+    body = pl.BlockSpec((S, 128), lambda i: (i, 0))
+    nxt = pl.BlockSpec((S, 128), lambda i: (i + 1, 0))
+    out = pl.BlockSpec((S, 128), lambda i: (i, 0))
+    yh, yl = pl.pallas_call(
+        kern,
+        grid=(NBg,),
+        in_specs=[mat, mat, body, body, nxt, nxt],
+        out_specs=(out, out),
+        out_shape=(jax.ShapeDtypeStruct((Sg, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((Sg, 128), jnp.float32)),
+        interpret=_use_interpret(),
+    )(prep.d3hi, prep.d3lo, xph, xpl, xph, xpl)
+    # the barrier between the converts and the add is insurance against
+    # algebraic-simplifier convert folding (add(convert(a), convert(b)) ->
+    # convert(add_f32(a, b)) would erase the compensated lo part); the
+    # fusion-emitter reassociation hazard on CPU needs the conftest flag
+    # instead — see the docstring
+    yh64, yl64 = jax.lax.optimization_barrier(
+        (yh.astype(jnp.float64), yl.astype(jnp.float64)))
+    y = yh64 + yl64
+    return y.reshape(-1)[:n]
