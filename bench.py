@@ -191,6 +191,34 @@ def main() -> None:
         gmres_s = t_g1
     del T
 
+    # ---- banded-Pallas operator microbench ----------------------------------
+    # the minimal-traffic SpMV route (-mat_matvec_impl banded_pallas): n*w
+    # band entries streamed per matvec vs the blocktri route's 3*128 floats
+    # per row; recorded so routing defaults can follow the measurement
+    mv_out = {}
+    from spike_petsc_tpu.ops.pallas.band_matvec import (
+        banded_matvec_prepared, banded_mv_feasible, prepare_banded_mv)
+    if banded_mv_feasible(w, n=n):
+        prep_mv = prepare_banded_mv(band)
+        sync(prep_mv.d3)
+
+        @partial(jax.jit, static_argnames=("r",))
+        def bmv_loop(pm, x, r):
+            return jax.lax.fori_loop(
+                0, r, lambda i, y: banded_matvec_prepared(
+                    pm, y / jnp.max(jnp.abs(y))), x)
+
+        timed(lambda: bmv_loop(prep_mv, rhs, 2))     # compile
+        timed(lambda: bmv_loop(prep_mv, rhs, 22))    # compile
+        t_m1 = min(timed(lambda: bmv_loop(prep_mv, rhs, 2)) for _ in range(3))
+        t_m2 = min(timed(lambda: bmv_loop(prep_mv, rhs, 22)) for _ in range(3))
+        bmv_s = max(t_m2 - t_m1, 1e-9) / 20.0
+        if bmv_s < 1e-5:
+            bmv_s = t_m1 / 2.0
+        mv_out["band_mv_pallas_ms"] = round(bmv_s * 1e3, 3)
+        mv_out["band_mv_pallas_gbps"] = round(n * w * 4 / bmv_s / 1e9, 1)
+        del prep_mv
+
     # ---- multi-RHS serving (BASELINE config 2's batched mode) --------------
     # factors stream once for all r columns (fused multi-RHS Pallas kernel
     # below its VMEM crossover, the XLA scan beyond it — spike_solve_many
@@ -256,21 +284,58 @@ def main() -> None:
                               jnp.ones((n,), jnp.float64))
         _ = np.asarray(rhs64[:8])
 
+        # residual-matvec engine: the compensated double-f32 Pallas kernel
+        # streams the split hi/lo pairs at kernel bandwidth where XLA's x64
+        # emulation of the shifted-axpy form pays the misaligned-operand
+        # penalty (37.5 ms at this config).  The reported relres checks the
+        # kernel's error-free transforms end-to-end: a broken compensation
+        # cannot reach <= 1e-12.  SPIKE_BENCH_F64_MV=xla falls back.
+        f64_mv = os.environ.get("SPIKE_BENCH_F64_MV", "pallas")
+        from spike_petsc_tpu.ops.pallas.band_matvec import (
+            banded_mv_feasible, banded_matvec_prepared_f64,
+            prepare_banded_mv_f64)
+        if f64_mv == "pallas" and banded_mv_feasible(w, n=n):
+            prep64 = prepare_banded_mv_f64(
+                BandedMatrix(data=data64, kl=k, ku=k))
+            sync(prep64.d3hi)
+
+            def mk_mv64(d64):
+                return lambda v: banded_matvec_prepared_f64(prep64, v)
+        else:
+            f64_mv = "xla"
+
+            def mk_mv64(d64):
+                bnd = BandedMatrix(data=d64, kl=k, ku=k)
+                return lambda v: banded_matvec(bnd, v)
+
         @jax.jit
         def refine_run(d64, sf_in, b64):
-            bnd = BandedMatrix(data=d64, kl=k, ku=k)
-
             def pcapply(r):
                 r_lo = r.astype(jnp.float32)
                 with jax.enable_x64(False):   # Pallas can't lower under x64
                     y = spike_solve(sf_in, r_lo)
                 return y.astype(b64.dtype)
-            res = richardson(lambda v: banded_matvec(bnd, v), b64, None,
+            res = richardson(mk_mv64(d64), b64, None,
                              pcapply, rtol=1e-12, maxit=20)
             return res.its, res.rnorm / jnp.linalg.norm(b64)
 
         r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
         r_rel_v = float(np.asarray(r_rel))
+        if f64_mv == "pallas" and not r_rel_v <= 1e-11:
+            # accuracy guard: refinement through the compensated kernel must
+            # reach f64-grade residuals; if the platform's compilation broke
+            # the error-free transforms (it does on XLA:CPU interpret — see
+            # band_matvec.py), fall back to the XLA x64 operator so the
+            # headline accuracy never silently regresses
+            f64_mv = "xla_fallback"
+
+            def mk_mv64(d64):
+                bnd = BandedMatrix(data=d64, kl=k, ku=k)
+                return lambda v: banded_matvec(bnd, v)
+
+            refine_run = jax.jit(refine_run.__wrapped__)
+            r_its, r_rel = refine_run(data64, sf, rhs64)
+            r_rel_v = float(np.asarray(r_rel))
 
         # wall time via the same differenced chained-loop methodology as the
         # solve/gmres stages: a one-shot jit call ends in a tiny scalar
@@ -279,7 +344,7 @@ def main() -> None:
         # cancels in the r=1 vs r=3 difference.
         @partial(jax.jit, static_argnames=("r",))
         def refine_loop(d64, sf_in, b64, r):
-            bnd = BandedMatrix(data=d64, kl=k, ku=k)
+            mv64 = mk_mv64(d64)
 
             def pcapply(rr):
                 r_lo = rr.astype(jnp.float32)
@@ -288,7 +353,7 @@ def main() -> None:
                 return y.astype(b64.dtype)
 
             def body(i, bcur):
-                res = richardson(lambda v: banded_matvec(bnd, v), bcur, None,
+                res = richardson(mv64, bcur, None,
                                  pcapply, rtol=1e-12, maxit=20)
                 return bcur + 0.0 * res.x
             return jax.lax.fori_loop(0, r, body, b64)
@@ -306,6 +371,7 @@ def main() -> None:
             "f64_refine_relres": r_rel_v,
             "f64_refine_its": int(np.asarray(r_its)),
             "f64_refine_wall_ms": round(refine_wall * 1e3, 1),
+            "f64_refine_mv": f64_mv,
         }
         del data64, rhs64
         jax.config.update("jax_enable_x64", False)
@@ -323,7 +389,7 @@ def main() -> None:
             "gmres_spikepc_its_rtol1e8": g_its,
             "gmres_wall_ms": round(gmres_s * 1e3, 2),
             f"serve_ms_per_rhs_r{r_serve}": round(serve_s * 1e3, 4),
-            **refine_out}))
+            **mv_out, **refine_out}))
         return
 
     from scipy.linalg import lapack
@@ -407,7 +473,7 @@ def main() -> None:
         "gmres_wall_ms": round(gmres_s * 1e3, 2),
         f"serve_ms_per_rhs_r{r_serve}": round(serve_s * 1e3, 4),
         "factor_compile_s": round(factor_compile_s, 2),
-        **refine_out,
+        **mv_out, **refine_out,
     }
     print(json.dumps(out))
 
