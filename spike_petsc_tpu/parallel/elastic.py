@@ -73,6 +73,7 @@ class ResilientResult:
 
 def resilient_solve(band: BandedMatrix, rhs, *,
                     n_devices: Optional[int] = None,
+                    mesh_shape: Optional[tuple] = None,
                     parts_per_device: int = 1,
                     block_b: Optional[int] = None,
                     method: str = "inv",
@@ -94,6 +95,10 @@ def resilient_solve(band: BandedMatrix, rhs, *,
       band: the operator (host/device band storage; kept as the re-factor
         source on recovery).
       n_devices: mesh size to start with (None = all available).
+      mesh_shape: (n_slices, per_slice) — run on a MULTISLICE mesh instead
+        of the 1-D partition mesh.  Recovery then drops whole slices (the
+        unit TPU pods actually lose): per_slice chips stay fixed, the
+        slice count shrinks to what the surviving devices support.
       segment_its: iterations per segment (= checkpoint cadence; also the
         natural GMRES restart boundary).
       ckpt_path: npz path for the iterate checkpoint (None = in-memory only).
@@ -101,13 +106,13 @@ def resilient_solve(band: BandedMatrix, rhs, *,
       fault_injector: test hook called after each completed segment; an
         exception from it is handled like a device failure.
       max_failures: give up (re-raise) after this many recoveries.
-      on_failure: ``(ndev, exc) -> new_ndev`` policy for the rebuilt mesh
-        size.  Default: re-probe device health with a per-device
-        put+readback; if every chip still responds the fault is treated as
-        transient and retried at the same size (at most once per failure
-        streak — a second consecutive failure halves the mesh anyway),
-        otherwise the mesh halves (the conservative choice when the
-        runtime cannot tell which chip died).
+      on_failure: ``(cfg, exc) -> new_cfg`` policy for the rebuilt mesh
+        (cfg is the device count, or the (slices, per_slice) shape in
+        multislice mode).  Default: re-probe device health with a
+        per-device put+readback; if every chip still responds the fault is
+        treated as transient and retried at the same size (at most once
+        per failure streak — a second consecutive failure shrinks anyway),
+        otherwise the mesh halves (1-D) / drops dead slices (multislice).
 
     Returns a ResilientResult; ``reason`` follows KSPConvergedReason.
     """
@@ -122,9 +127,22 @@ def resilient_solve(band: BandedMatrix, rhs, *,
     meshes_used = []
     reason = CONVERGED_ITERATING
     solver = None
+    multislice = mesh_shape is not None
 
-    def build(ndev, seg_maxit):
-        mesh = mesh_factory(ndev)
+    def build(cfg, seg_maxit):
+        if multislice:
+            from .spike_dist import (dist_spike_factor_multislice,
+                                     make_dist_solver_multislice,
+                                     make_mesh_multislice)
+            mesh = make_mesh_multislice(cfg)
+            dsf = dist_spike_factor_multislice(
+                band, mesh, method=method, block_b=block_b,
+                parts_per_device=parts_per_device)
+            meshes_used.append(tuple(int(s) for s in mesh.devices.shape))
+            return make_dist_solver_multislice(
+                dsf, mesh, ksp_type=ksp_type, rtol=rtol, maxit=seg_maxit,
+                **solver_params)
+        mesh = mesh_factory(cfg)
         dsf = dist_spike_factor(band, mesh, method=method, block_b=block_b,
                                 parts_per_device=parts_per_device)
         meshes_used.append(tuple(int(s) for s in mesh.devices.shape))
@@ -149,19 +167,40 @@ def resilient_solve(band: BandedMatrix, rhs, *,
                 continue
         return alive
 
-    def _default_on_failure(ndev, exc):
+    def _default_on_failure(cfg, exc):
         """Re-probe device health before shrinking: if every chip still
         completes a put+readback the failure was transient (preempted
         collective, injected fault) — retry at the same size rather than
-        permanently halving a healthy mesh (VERDICT r2 weak #2).  The
+        permanently shrinking a healthy mesh (VERDICT r2 weak #2).  The
         retry loop below independently caps same-size retries at one per
         failure streak."""
         alive = _probe_alive()
-        if alive >= ndev:
-            return ndev
-        return max(1, min(ndev, alive) // 2)
+        if multislice:
+            s, p = cfg
+            if alive >= s * p:
+                return cfg
+            # slice loss: per_slice stays fixed (ICI topology), the slice
+            # count shrinks to what the survivors support
+            new_s = min(s, alive // p)
+            if new_s < 1:
+                raise RuntimeError(
+                    f"only {alive} devices survive — fewer than one "
+                    f"slice of {p}; cannot rebuild a multislice mesh"
+                ) from exc
+            return (new_s, p)
+        if alive >= cfg:
+            return cfg
+        return max(1, min(cfg, alive) // 2)
 
-    ndev = n_devices or len(jax.devices())
+    def _shrink(cfg):
+        """The forced step-down when the probe keeps reporting healthy but
+        failures persist: drop one slice (multislice) / halve (1-D)."""
+        if multislice:
+            return (max(1, cfg[0] - 1), cfg[1])
+        return max(1, cfg // 2)
+
+    cfg = tuple(mesh_shape) if multislice else (n_devices
+                                                or len(jax.devices()))
     rhs = jnp.asarray(rhs)
     policy = on_failure or _default_on_failure
     solver_maxit = None
@@ -174,7 +213,7 @@ def resilient_solve(band: BandedMatrix, rhs, *,
             # segment length needs a (one-off) solver rebuild
             seg_maxit = min(segment_its, maxit - state.its_done)
             if solver is None or seg_maxit != solver_maxit:
-                solver = build(ndev, seg_maxit)
+                solver = build(cfg, seg_maxit)
                 solver_maxit = seg_maxit
             res: KSPResult = solver(rhs, jnp.asarray(state.x))
             x_host = np.asarray(res.x)   # readback = completion barrier;
@@ -191,17 +230,18 @@ def resilient_solve(band: BandedMatrix, rhs, *,
             # rebuild on the surviving devices and resume from checkpoint.
             # NOTE: iterations done inside a failed segment are redone from
             # the last checkpoint and are NOT counted in its_done.
-            new_ndev = int(policy(ndev, exc))
-            if new_ndev == ndev and on_failure is None:
+            new_cfg = policy(cfg, exc)
+            new_cfg = tuple(new_cfg) if multislice else int(new_cfg)
+            if new_cfg == cfg and on_failure is None:
                 # default policy diagnosed "transient": allow ONE same-size
                 # retry per failure streak; a second consecutive failure
                 # without a completed segment means the probe is not seeing
-                # the real fault — halve anyway (docstring contract)
+                # the real fault — shrink anyway (docstring contract)
                 same_size_retries += 1
                 if same_size_retries > 1:
-                    new_ndev = max(1, ndev // 2)
-            if new_ndev != ndev or on_failure is not None:
-                ndev = new_ndev
+                    new_cfg = _shrink(cfg)
+            if new_cfg != cfg or on_failure is not None:
+                cfg = new_cfg
                 solver = None
             else:
                 # transient fault on a healthy mesh: reuse the built solver

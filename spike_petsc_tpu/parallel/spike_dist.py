@@ -977,13 +977,13 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
     n_slices = mesh.shape[axis_slice]
     ndev_p = mesh.shape[axis_p]
 
-    def local_fn(dsf_in, r_local):
+    def local_fn(dsf_in, r_local, x0_local):
         matvec = lambda v: local_matvec_multislice(
             dsf_in, v, axis_slice, axis_p, n_slices, ndev_p)
         pc_apply = (lambda v: local_spike_solve_multislice(
             dsf_in, v, axis_slice, axis_p, ndev_p)) if use_pc else None
-        res = method(matvec, r_local.reshape(-1), None, pc_apply,
-                     axis_name=(axis_slice, axis_p), **params)
+        res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
+                     pc_apply, axis_name=(axis_slice, axis_p), **params)
         return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
                 res.history)
 
@@ -999,18 +999,22 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
         ppd=dsf.ppd, truncated=dsf.truncated)
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(specs, pax),
+        in_specs=(specs, pax, pax),
         out_specs=(pax, P(), P(), P(), P()),
         check_vma=False)
 
     from ..solvers.types import KSPResult
 
+    def _shard(v):
+        vp = jnp.zeros((dsf.K * dsf.m,), v.dtype).at[:dsf.n].set(v)
+        return jax.device_put(vp.reshape(dsf.K, dsf.m),
+                              NamedSharding(mesh, pax))
+
     @jax.jit
-    def solve_fn(rhs):
-        rp = jnp.zeros((dsf.K * dsf.m,), rhs.dtype).at[:dsf.n].set(rhs)
-        rhs_sh = jax.device_put(rp.reshape(dsf.K, dsf.m),
-                                NamedSharding(mesh, pax))
-        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh)
+    def solve_fn(rhs, x0=None):
+        rhs_sh = _shard(rhs)
+        x0_sh = _shard(jnp.zeros_like(rhs) if x0 is None else x0)
+        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh, x0_sh)
         return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
                          rnorm=rnorm, history=hist)
 

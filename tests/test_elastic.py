@@ -185,3 +185,41 @@ def test_persistent_fault_halves_after_one_same_size_retry():
     assert (8,) in res.meshes_used and (4,) in res.meshes_used
     assert res.reason == CONVERGED_RTOL
     np.testing.assert_allclose(res.x, u, rtol=1e-7, atol=1e-8)
+
+
+def test_multislice_slice_loss_recovery():
+    """Elastic solves on a (slice, p) mesh: recovery drops whole slices —
+    the unit TPU pods actually lose — keeping the per-slice ICI width
+    fixed.  A persistent fault (healthy probe) retries once at full size,
+    then drops to one slice and converges there."""
+    a, bm, u, rhs = _problem(n=768, k=4, seed=8)
+    fails = []
+
+    def fail_twice(segment):
+        if segment == 0 and len(fails) < 2:
+            fails.append(True)
+            raise RuntimeError("injected: slice fault")
+
+    res = resilient_solve(bm, rhs, mesh_shape=(2, 4), block_b=8,
+                          rtol=1e-10, maxit=80, segment_its=4,
+                          fault_injector=fail_twice, max_failures=3)
+    assert res.failures == 2
+    assert (2, 4) in res.meshes_used and (1, 4) in res.meshes_used
+    assert res.reason == CONVERGED_RTOL
+    np.testing.assert_allclose(res.x, u, rtol=1e-7, atol=1e-8)
+
+
+def test_multislice_checkpoint_resume(tmp_path):
+    """Multislice elastic solves checkpoint/resume across processes like
+    the 1-D path (the x0 thread through make_dist_solver_multislice)."""
+    a, bm, u, rhs = _problem(n=512, k=3, seed=9)
+    ck = str(tmp_path / "ms.npz")
+    res1 = resilient_solve(bm, rhs, mesh_shape=(2, 4), block_b=8,
+                           rtol=1e-30, maxit=3, segment_its=3,
+                           ckpt_path=ck)
+    assert res1.its == 3
+    res2 = resilient_solve(bm, rhs, mesh_shape=(2, 4), block_b=8,
+                           rtol=1e-10, maxit=80, segment_its=8,
+                           ckpt_path=ck, resume=True)
+    assert res2.reason == CONVERGED_RTOL
+    np.testing.assert_allclose(res2.x, u, rtol=1e-7, atol=1e-8)
