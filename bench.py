@@ -196,28 +196,36 @@ def main() -> None:
     # band entries streamed per matvec vs the blocktri route's 3*128 floats
     # per row; recorded so routing defaults can follow the measurement
     mv_out = {}
-    from spike_petsc_tpu.ops.pallas.band_matvec import (
-        banded_matvec_prepared, banded_mv_feasible, prepare_banded_mv)
-    if banded_mv_feasible(w, n=n):
-        prep_mv = prepare_banded_mv(band)
-        sync(prep_mv.d3)
+    try:
+        from spike_petsc_tpu.ops.pallas.band_matvec import (
+            banded_matvec_prepared, banded_mv_feasible, prepare_banded_mv)
+        if (banded_mv_feasible(w, n=n)
+                and os.environ.get("SPIKE_BENCH_BAND_MV", "1") == "1"):
+            prep_mv = prepare_banded_mv(band)
+            sync(prep_mv.d3)
 
-        @partial(jax.jit, static_argnames=("r",))
-        def bmv_loop(pm, x, r):
-            return jax.lax.fori_loop(
-                0, r, lambda i, y: banded_matvec_prepared(
-                    pm, y / jnp.max(jnp.abs(y))), x)
+            @partial(jax.jit, static_argnames=("r",))
+            def bmv_loop(pm, x, r):
+                return jax.lax.fori_loop(
+                    0, r, lambda i, y: banded_matvec_prepared(
+                        pm, y / jnp.max(jnp.abs(y))), x)
 
-        timed(lambda: bmv_loop(prep_mv, rhs, 2))     # compile
-        timed(lambda: bmv_loop(prep_mv, rhs, 22))    # compile
-        t_m1 = min(timed(lambda: bmv_loop(prep_mv, rhs, 2)) for _ in range(3))
-        t_m2 = min(timed(lambda: bmv_loop(prep_mv, rhs, 22)) for _ in range(3))
-        bmv_s = max(t_m2 - t_m1, 1e-9) / 20.0
-        if bmv_s < 1e-5:
-            bmv_s = t_m1 / 2.0
-        mv_out["band_mv_pallas_ms"] = round(bmv_s * 1e3, 3)
-        mv_out["band_mv_pallas_gbps"] = round(n * w * 4 / bmv_s / 1e9, 1)
-        del prep_mv
+            t0 = time.perf_counter()
+            timed(lambda: bmv_loop(prep_mv, rhs, 2))     # compile
+            mv_out["band_mv_compile_s"] = round(time.perf_counter() - t0, 1)
+            timed(lambda: bmv_loop(prep_mv, rhs, 22))    # compile
+            t_m1 = min(timed(lambda: bmv_loop(prep_mv, rhs, 2))
+                       for _ in range(3))
+            t_m2 = min(timed(lambda: bmv_loop(prep_mv, rhs, 22))
+                       for _ in range(3))
+            bmv_s = max(t_m2 - t_m1, 1e-9) / 20.0
+            if bmv_s < 1e-5:
+                bmv_s = t_m1 / 2.0
+            mv_out["band_mv_pallas_ms"] = round(bmv_s * 1e3, 3)
+            mv_out["band_mv_pallas_gbps"] = round(n * w * 4 / bmv_s / 1e9, 1)
+            del prep_mv
+    except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
+        mv_out = {"band_mv_pallas_error": f"{type(exc).__name__}: {exc}"[:200]}
 
     # ---- multi-RHS serving (BASELINE config 2's batched mode) --------------
     # factors stream once for all r columns (fused multi-RHS Pallas kernel
@@ -319,14 +327,18 @@ def main() -> None:
                              pcapply, rtol=1e-12, maxit=20)
             return res.its, res.rnorm / jnp.linalg.norm(b64)
 
-        r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
-        r_rel_v = float(np.asarray(r_rel))
+        try:
+            r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
+            r_rel_v = float(np.asarray(r_rel))
+        except Exception:  # noqa: BLE001 — kernel engine must not kill bench
+            r_rel_v = float("inf")
         if f64_mv == "pallas" and not r_rel_v <= 1e-11:
             # accuracy guard: refinement through the compensated kernel must
             # reach f64-grade residuals; if the platform's compilation broke
             # the error-free transforms (it does on XLA:CPU interpret — see
-            # band_matvec.py), fall back to the XLA x64 operator so the
-            # headline accuracy never silently regresses
+            # band_matvec.py) or the kernel fails outright, fall back to the
+            # XLA x64 operator so the headline accuracy never silently
+            # regresses
             f64_mv = "xla_fallback"
 
             def mk_mv64(d64):
