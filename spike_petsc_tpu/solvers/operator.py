@@ -103,17 +103,26 @@ def as_matvec(a, n_hint: int = None,
             raise ValueError("callable operator requires n_hint (vector size)")
         return a, n_hint, None
 
-    # host scipy sparse -> device BCOO
+    # host scipy sparse -> band+outliers split when the matrix has band
+    # structure (vector-speed band, scalar outliers), else device BCOO.
+    # TPU gathers/scatters run at ~0.2 GB/s, so a BCOO matvec pays scalar
+    # cost on EVERY nonzero; the split pays it only on the out-of-band few.
     try:
         import scipy.sparse as sp
         if sp.issparse(a):
+            n = a.shape[0]
+            from ..ops.split import (_SCALAR_COST, split_cost,
+                                     split_from_csr, split_matvec)
+            sm = split_from_csr(a)
+            if (split_cost(n, sm.band.kl, sm.nnz_out)
+                    < 0.7 * _SCALAR_COST * a.nnz):
+                return (lambda x: split_matvec(sm, x)), n, sm.dtype
             from jax.experimental import sparse as jsparse
             coo = a.tocoo()
             bcoo = jsparse.BCOO(
                 (jnp.asarray(coo.data),
                  jnp.stack([jnp.asarray(coo.row), jnp.asarray(coo.col)], axis=1)),
                 shape=coo.shape)
-            n = coo.shape[0]
 
             def mv(x):
                 return bcoo @ x

@@ -157,7 +157,13 @@ def _main(argv=None) -> int:
         operator = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
         print(f"Device operator: band storage kl={kl} ku={ku}")
     else:
-        print("Device operator: sparse BCOO")
+        from .ops.split import _SCALAR_COST, split_cost, split_from_csr
+        sm = split_from_csr(a)
+        if split_cost(n, sm.band.kl, sm.nnz_out) < 0.7 * _SCALAR_COST * a.nnz:
+            print(f"Device operator: band+outliers split "
+                  f"(k={sm.band.kl}, nnz_out={sm.nnz_out} of {a.nnz})")
+        else:
+            print("Device operator: sparse BCOO")
 
     # manufactured solution (testbed.c:297-311)
     if opts.get_bool("random_exact_sol", False):
