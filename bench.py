@@ -287,106 +287,112 @@ def main() -> None:
         from spike_petsc_tpu.solvers.krylov import richardson
 
         jax.config.update("jax_enable_x64", True)
-        data64 = data.astype(jnp.float64)
-        rhs64 = banded_matvec(BandedMatrix(data=data64, kl=k, ku=k),
-                              jnp.ones((n,), jnp.float64))
-        _ = np.asarray(rhs64[:8])
-
-        # residual-matvec engine: the compensated double-f32 Pallas kernel
-        # streams the split hi/lo pairs at kernel bandwidth where XLA's x64
-        # emulation of the shifted-axpy form pays the misaligned-operand
-        # penalty (37.5 ms at this config).  The reported relres checks the
-        # kernel's error-free transforms end-to-end: a broken compensation
-        # cannot reach <= 1e-12.  SPIKE_BENCH_F64_MV=xla falls back.
-        f64_mv = os.environ.get("SPIKE_BENCH_F64_MV", "pallas")
-        from spike_petsc_tpu.ops.pallas.band_matvec import (
-            banded_mv_feasible, banded_matvec_prepared_f64,
-            prepare_banded_mv_f64)
-        if f64_mv == "pallas" and banded_mv_feasible(w, n=n):
-            prep64 = prepare_banded_mv_f64(
-                BandedMatrix(data=data64, kl=k, ku=k))
-            sync(prep64.d3hi)
-
-            def mk_mv64(d64):
-                return lambda v: banded_matvec_prepared_f64(prep64, v)
-        else:
-            f64_mv = "xla"
-
-            def mk_mv64(d64):
-                bnd = BandedMatrix(data=d64, kl=k, ku=k)
-                return lambda v: banded_matvec(bnd, v)
-
-        @jax.jit
-        def refine_run(d64, sf_in, b64):
-            def pcapply(r):
-                r_lo = r.astype(jnp.float32)
-                with jax.enable_x64(False):   # Pallas can't lower under x64
-                    y = spike_solve(sf_in, r_lo)
-                return y.astype(b64.dtype)
-            res = richardson(mk_mv64(d64), b64, None,
-                             pcapply, rtol=1e-12, maxit=20)
-            return res.its, res.rnorm / jnp.linalg.norm(b64)
-
         try:
-            r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
-            r_rel_v = float(np.asarray(r_rel))
-        except Exception:  # noqa: BLE001 — kernel engine must not kill bench
-            r_rel_v = float("inf")
-        if f64_mv == "pallas" and not r_rel_v <= 1e-11:
-            # accuracy guard: refinement through the compensated kernel must
-            # reach f64-grade residuals; if the platform's compilation broke
-            # the error-free transforms (it does on XLA:CPU interpret — see
-            # band_matvec.py) or the kernel fails outright, fall back to the
-            # XLA x64 operator so the headline accuracy never silently
-            # regresses
-            f64_mv = "xla_fallback"
+            data64 = data.astype(jnp.float64)
+            rhs64 = banded_matvec(BandedMatrix(data=data64, kl=k, ku=k),
+                                  jnp.ones((n,), jnp.float64))
+            _ = np.asarray(rhs64[:8])
+            # residual-matvec engine: the compensated double-f32 Pallas kernel
+            # streams the split hi/lo pairs at kernel bandwidth where XLA's x64
+            # emulation of the shifted-axpy form pays the misaligned-operand
+            # penalty (37.5 ms at this config).  The reported relres checks the
+            # kernel's error-free transforms end-to-end: a broken compensation
+            # cannot reach <= 1e-12.  SPIKE_BENCH_F64_MV=xla falls back.
+            f64_mv = os.environ.get("SPIKE_BENCH_F64_MV", "pallas")
+            from spike_petsc_tpu.ops.pallas.band_matvec import (
+                banded_mv_feasible, banded_matvec_prepared_f64,
+                prepare_banded_mv_f64)
+            if f64_mv == "pallas" and banded_mv_feasible(w, n=n):
+                prep64 = prepare_banded_mv_f64(
+                    BandedMatrix(data=data64, kl=k, ku=k))
+                sync(prep64.d3hi)
 
-            def mk_mv64(d64):
-                bnd = BandedMatrix(data=d64, kl=k, ku=k)
-                return lambda v: banded_matvec(bnd, v)
+                def mk_mv64(d64):
+                    return lambda v: banded_matvec_prepared_f64(prep64, v)
+            else:
+                f64_mv = "xla"
 
-            refine_run = jax.jit(refine_run.__wrapped__)
-            r_its, r_rel = refine_run(data64, sf, rhs64)
-            r_rel_v = float(np.asarray(r_rel))
+                def mk_mv64(d64):
+                    bnd = BandedMatrix(data=d64, kl=k, ku=k)
+                    return lambda v: banded_matvec(bnd, v)
 
-        # wall time via the same differenced chained-loop methodology as the
-        # solve/gmres stages: a one-shot jit call ends in a tiny scalar
-        # readback, which through the axon tunnel costs SECONDS (measured
-        # 10.6 s reported for ~0.3 s of device work) — the fixed readback
-        # cancels in the r=1 vs r=3 difference.
-        @partial(jax.jit, static_argnames=("r",))
-        def refine_loop(d64, sf_in, b64, r):
-            mv64 = mk_mv64(d64)
-
-            def pcapply(rr):
-                r_lo = rr.astype(jnp.float32)
-                with jax.enable_x64(False):
-                    y = spike_solve(sf_in, r_lo)
-                return y.astype(b64.dtype)
-
-            def body(i, bcur):
-                res = richardson(mv64, bcur, None,
+            @jax.jit
+            def refine_run(d64, sf_in, b64):
+                def pcapply(r):
+                    r_lo = r.astype(jnp.float32)
+                    with jax.enable_x64(False):   # Pallas can't lower under x64
+                        y = spike_solve(sf_in, r_lo)
+                    return y.astype(b64.dtype)
+                res = richardson(mk_mv64(d64), b64, None,
                                  pcapply, rtol=1e-12, maxit=20)
-                return bcur + 0.0 * res.x
-            return jax.lax.fori_loop(0, r, body, b64)
+                return res.its, res.rnorm / jnp.linalg.norm(b64)
 
-        timed(lambda: refine_loop(data64, sf, rhs64, 1))     # compile
-        timed(lambda: refine_loop(data64, sf, rhs64, 3))     # compile
-        t_r1 = min(timed(lambda: refine_loop(data64, sf, rhs64, 1))
-                   for _ in range(3))
-        t_r3 = min(timed(lambda: refine_loop(data64, sf, rhs64, 3))
-                   for _ in range(3))
-        refine_wall = max((t_r3 - t_r1) / 2.0, 1e-9)
-        if refine_wall < 1e-3:      # tunnel anomaly guard
-            refine_wall = t_r1
-        refine_out = {
-            "f64_refine_relres": r_rel_v,
-            "f64_refine_its": int(np.asarray(r_its)),
-            "f64_refine_wall_ms": round(refine_wall * 1e3, 1),
-            "f64_refine_mv": f64_mv,
-        }
-        del data64, rhs64
-        jax.config.update("jax_enable_x64", False)
+            try:
+                r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
+                r_rel_v = float(np.asarray(r_rel))
+            except Exception:  # noqa: BLE001 — kernel engine must not kill bench
+                r_rel_v = float("inf")
+            if f64_mv == "pallas" and not r_rel_v <= 1e-11:
+                # accuracy guard: refinement through the compensated kernel must
+                # reach f64-grade residuals; if the platform's compilation broke
+                # the error-free transforms (it does on XLA:CPU interpret — see
+                # band_matvec.py) or the kernel fails outright, fall back to the
+                # XLA x64 operator so the headline accuracy never silently
+                # regresses
+                f64_mv = "xla_fallback"
+
+                def mk_mv64(d64):
+                    bnd = BandedMatrix(data=d64, kl=k, ku=k)
+                    return lambda v: banded_matvec(bnd, v)
+
+                refine_run = jax.jit(refine_run.__wrapped__)
+                r_its, r_rel = refine_run(data64, sf, rhs64)
+                r_rel_v = float(np.asarray(r_rel))
+
+            # wall time via the same differenced chained-loop methodology as the
+            # solve/gmres stages: a one-shot jit call ends in a tiny scalar
+            # readback, which through the axon tunnel costs SECONDS (measured
+            # 10.6 s reported for ~0.3 s of device work) — the fixed readback
+            # cancels in the r=1 vs r=3 difference.
+            @partial(jax.jit, static_argnames=("r",))
+            def refine_loop(d64, sf_in, b64, r):
+                mv64 = mk_mv64(d64)
+
+                def pcapply(rr):
+                    r_lo = rr.astype(jnp.float32)
+                    with jax.enable_x64(False):
+                        y = spike_solve(sf_in, r_lo)
+                    return y.astype(b64.dtype)
+
+                def body(i, bcur):
+                    res = richardson(mv64, bcur, None,
+                                     pcapply, rtol=1e-12, maxit=20)
+                    return bcur + 0.0 * res.x
+                return jax.lax.fori_loop(0, r, body, b64)
+
+            timed(lambda: refine_loop(data64, sf, rhs64, 1))     # compile
+            timed(lambda: refine_loop(data64, sf, rhs64, 3))     # compile
+            t_r1 = min(timed(lambda: refine_loop(data64, sf, rhs64, 1))
+                       for _ in range(3))
+            t_r3 = min(timed(lambda: refine_loop(data64, sf, rhs64, 3))
+                       for _ in range(3))
+            refine_wall = max((t_r3 - t_r1) / 2.0, 1e-9)
+            if refine_wall < 1e-3:      # tunnel anomaly guard
+                refine_wall = t_r1
+            refine_out = {
+                "f64_refine_relres": r_rel_v,
+                "f64_refine_its": int(np.asarray(r_its)),
+                "f64_refine_wall_ms": round(refine_wall * 1e3, 1),
+                "f64_refine_mv": f64_mv,
+            }
+            del data64, rhs64
+            jax.config.update("jax_enable_x64", False)
+        except Exception as exc:  # noqa: BLE001 — refine stage must
+            # not kill the headline metrics on ANY platform failure
+            refine_out = {
+                "f64_refine_error": f"{type(exc).__name__}: {exc}"[:200]}
+        finally:
+            jax.config.update("jax_enable_x64", False)
 
     # ---- CPU LAPACK baseline (same precision) ------------------------------
     if os.environ.get("SPIKE_BENCH_SKIP_CPU") == "1":

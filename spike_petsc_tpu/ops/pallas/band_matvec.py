@@ -97,6 +97,10 @@ def banded_mv_feasible(bm_or_w, n: int = None, dtype=jnp.float32) -> bool:
         w, n, dtype = bm_or_w.width, bm_or_w.n, bm_or_w.dtype
     else:
         w = int(bm_or_w)
+        if n is None:
+            raise ValueError(
+                "banded_mv_feasible(width) needs n= (the feasibility gate "
+                "includes a minimum problem size)")
     return (jnp.dtype(dtype).itemsize <= 4 and 3 <= w <= 512
             and n >= 2 * 128)
 

@@ -63,14 +63,12 @@ def split_cost(n: int, k: int, nnz_out: int) -> float:
     return n * (2 * k + 1) + _SCALAR_COST * nnz_out
 
 
-def split_from_csr(a, kmax: int = 512, dtype=None) -> SplitBandedMatrix:
-    """Choose the cost-optimal split bandwidth and build the device operator.
-
-    The bandwidth minimizes the matvec cost model over the |i-j| entry-count
-    histogram: widening the band trades n streamed elements per diagonal
-    against _SCALAR_COST per outlier it absorbs.  ``kmax`` caps the band
-    (512 keeps the Pallas banded kernel feasible).
-    """
+def split_plan(a, kmax: int = 255):
+    """(k, nnz_out, profitable): the cost-optimal split bandwidth, its
+    outlier count, and whether the split beats an all-scalar BCOO matvec —
+    computed from the |i-j| entry-count histogram alone (no arrays built,
+    no device transfers).  ``kmax`` caps the band at w = 2k+1 <= 511, the
+    Pallas banded kernel's feasibility limit."""
     import scipy.sparse as sp
     coo = sp.csr_matrix(a).tocoo()
     n = coo.shape[0]
@@ -82,6 +80,21 @@ def split_from_csr(a, kmax: int = 512, dtype=None) -> SplitBandedMatrix:
     ks = np.arange(kcap + 1)
     cost = n * (2 * ks + 1) + _SCALAR_COST * out_beyond[:kcap + 1]
     k = int(np.argmin(cost))
+    nnz_out = int(out_beyond[k])
+    profitable = bool(split_cost(n, k, nnz_out)
+                      < 0.7 * _SCALAR_COST * coo.nnz)
+    return k, nnz_out, profitable
+
+
+def split_from_csr(a, kmax: int = 255, dtype=None) -> SplitBandedMatrix:
+    """Build the split operator at the cost-optimal bandwidth (see
+    split_plan; widening the band trades n streamed elements per diagonal
+    against _SCALAR_COST per outlier it absorbs)."""
+    import scipy.sparse as sp
+    k, _, _ = split_plan(a, kmax=kmax)
+    coo = sp.csr_matrix(a).tocoo()
+    n = coo.shape[0]
+    dist = np.abs(coo.row - coo.col)
     keep = dist <= k
     data = np.zeros((n, 2 * k + 1), dtype=dtype or coo.data.dtype)
     np.add.at(data, (coo.row[keep], coo.col[keep] - coo.row[keep] + k),
@@ -94,6 +107,13 @@ def split_from_csr(a, kmax: int = 512, dtype=None) -> SplitBandedMatrix:
         rows=jnp.asarray(r[order], jnp.int32),
         cols=jnp.asarray(c[order], jnp.int32),
         vals=jnp.asarray(vals))   # canonicalized like the band data
+
+
+def split_if_profitable(a, kmax: int = 255, dtype=None):
+    """The routing entry: None when BCOO wins the cost model (nothing is
+    built or transferred in that case), else the built SplitBandedMatrix."""
+    _, _, profitable = split_plan(a, kmax=kmax)
+    return split_from_csr(a, kmax=kmax, dtype=dtype) if profitable else None
 
 
 def split_matvec(sm: SplitBandedMatrix, x: jax.Array) -> jax.Array:

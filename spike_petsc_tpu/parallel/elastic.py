@@ -134,7 +134,11 @@ def resilient_solve(band: BandedMatrix, rhs, *,
             from .spike_dist import (dist_spike_factor_multislice,
                                      make_dist_solver_multislice,
                                      make_mesh_multislice)
-            mesh = make_mesh_multislice(cfg)
+            # a caller-supplied factory receives the SHAPE tuple here (the
+            # 1-D path passes a device count) — never silently ignored
+            factory = (make_mesh_multislice if mesh_factory is make_mesh
+                       else mesh_factory)
+            mesh = factory(cfg)
             dsf = dist_spike_factor_multislice(
                 band, mesh, method=method, block_b=block_b,
                 parts_per_device=parts_per_device)

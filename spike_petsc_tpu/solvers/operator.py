@@ -49,6 +49,10 @@ def as_matvec(a, n_hint: int = None,
       * "blocktri"      — force the blocktri conversion route;
       * "xla"           — force the XLA shifted-axpy form.
     """
+    if impl not in ("auto", "banded_pallas", "blocktri", "xla"):
+        raise ValueError(
+            f"unknown matvec impl {impl!r}: expected auto, banded_pallas, "
+            f"blocktri, or xla (-mat_matvec_impl)")
     if isinstance(a, BandedMatrix):
         if impl == "xla":
             return (lambda x: banded_matvec(a, x)), a.n, a.dtype
@@ -111,11 +115,9 @@ def as_matvec(a, n_hint: int = None,
         import scipy.sparse as sp
         if sp.issparse(a):
             n = a.shape[0]
-            from ..ops.split import (_SCALAR_COST, split_cost,
-                                     split_from_csr, split_matvec)
-            sm = split_from_csr(a)
-            if (split_cost(n, sm.band.kl, sm.nnz_out)
-                    < 0.7 * _SCALAR_COST * a.nnz):
+            from ..ops.split import split_if_profitable, split_matvec
+            sm = split_if_profitable(a)
+            if sm is not None:
                 return (lambda x: split_matvec(sm, x)), n, sm.dtype
             from jax.experimental import sparse as jsparse
             coo = a.tocoo()

@@ -157,11 +157,13 @@ def _main(argv=None) -> int:
         operator = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
         print(f"Device operator: band storage kl={kl} ku={ku}")
     else:
-        from .ops.split import _SCALAR_COST, split_cost, split_from_csr
-        sm = split_from_csr(a)
-        if split_cost(n, sm.band.kl, sm.nnz_out) < 0.7 * _SCALAR_COST * a.nnz:
+        # the plan (histogram only) decides; as_matvec builds it once inside
+        # solve() when profitable — no duplicate construction here
+        from .ops.split import split_plan
+        sk, s_out, s_prof = split_plan(a)
+        if s_prof:
             print(f"Device operator: band+outliers split "
-                  f"(k={sm.band.kl}, nnz_out={sm.nnz_out} of {a.nnz})")
+                  f"(k={sk}, nnz_out={s_out} of {a.nnz})")
         else:
             print("Device operator: sparse BCOO")
 
