@@ -9,7 +9,8 @@ from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
                          make_dist_solver_multislice_batched)
 from .matching_dev import auction_match, auction_match_dist
 from .elastic import ResilientResult, SolveCheckpoint, resilient_solve
-from .autodiff import dist_solve_banded_diff
+from .autodiff import (dist_solve_banded_diff,
+                       dist_solve_banded_diff_multislice)
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "shard_leading",
@@ -21,5 +22,5 @@ __all__ = [
     "make_dist_solver_multislice_batched",
     "auction_match", "auction_match_dist",
     "ResilientResult", "SolveCheckpoint", "resilient_solve",
-    "dist_solve_banded_diff",
+    "dist_solve_banded_diff", "dist_solve_banded_diff_multislice",
 ]

@@ -76,3 +76,66 @@ def _bwd(kl, ku, mesh, axis, block_b, parts_per_device, res, g):
 
 
 dist_solve_banded_diff.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multislice (pod-scale) variant: forward and adjoint are ITERATIVE solves
+# (per-slice SPIKE PC + exact cross-slice matvec GMRES), so gradients are
+# exact to the solver tolerance — the standard implicit-adjoint contract
+# for iterative inner solvers.
+# ---------------------------------------------------------------------------
+
+def _ms_solve(data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
+              parts_per_device, rtol, maxit):
+    from .spike_dist import (_dist_spike_factor_multislice_impl,
+                             make_dist_solver_multislice)
+    band = BandedMatrix(data=data, kl=kl, ku=ku)
+    dsf = _dist_spike_factor_multislice_impl(
+        band, mesh, axis_slice, axis_p, method="inv", block_b=block_b,
+        parts_per_device=parts_per_device, reduced="auto",
+        store_spikes=False, store_dtype=None, spike_dtype=None,
+        shift="none", shift_amount=0.0, inverter="blocked")
+    solver = make_dist_solver_multislice(
+        dsf, mesh, axis_slice, axis_p, ksp_type="gmres", rtol=rtol,
+        maxit=maxit)
+    return solver(rhs).x
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def dist_solve_banded_diff_multislice(
+        data: jax.Array, rhs: jax.Array, kl: int, ku: int, mesh: Mesh,
+        axis_slice: str = "slice", axis_p: str = "p", block_b: int = None,
+        parts_per_device: int = 1, rtol: float = 1e-12,
+        maxit: int = 200) -> jax.Array:
+    """Differentiable banded solve on a (slice, p) mesh: GMRES with the
+    per-slice SPIKE preconditioner forward, the same machinery on A^T for
+    the adjoint.  Gradients flow to ``data`` and ``rhs`` and are exact to
+    ``rtol`` (tighten it when gradients feed an optimizer)."""
+    return _ms_solve(data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
+                     parts_per_device, rtol, maxit)
+
+
+def _ms_fwd(data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
+            parts_per_device, rtol, maxit):
+    x = dist_solve_banded_diff_multislice(
+        data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
+        parts_per_device, rtol, maxit)
+    return x, (data, x)
+
+
+def _ms_bwd(kl, ku, mesh, axis_slice, axis_p, block_b, parts_per_device,
+            rtol, maxit, res, g):
+    data, x = res
+    band_t = banded_transpose(BandedMatrix(data=data, kl=kl, ku=ku))
+    lam = _ms_solve(band_t.data, g, ku, kl, mesh, axis_slice, axis_p,
+                    block_b, parts_per_device, rtol, maxit)   # A^{-T} g
+    n = data.shape[0]
+    w = kl + ku + 1
+    xpad = jnp.pad(x, (kl, ku))
+    xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
+                    for d in range(w)], axis=1)
+    ddata = -lam[:, None] * xg
+    return ddata.astype(data.dtype), lam.astype(x.dtype)
+
+
+dist_solve_banded_diff_multislice.defvjp(_ms_fwd, _ms_bwd)
