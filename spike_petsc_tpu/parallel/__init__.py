@@ -6,7 +6,8 @@ from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
                          make_dist_solver, make_dist_solver_batched,
                          make_mesh_multislice, dist_spike_factor_multislice,
                          make_dist_solver_multislice,
-                         make_dist_solver_multislice_batched)
+                         make_dist_solver_multislice_batched,
+                         make_mesh_3d, make_dist_solver_3d)
 from .matching_dev import auction_match, auction_match_dist
 from .elastic import ResilientResult, SolveCheckpoint, resilient_solve
 from .autodiff import (dist_solve_banded_diff,
@@ -20,6 +21,7 @@ __all__ = [
     "make_mesh_multislice", "dist_spike_factor_multislice",
     "make_dist_solver_multislice",
     "make_dist_solver_multislice_batched",
+    "make_mesh_3d", "make_dist_solver_3d",
     "auction_match", "auction_match_dist",
     "ResilientResult", "SolveCheckpoint", "resilient_solve",
     "dist_solve_banded_diff", "dist_solve_banded_diff_multislice",

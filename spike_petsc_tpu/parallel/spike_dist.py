@@ -965,6 +965,23 @@ def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
     return y.reshape(-1)
 
 
+def _multislice_specs(dsf: DistSpikeFactor, axis_slice: str, axis_p: str):
+    """PartitionSpec pytree for a multislice DistSpikeFactor: local fields
+    sharded over (slice, p), reduced factorization PER-SLICE (sliced over
+    the slice axis, replicated within a slice)."""
+    axes = (axis_slice, axis_p)
+    pax = P(axes)
+    specs = _dsf_specs(dsf, axes)
+    return DistSpikeFactor(
+        blocks=specs.blocks, fact=specs.fact, Btip=pax, Ctip=pax,
+        red_fact=_per_slice_specs(dsf.red_fact, axis_slice),
+        red_Dinv=None,
+        V=None if dsf.V is None else pax,
+        W=None if dsf.W is None else pax,
+        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
+        ppd=dsf.ppd, truncated=dsf.truncated)
+
+
 def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
                                 axis_slice: str = "slice", axis_p: str = "p",
                                 ksp_type: str = "gmres", use_pc: bool = True,
@@ -988,15 +1005,7 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
                 res.history)
 
     pax = P((axis_slice, axis_p))
-    specs = _dsf_specs(dsf, (axis_slice, axis_p))
-    specs = DistSpikeFactor(
-        blocks=specs.blocks, fact=specs.fact, Btip=pax, Ctip=pax,
-        red_fact=_per_slice_specs(dsf.red_fact, axis_slice),
-        red_Dinv=None,
-        V=None if dsf.V is None else pax,
-        W=None if dsf.W is None else pax,
-        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
-        ppd=dsf.ppd, truncated=dsf.truncated)
+    specs = _multislice_specs(dsf, axis_slice, axis_p)
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(specs, pax, pax),
@@ -1021,29 +1030,17 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
     return solve_fn
 
 
-def make_dist_solver_multislice_batched(
-        dsf: DistSpikeFactor, mesh: Mesh, axis_slice: str = "slice",
-        axis_p: str = "p", ksp_type: str = "richardson", **params):
-    """Multi-RHS serving over the (slice, p) mesh itself — the huge-N
-    serving layout: rows span every chip (DCN included), and each device
-    solves ALL r right-hand sides on its row shard, so no rhs mesh axis is
-    spent on replicas (make_dist_solver_batched covers that regime).
+def _multislice_many_local_fn(dsf: DistSpikeFactor, ksp_type: str,
+                              axis_slice: str, axis_p: str, n_slices: int,
+                              ndev_p: int, params: dict):
+    """Per-device multi-RHS engine on a (slice, p) submesh:
+    local_fn(dsf_local, r_local[ppd, m, r]) -> x[ppd, m, r].
 
-    Returns solve(rhs[n, r]) -> x[n, r].  ``ksp_type``:
-      * "richardson" (default) — multi-RHS refinement X += M^-1 (B - A X):
-        the PC is per-slice exact SPIKE (ICI-only, factors streamed once
-        for all r), the residual matvec carries the TRUE cross-slice
-        coupling (k-wide DCN strips), so the iteration converges to the
-        exact solution;
-      * "preonly"    — ONE multislice PCApply: block-Jacobi across slices,
-        i.e. PC-grade accuracy (exact only when cross-slice coupling is
-        zero); the cheapest mode when slices are weakly coupled;
-      * any Krylov name — per-RHS solves under lax.map with per-column
-        convergence control.
-    """
+    The engine bodies behind both multislice serving surfaces
+    (make_dist_solver_multislice_batched and the 3-D replica mesh of
+    make_dist_solver_3d); collectives touch ONLY axis_slice/axis_p, so an
+    outer replica axis stays communication-free."""
     ppd, m, nb, b = dsf.ppd, dsf.m, dsf.nb, dsf.b
-    n_slices = mesh.shape[axis_slice]
-    ndev_p = mesh.shape[axis_p]
     axes = (axis_slice, axis_p)
 
     if ksp_type == "preonly":
@@ -1101,17 +1098,35 @@ def make_dist_solver_multislice_batched(
                               axis_name=axes, **params).x.reshape(ppd, m)
             x = jax.lax.map(one, jnp.moveaxis(r_local, -1, 0))
             return jnp.moveaxis(x, 0, -1)
+    return local_fn
 
+
+def make_dist_solver_multislice_batched(
+        dsf: DistSpikeFactor, mesh: Mesh, axis_slice: str = "slice",
+        axis_p: str = "p", ksp_type: str = "richardson", **params):
+    """Multi-RHS serving over the (slice, p) mesh itself — the huge-N
+    serving layout: rows span every chip (DCN included), and each device
+    solves ALL r right-hand sides on its row shard, so no rhs mesh axis is
+    spent on replicas (make_dist_solver_batched covers that regime).
+
+    Returns solve(rhs[n, r]) -> x[n, r].  ``ksp_type``:
+      * "richardson" (default) — multi-RHS refinement X += M^-1 (B - A X):
+        the PC is per-slice exact SPIKE (ICI-only, factors streamed once
+        for all r), the residual matvec carries the TRUE cross-slice
+        coupling (k-wide DCN strips), so the iteration converges to the
+        exact solution;
+      * "preonly"    — ONE multislice PCApply: block-Jacobi across slices,
+        i.e. PC-grade accuracy (exact only when cross-slice coupling is
+        zero); the cheapest mode when slices are weakly coupled;
+      * any Krylov name — per-RHS solves under lax.map with per-column
+        convergence control.
+    """
+    local_fn = _multislice_many_local_fn(dsf, ksp_type, axis_slice, axis_p,
+                                         mesh.shape[axis_slice],
+                                         mesh.shape[axis_p], params)
+    axes = (axis_slice, axis_p)
     pax = P(axes)
-    specs = _dsf_specs(dsf, axes)
-    specs = DistSpikeFactor(
-        blocks=specs.blocks, fact=specs.fact, Btip=pax, Ctip=pax,
-        red_fact=_per_slice_specs(dsf.red_fact, axis_slice),
-        red_Dinv=None,
-        V=None if dsf.V is None else pax,
-        W=None if dsf.W is None else pax,
-        n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
-        ppd=dsf.ppd, truncated=dsf.truncated)
+    specs = _multislice_specs(dsf, axis_slice, axis_p)
     shmapped = jax.shard_map(local_fn, mesh=mesh,
                              in_specs=(specs, P(axes)),
                              out_specs=P(axes), check_vma=False)
@@ -1124,6 +1139,84 @@ def make_dist_solver_multislice_batched(
                                 NamedSharding(mesh, P(axes)))
         x = shmapped(dsf, rhs_sh)
         return x.reshape(dsf.K * dsf.m, r)[:dsf.n]
+
+    return solve_fn
+
+
+# ---------------------------------------------------------------------------
+# 3-D serving mesh: replicas x slices x intra-slice partitions
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_3d(shape, axes=("rhs", "slice", "p")) -> Mesh:
+    """3-D (replicas, slices, chips-per-slice) mesh for replicated
+    multislice serving.  On real deployments whole slices are assigned to
+    (replica, slice) coordinates via their ``slice_index`` attribute —
+    the replica axis carries NO solver communication, so replicas may
+    span DCN freely; on virtual platforms the flat device order is
+    reshaped contiguously (innermost axis = intra-slice ICI)."""
+    import numpy as _np
+    n_rep, n_slices, per_slice = shape
+    devs = jax.devices()
+    need = n_rep * n_slices * per_slice
+    if need > len(devs):
+        raise ValueError(f"requested {need} devices, have {len(devs)}")
+    by_slice = {}
+    for d in devs:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    chosen = sorted(by_slice)[:n_rep * n_slices]
+    if len(by_slice) >= n_rep * n_slices and all(
+            len(by_slice[s]) >= per_slice for s in chosen):
+        grid = _np.asarray(
+            [sorted(by_slice[s], key=lambda d: d.id)[:per_slice]
+             for s in chosen]).reshape(n_rep, n_slices, per_slice)
+        return Mesh(grid, tuple(axes))
+    return Mesh(_np.asarray(devs[:need]).reshape(shape), tuple(axes))
+
+
+def make_dist_solver_3d(dsf: DistSpikeFactor, mesh: Mesh,
+                        axis_rhs: str = "rhs", axis_slice: str = "slice",
+                        axis_p: str = "p", ksp_type: str = "richardson",
+                        **params):
+    """Replicated multislice serving over a 3-D (rhs, slice, p) mesh: each
+    rhs-row of the mesh holds a full replica of the multislice factorization
+    (exact per-slice SPIKE over ICI, cross-slice coupling over DCN) and
+    solves its own batch of right-hand sides — the composition of
+    make_dist_solver_batched's replica axis with the huge-N multislice
+    layout, for deployments that want replica- AND huge-N serving at once.
+
+    The factor is replicated across ``axis_rhs`` (zero communication on
+    that axis — pure throughput scaling) and sharded over
+    (axis_slice, axis_p) within each replica.
+
+    Returns solve(rhs[R, n]) -> x[R, n] with R divisible by the rhs-axis
+    size.  ``ksp_type`` selects the per-replica engine (same contract as
+    make_dist_solver_multislice_batched): "richardson" (multi-RHS
+    refinement with the exact cross-slice residual matvec — converges to
+    the true solution), "preonly" (one block-Jacobi PCApply), or any
+    Krylov name (per-RHS convergence control under lax.map)."""
+    local_engine = _multislice_many_local_fn(
+        dsf, ksp_type, axis_slice, axis_p, mesh.shape[axis_slice],
+        mesh.shape[axis_p], params)
+
+    def local_fn(dsf_in, r_local):                 # [Rloc, ppd, m]
+        x = local_engine(dsf_in, jnp.moveaxis(r_local, 0, -1))
+        return jnp.moveaxis(x, -1, 0)
+
+    specs = _multislice_specs(dsf, axis_slice, axis_p)
+    rhs_spec = P(axis_rhs, (axis_slice, axis_p))
+    shmapped = jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=(specs, rhs_spec),
+                             out_specs=rhs_spec, check_vma=False)
+
+    @jax.jit
+    def solve_fn(rhs):                             # [R, n]
+        R = rhs.shape[0]
+        rp = jnp.zeros((R, dsf.K * dsf.m), rhs.dtype).at[:, :dsf.n].set(rhs)
+        rhs_sh = jax.device_put(rp.reshape(R, dsf.K, dsf.m),
+                                NamedSharding(mesh, rhs_spec))
+        x = shmapped(dsf, rhs_sh)
+        return x.reshape(R, dsf.K * dsf.m)[:, :dsf.n]
 
     return solve_fn
 

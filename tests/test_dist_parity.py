@@ -287,6 +287,68 @@ def test_multislice_batched_preonly_is_pc_grade():
     assert 1e-10 < err < 0.5, err
 
 
+def test_3d_mesh_replicated_multislice_serving():
+    """(rhs, slice, p) 3-D serving mesh: each rhs-row is a full multislice
+    replica solving its own batch — the replica axis carries no solver
+    communication, so results must match the 1-replica multislice answer
+    column for column."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_3d,
+                                          make_dist_solver_multislice_batched,
+                                          make_mesh_3d, make_mesh_multislice)
+    n, R = 512, 4
+    a = problems.spd_banded(n, 3, seed=81)
+    bm = banded_of(a)
+    mesh3 = make_mesh_3d((2, 2, 2))
+    # factoring on the 3-D mesh shards over (slice, p) and replicates
+    # across the rhs axis for free (specs never mention it)
+    dsf = dist_spike_factor_multislice(bm, mesh3, block_b=8,
+                                       parts_per_device=2, store_spikes=True)
+    solver = make_dist_solver_3d(dsf, mesh3, ksp_type="richardson",
+                                 rtol=1e-9, maxit=40)
+    rng = np.random.default_rng(82)
+    U = rng.standard_normal((R, n))
+    B = jnp.asarray((a @ U.T).T)
+    X = np.asarray(solver(B))
+    for i in range(R):
+        rel = np.linalg.norm(a @ X[i] - np.asarray(B[i])) \
+            / np.linalg.norm(B[i])
+        assert rel < 1e-6, (i, rel)
+    # parity with the single-replica multislice engine on the same columns
+    mesh2 = make_mesh_multislice((2, 2))
+    dsf2 = dist_spike_factor_multislice(bm, mesh2, block_b=8,
+                                        parts_per_device=4,
+                                        store_spikes=True)
+    Xref = np.asarray(make_dist_solver_multislice_batched(
+        dsf2, mesh2, ksp_type="richardson", rtol=1e-9, maxit=40)(
+            jnp.asarray(B.T)))
+    np.testing.assert_allclose(X, Xref.T, rtol=1e-6, atol=1e-8)
+
+
+def test_3d_mesh_preonly_and_krylov():
+    """The other two per-replica engines on the 3-D mesh: preonly replica
+    consistency (same rhs on both replicas -> identical answers) and
+    per-RHS Krylov convergence."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_3d, make_mesh_3d)
+    n = 384
+    a = problems.nonsym_banded(n, 3, 2, seed=83)
+    bm = banded_of(a)
+    mesh3 = make_mesh_3d((2, 2, 2))
+    dsf = dist_spike_factor_multislice(bm, mesh3, block_b=8,
+                                       parts_per_device=2)
+    rng = np.random.default_rng(84)
+    u = rng.standard_normal(n)
+    b = jnp.asarray(a @ u)
+    B = jnp.stack([b, b])                      # same rhs to both replicas
+    Xp = np.asarray(make_dist_solver_3d(dsf, mesh3, ksp_type="preonly")(B))
+    np.testing.assert_array_equal(Xp[0], Xp[1])
+    Xk = np.asarray(make_dist_solver_3d(dsf, mesh3, ksp_type="gmres",
+                                        rtol=1e-10, maxit=40)(B))
+    np.testing.assert_allclose(Xk[0], u, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(Xk[1], u, rtol=1e-6, atol=1e-7)
+
+
 def test_multislice_batched_krylov_per_rhs():
     from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
                                           make_dist_solver_multislice_batched,
