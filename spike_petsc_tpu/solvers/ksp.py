@@ -80,12 +80,21 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
 def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
           ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
           pc: Optional[PC] = None, monitor: bool = False,
-          **params) -> KSPResult:
+          view: bool = False, **params) -> KSPResult:
     """One-shot options-driven solve (KSPSolve equivalent).
 
     ``pmat`` is the preconditioning matrix B when it differs from A — exactly
     KSPSetOperators(ksp, A, B) (/root/reference/src/testbed.c:314).
-    """
+    ``view=True`` prints the configured solver hierarchy before solving
+    (PETSc ``-ksp_view``)."""
+    opts = options or Options()
+    if pc is None:
+        name = pc_type or opts.get_string("pc_type", "none")
+        pc = make_pc(name, A if pmat is None else pmat, opts)
+    if view:
+        kt = ksp_type or opts.get_string("ksp_type", "gmres")
+        n = b.shape[0] if hasattr(b, "shape") else None
+        print(view_str(kt, _params_from_options(opts, params), pc, n=n))
     solver = make_solver(A, pmat=pmat, options=options, ksp_type=ksp_type,
                          pc_type=pc_type, pc=pc,
                          n_hint=b.shape[0] if hasattr(b, "shape") else None,
@@ -96,6 +105,34 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
         import numpy as _np
         print_monitor(res, bnorm=float(_np.linalg.norm(_np.asarray(b))))
     return res
+
+
+def view_str(ksp_type: str, params: dict, pc: Optional[PC],
+             n: Optional[int] = None) -> str:
+    """-ksp_view text: the configured solver hierarchy, PETSc KSPView/PCView
+    style (the reference inspects solvers the same way through PETSc's
+    options-driven viewers; cf. PCView_Banded,
+    /root/reference/src/matbanded.c:196-211)."""
+    lines = ["KSP Object:", f"  type: {ksp_type}"]
+    if ksp_type in ("gmres", "fgmres"):
+        lines.append(f"    restart={params.get('restart', 30)}, modified "
+                     "Gram-Schmidt, Givens-rotation least squares")
+    if ksp_type == "chebyshev":
+        lines.append("    eigenvalue bounds from preset/power estimates")
+    lines.append(f"  maximum iterations={params.get('maxit')}")
+    lines.append(f"  tolerances: relative={params.get('rtol'):g}, "
+                 f"absolute={params.get('atol'):g}, "
+                 f"divergence={params.get('divtol'):g}")
+    side = params.get("side", "right" if ksp_type == "fgmres" else "left")
+    lines.append(f"  {side} preconditioning")
+    if n is not None:
+        lines.append(f"  operator size: {n} x {n}")
+    if pc is None or pc.name == "none":
+        lines.append("PC Object:\n  type: none")
+    else:
+        lines.append("PC Object:")
+        lines.append(pc.describe(1))
+    return "\n".join(lines)
 
 
 def print_monitor(res: KSPResult, bnorm=None) -> None:

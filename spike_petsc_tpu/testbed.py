@@ -193,7 +193,8 @@ def _main(argv=None) -> int:
     with scope("KSPSolve"):
         res = solve(operator, b,
                     pmat=pmat if use_host_pmat else operator,
-                    options=opts)
+                    options=opts,
+                    view=opts.get_bool("ksp_view", False))
     if opts.get_bool("ksp_monitor", False) or \
             opts.get_bool("ksp_monitor_true_residual", False) or \
             opts.get_bool("ksp_converged_reason", False):

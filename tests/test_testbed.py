@@ -171,6 +171,19 @@ def test_testbed_banded_pre_mat_feeds_any_pc(capsys):
     assert "band:" in out or "norm fraction" in out
 
 
+def test_testbed_ksp_view(capsys):
+    """-ksp_view prints the configured solver hierarchy, including the
+    nested PC tree (KSPView/PCView analogue; cf. PCView_Banded,
+    /root/reference/src/matbanded.c:196-211)."""
+    rc = run_testbed("-problem tridiag:300 -ksp_type gmres -pc_type banded "
+                     "-banded_pc_spike_partitions 4 -ksp_view".split())
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "KSP Object:" in out and "type: gmres" in out
+    assert "restart=30" in out and "tolerances: relative=1e-05" in out
+    assert "PC banded:" in out and "PC spike: partitions=4" in out
+
+
 def test_testbed_log_view(capsys):
     """-log_view prints the -log_summary style stage table (SURVEY §5
     tracing row)."""
