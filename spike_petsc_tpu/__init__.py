@@ -13,9 +13,10 @@ __version__ = "0.1.0"
 from .ops.band import (BandedMatrix, banded_from_dense, banded_from_coo,
                        banded_to_dense, banded_matvec, banded_diagonal)
 from .ops.blocktri import (BlockTridiagonal, band_to_blocktri,
-                           blocktri_factor, blocktri_solve, blocktri_matvec)
+                           blocktri_factor, blocktri_solve,
+                           blocktri_solve_transpose, blocktri_matvec)
 from .ops.spike import (SpikeFactor, spike_factor, spike_factor_grouped,
-                        spike_solve, spike_solve_many)
+                        spike_solve, spike_solve_many, spike_transpose)
 from .ops.autodiff import solve_banded_diff
 from .solvers.ksp import solve, make_solver
 from .solvers.pc import PC, make_pc
@@ -29,9 +30,9 @@ __all__ = [
     "BandedMatrix", "banded_from_dense", "banded_from_coo", "banded_to_dense",
     "banded_matvec", "banded_diagonal",
     "BlockTridiagonal", "band_to_blocktri", "blocktri_factor",
-    "blocktri_solve", "blocktri_matvec",
+    "blocktri_solve", "blocktri_solve_transpose", "blocktri_matvec",
     "SpikeFactor", "spike_factor", "spike_factor_grouped", "spike_solve",
-    "spike_solve_many",
+    "spike_solve_many", "spike_transpose",
     "solve_banded_diff",
     "solve", "make_solver", "PC", "make_pc", "KSPResult", "reason_str",
     "Options", "ORDERINGS", "PRECONDITIONERS", "SOLVERS",

@@ -8,11 +8,13 @@ standard implicit adjoint of x = A^{-1} b:
     dL/dA      = -(A^{-T} g) x^T  restricted to the band:
     dL/ddata[i, d] = -lam[i] * x[i + d - kl]
 
-so the backward pass costs one factorization of A^T (band transpose) plus one
-solve — no differentiation through the factorization recurrences (which would
-be both slow and unstable).  This enables end-to-end training/optimization
-loops whose inner step is a banded/SPIKE solve (PDE-constrained optimization,
-learned preconditioners, differentiable physics).
+so the backward pass REUSES the forward factorization through
+``spike_transpose`` (transpose sweeps over the same stored blocks — no band
+transpose, no conversion, no new block inversions) plus one solve — and
+never differentiates through the factorization recurrences (which would be
+both slow and unstable).  This enables end-to-end training/optimization
+loops whose inner step is a banded/SPIKE solve (PDE-constrained
+optimization, learned preconditioners, differentiable physics).
 """
 
 from __future__ import annotations
@@ -22,8 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .band import BandedMatrix, banded_transpose
-from .spike import spike_factor, spike_solve
+from .band import BandedMatrix
+from .spike import spike_factor, spike_solve, spike_transpose
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -37,25 +39,25 @@ def solve_banded_diff(data: jax.Array, rhs: jax.Array, kl: int, ku: int,
 
 
 def _fwd(data, rhs, kl, ku, K):
-    x = solve_banded_diff(data, rhs, kl, ku, K)
-    return x, (data, x)
+    band = BandedMatrix(data=data, kl=kl, ku=ku)
+    sf = spike_factor(band, K=K)
+    x = spike_solve(sf, rhs)
+    return x, (sf, x)
 
 
 def _bwd(kl, ku, K, res, g):
-    data, x = res
-    band_t = banded_transpose(BandedMatrix(data=data, kl=kl, ku=ku))
-    sft = spike_factor(band_t, K=K)
-    lam = spike_solve(sft, g)                       # A^{-T} g
+    sf, x = res
+    lam = spike_solve(spike_transpose(sf), g)       # A^{-T} g
     # band-restricted outer product: ddata[i, d] = -lam[i] * x[i + d - kl],
     # built from w shifted slices (TPU gathers are ~0.2 GB/s; see
     # banded_matvec)
-    n = data.shape[0]
+    n = x.shape[0]
     w = kl + ku + 1
     xpad = jnp.pad(x, (kl, ku))
     xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
                     for d in range(w)], axis=1)
     ddata = -lam[:, None] * xg
-    return ddata.astype(data.dtype), lam.astype(x.dtype)
+    return ddata.astype(x.dtype), lam.astype(x.dtype)
 
 
 solve_banded_diff.defvjp(_fwd, _bwd)

@@ -87,6 +87,27 @@ class BlockTriFactor:
         return self.F.shape[-1]
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TransposedBlockTriFactor:
+    """Marker pytree: solve with the TRANSPOSE of the wrapped factorization.
+
+    Carries no data of its own — ``ops.spike._batched_tri_solve`` dispatches
+    it to ``blocktri_solve_transpose``, which reuses ``base``'s stored
+    blocks.  Built by ``ops.spike.spike_transpose`` so a forward SPIKE
+    factorization serves A^T solves too (PETSc MatSolveTranspose role)."""
+
+    base: BlockTriFactor
+
+    @property
+    def nb(self) -> int:
+        return self.base.nb
+
+    @property
+    def b(self) -> int:
+        return self.base.b
+
+
 # ---------------------------------------------------------------------------
 # Conversion: band -> block-tridiagonal
 # ---------------------------------------------------------------------------
@@ -596,5 +617,65 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,
             (fact.Slu[:-1], fact.piv[:-1], fact.U[:-1], y[:-1]),
             reverse=True, unroll=unroll)
 
+    x = jnp.concatenate([x_rest, x_last[None]], axis=0)
+    return x[..., 0] if squeeze else x
+
+
+def blocktri_solve_transpose(fact: BlockTriFactor, rhs: jax.Array,
+                             unroll: int = 1) -> jax.Array:
+    """Solve T^T x = rhs reusing the FORWARD factorization — no transpose
+    refactorization (PETSc MatSolveTranspose analogue).
+
+    The block-Thomas factorization is T = L*U with L unit-lower-bidiagonal
+    (subdiagonal F) and U upper-bidiagonal (diagonal S, superdiagonal U), so
+    T^T = U^T L^T solves in two sweeps over the SAME stored blocks,
+    transposed:
+
+        forward:  z_0 = S_0^{-T} r_0,
+                  z_i = S_i^{-T} (r_i - U_{i-1}^T z_{i-1})
+        backward: x_{nb-1} = z_{nb-1},
+                  x_i = z_i - F_{i+1}^T x_{i+1}
+
+    Pure transpose (no conjugation): for a complex adjoint solve A^H x = g
+    use conj(solve_transpose(fact, conj(g))).  rhs: [nb, b] or [nb, b, r].
+    """
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+    mv = _sweep_matvec
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+
+    if fact.method == "inv":
+        def fwd(z_prev, inputs):
+            sinv_t, u_prev_t, ri = inputs
+            z = mv(sinv_t, ri - mv(u_prev_t, z_prev))
+            return z, z
+
+        z0 = mv(tT(fact.Sinv[0]), rhs[0])
+        _, z_rest = jax.lax.scan(
+            fwd, z0, (tT(fact.Sinv[1:]), tT(fact.U[:-1]), rhs[1:]),
+            unroll=unroll)
+    elif fact.method == "lu":
+        def fwd(z_prev, inputs):
+            slu, piv, u_prev_t, ri = inputs
+            z = jsl.lu_solve((slu, piv), ri - mv(u_prev_t, z_prev), trans=1)
+            return z, z
+
+        z0 = jsl.lu_solve((fact.Slu[0], fact.piv[0]), rhs[0], trans=1)
+        _, z_rest = jax.lax.scan(
+            fwd, z0, (fact.Slu[1:], fact.piv[1:], tT(fact.U[:-1]), rhs[1:]),
+            unroll=unroll)
+    else:
+        raise ValueError(f"unsupported method {fact.method!r}")
+    z = jnp.concatenate([z0[None], z_rest], axis=0)
+
+    def bwd(x_next, inputs):
+        f_next_t, zi = inputs
+        x = zi - mv(f_next_t, x_next)
+        return x, x
+
+    x_last = z[-1]
+    _, x_rest = jax.lax.scan(bwd, x_last, (tT(fact.F[1:]), z[:-1]),
+                             reverse=True, unroll=unroll)
     x = jnp.concatenate([x_rest, x_last[None]], axis=0)
     return x[..., 0] if squeeze else x

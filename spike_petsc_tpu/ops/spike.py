@@ -584,8 +584,12 @@ def _solve_reduced_system(red_fact, rhs):
 
 def _batched_tri_solve(fact, rhs):
     """Per-partition batched solve, dispatching on factorization type
-    (block-Thomas BlockTriFactor vs cyclic-reduction CRFactor)."""
+    (block-Thomas BlockTriFactor, its transpose marker, or cyclic-reduction
+    CRFactor)."""
+    from .blocktri import TransposedBlockTriFactor, blocktri_solve_transpose
     from .cyclic import CRFactor, cr_solve
+    if isinstance(fact, TransposedBlockTriFactor):
+        return jax.vmap(blocktri_solve_transpose)(fact.base, rhs)
     if isinstance(fact, CRFactor):
         return jax.vmap(cr_solve)(fact, rhs)
     return jax.vmap(blocktri_solve)(fact, rhs)
@@ -652,6 +656,70 @@ def _spike_columns_from_waux(fact, Btip, yw, b: int, k: int, dtype):
     return jax.vmap(
         lambda f, Bt, ywp: _spike_bwd_one(f, Bt, ywp, b, k, dtype)
     )(fact, Btip, yw)
+
+
+def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
+                    inverter: str = "auto",
+                    store_spikes: Optional[bool] = None) -> SpikeFactor:
+    """SPIKE factorization of A^T REUSING A's per-partition factors — no
+    band transpose, no conversion, no new block inversions (the expensive
+    setup stages all vanish).  The returned SpikeFactor solves A^T x = rhs
+    through the ordinary ``spike_solve``/``spike_solve_many``.
+
+    Construction: partition diagonal blocks transpose in place (the local
+    solves dispatch to ``blocktri_solve_transpose`` via the
+    ``TransposedBlockTriFactor`` marker); the coupling tips swap and
+    transpose (A^T couples partition p forward through C_{p+1}^T and
+    backward through B_{p-1}^T); the transpose spikes are two batched
+    transpose tri-solves; the reduced interface system is reassembled from
+    their tips (small).  Setup cost = one stored-spike computation, vs a
+    full refactorization for ``spike_factor(banded_transpose(band))``.
+
+    Pure transpose (no conjugation) — for a complex adjoint solve use
+    conj(spike_solve(spike_transpose(sf), conj(g))).
+
+    ``store_spikes``: None (default) stores V/W iff the forward factor did.
+    This is the PETSc MatSolveTranspose/PCApplyTranspose capability
+    (exercised by KSPs that need A^T and by the implicit-adjoint backward
+    pass of ops.autodiff).
+    """
+    from .blocktri import TransposedBlockTriFactor
+    if not isinstance(sf.fact, BlockTriFactor):
+        raise ValueError(
+            "spike_transpose requires block-Thomas partition factors "
+            f"(got {type(sf.fact).__name__}); refactor with method='inv' "
+            "or 'lu'")
+    K, nb, b, k = sf.K, sf.nb, sf.b, sf.k
+    dtype = sf.Btip.dtype
+    factT = TransposedBlockTriFactor(sf.fact)
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+    zk = jnp.zeros((1, k, k), dtype)
+    Btip_t = jnp.concatenate([tT(sf.Ctip[1:]), zk], axis=0)
+    Ctip_t = jnp.concatenate([zk, tT(sf.Btip[:-1])], axis=0)
+    if K == 1:
+        return SpikeFactor(fact=factT, Btip=Btip_t, Ctip=Ctip_t,
+                           red_fact=None, red_Dinv=None, V=None, W=None,
+                           n=sf.n, K=K, m=sf.m, b=b, k=k,
+                           truncated=sf.truncated)
+    rhsV = jnp.zeros((K, nb, b, k), dtype).at[:, nb - 1, b - k:, :].set(
+        Btip_t)
+    rhsW = jnp.zeros((K, nb, b, k), dtype).at[:, 0, :k, :].set(Ctip_t)
+    Vt = _batched_tri_solve(factT, rhsV)
+    Wt = _batched_tri_solve(factT, rhsW)
+    red_fact_t, red_Dinv_t = _reduced_from_tips(
+        Vt[:, 0, :k, :], Vt[:, nb - 1, b - k:, :],
+        Wt[:, 0, :k, :], Wt[:, nb - 1, b - k:, :],
+        truncated=sf.truncated,
+        method=sf.fact.method, reduced=reduced, inverter=inverter)
+    keep = (sf.V is not None) if store_spikes is None else store_spikes
+    if keep:
+        sdt = sf.V.dtype if sf.V is not None else Vt.dtype
+        V, W = Vt.astype(sdt), Wt.astype(sdt)
+    else:
+        V = W = None
+    return SpikeFactor(fact=factT, Btip=Btip_t, Ctip=Ctip_t,
+                       red_fact=red_fact_t, red_Dinv=red_Dinv_t, V=V, W=W,
+                       n=sf.n, K=K, m=sf.m, b=b, k=k, truncated=sf.truncated)
 
 
 def _reduced_solve(sf: SpikeFactor, g_bot: jax.Array, g_top: jax.Array):

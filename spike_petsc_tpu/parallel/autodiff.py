@@ -1,8 +1,10 @@
 """Differentiable DISTRIBUTED banded solves (implicit-function adjoint).
 
 The mesh version of ops.autodiff.solve_banded_diff: the forward pass is a
-distributed SPIKE factor + solve over the device mesh; the backward pass is
-one distributed factor of A^T plus one distributed solve,
+distributed SPIKE factor + solve over the device mesh; the backward pass
+REUSES the forward factorization through ``dist_spike_transpose`` (transpose
+sweeps over the same stored blocks — no refactorization) plus one
+distributed solve,
 
     dL/db          = A^{-T} g
     dL/ddata[i, d] = -lam[i] * x[i + d - kl],
@@ -26,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from ..ops.band import BandedMatrix, banded_transpose
+from ..ops.band import BandedMatrix
 from .spike_dist import _dist_spike_factor_impl, dist_spike_solve
 
 
@@ -53,26 +55,27 @@ def dist_solve_banded_diff(data: jax.Array, rhs: jax.Array, kl: int, ku: int,
 
 
 def _fwd(data, rhs, kl, ku, mesh, axis, block_b, parts_per_device):
-    x = dist_solve_banded_diff(data, rhs, kl, ku, mesh, axis, block_b,
-                               parts_per_device)
-    return x, (data, x)
+    dsf = _factor_blocked(data, kl, ku, mesh, axis, block_b, parts_per_device)
+    x = dist_spike_solve(dsf, rhs, mesh, axis)
+    return x, (dsf, x)
 
 
 def _bwd(kl, ku, mesh, axis, block_b, parts_per_device, res, g):
-    data, x = res
-    band_t = banded_transpose(BandedMatrix(data=data, kl=kl, ku=ku))
-    dsft = _factor_blocked(band_t.data, ku, kl, mesh, axis, block_b,
-                           parts_per_device)
-    lam = dist_spike_solve(dsft, g, mesh, axis)         # A^{-T} g
+    dsf, x = res
+    # A^{-T} g reusing the forward mesh factorization (dist_spike_transpose:
+    # transpose sweeps over the same stored blocks — no refactorization)
+    from .spike_dist import dist_spike_transpose
+    dsft = dist_spike_transpose(dsf, mesh, axis, inverter="blocked")
+    lam = dist_spike_solve(dsft, g, mesh, axis)
     # band-restricted outer product from w shifted slices (ops/autodiff.py);
     # a global elementwise op — XLA shards it along the row sharding
-    n = data.shape[0]
+    n = x.shape[0]
     w = kl + ku + 1
     xpad = jnp.pad(x, (kl, ku))
     xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
                     for d in range(w)], axis=1)
     ddata = -lam[:, None] * xg
-    return ddata.astype(data.dtype), lam.astype(x.dtype)
+    return ddata.astype(x.dtype), lam.astype(x.dtype)
 
 
 dist_solve_banded_diff.defvjp(_fwd, _bwd)
@@ -85,20 +88,30 @@ dist_solve_banded_diff.defvjp(_fwd, _bwd)
 # for iterative inner solvers.
 # ---------------------------------------------------------------------------
 
-def _ms_solve(data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
-              parts_per_device, rtol, maxit):
-    from .spike_dist import (_dist_spike_factor_multislice_impl,
-                             make_dist_solver_multislice)
+def _ms_factor(data, kl, ku, mesh, axis_slice, axis_p, block_b,
+               parts_per_device):
+    from .spike_dist import _dist_spike_factor_multislice_impl
     band = BandedMatrix(data=data, kl=kl, ku=ku)
-    dsf = _dist_spike_factor_multislice_impl(
+    return _dist_spike_factor_multislice_impl(
         band, mesh, axis_slice, axis_p, method="inv", block_b=block_b,
         parts_per_device=parts_per_device, reduced="auto",
         store_spikes=False, store_dtype=None, spike_dtype=None,
         shift="none", shift_amount=0.0, inverter="blocked")
+
+
+def _ms_dsf_solve(dsf, rhs, mesh, axis_slice, axis_p, rtol, maxit):
+    from .spike_dist import make_dist_solver_multislice
     solver = make_dist_solver_multislice(
         dsf, mesh, axis_slice, axis_p, ksp_type="gmres", rtol=rtol,
         maxit=maxit)
     return solver(rhs).x
+
+
+def _ms_solve(data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
+              parts_per_device, rtol, maxit):
+    dsf = _ms_factor(data, kl, ku, mesh, axis_slice, axis_p, block_b,
+                     parts_per_device)
+    return _ms_dsf_solve(dsf, rhs, mesh, axis_slice, axis_p, rtol, maxit)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
@@ -117,25 +130,29 @@ def dist_solve_banded_diff_multislice(
 
 def _ms_fwd(data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
             parts_per_device, rtol, maxit):
-    x = dist_solve_banded_diff_multislice(
-        data, rhs, kl, ku, mesh, axis_slice, axis_p, block_b,
-        parts_per_device, rtol, maxit)
-    return x, (data, x)
+    dsf = _ms_factor(data, kl, ku, mesh, axis_slice, axis_p, block_b,
+                     parts_per_device)
+    x = _ms_dsf_solve(dsf, rhs, mesh, axis_slice, axis_p, rtol, maxit)
+    return x, (dsf, x)
 
 
 def _ms_bwd(kl, ku, mesh, axis_slice, axis_p, block_b, parts_per_device,
             rtol, maxit, res, g):
-    data, x = res
-    band_t = banded_transpose(BandedMatrix(data=data, kl=kl, ku=ku))
-    lam = _ms_solve(band_t.data, g, ku, kl, mesh, axis_slice, axis_p,
-                    block_b, parts_per_device, rtol, maxit)   # A^{-T} g
-    n = data.shape[0]
+    dsf, x = res
+    # A^{-T} g: the adjoint GMRES preconditioned by the TRANSPOSE of the
+    # forward per-slice factors (dist_spike_transpose_multislice — no
+    # refactorization), with the exact A^T cross-slice matvec
+    from .spike_dist import dist_spike_transpose_multislice
+    dsft = dist_spike_transpose_multislice(
+        dsf, mesh, axis_slice, axis_p, inverter="blocked")
+    lam = _ms_dsf_solve(dsft, g, mesh, axis_slice, axis_p, rtol, maxit)
+    n = x.shape[0]
     w = kl + ku + 1
     xpad = jnp.pad(x, (kl, ku))
     xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
                     for d in range(w)], axis=1)
     ddata = -lam[:, None] * xg
-    return ddata.astype(data.dtype), lam.astype(x.dtype)
+    return ddata.astype(x.dtype), lam.astype(x.dtype)
 
 
 dist_solve_banded_diff_multislice.defvjp(_ms_fwd, _ms_bwd)

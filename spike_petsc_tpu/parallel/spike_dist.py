@@ -584,6 +584,103 @@ def _dsf_specs(dsf: DistSpikeFactor, axis):
         truncated=dsf.truncated)
 
 
+def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
+                         reduced: str = "auto", inverter: str = "auto",
+                         store_spikes: Optional[bool] = None
+                         ) -> DistSpikeFactor:
+    """DistSpikeFactor for A^T REUSING the mesh factorization — the
+    distributed form of ops.spike.spike_transpose (no transpose
+    refactorization: no conversion, no new block inversions).
+
+    Per device: partition factors transpose in place (local solves dispatch
+    to ``blocktri_solve_transpose`` via the ``TransposedBlockTriFactor``
+    marker); the block-tridiagonal blocks transpose partition-locally
+    (D'=D^T, L'_i=U_{i-1}^T, U'_i=L_{i+1}^T — cross-partition coupling
+    lives in the tips); coupling tips swap and transpose with one k-wide
+    ppermute each (A^T couples partition p forward through C_{p+1}^T,
+    backward through B_{p-1}^T; the stored global-edge zeros propagate so
+    no masking is needed); transpose spikes are two batched transpose
+    tri-solves; the replicated reduced system is reassembled from their
+    all-gathered tips.
+
+    The result is a full DistSpikeFactor: ``dist_spike_solve``,
+    ``dist_spike_solve_many`` and ``make_dist_solver`` (Krylov on A^T with
+    the SPIKE PC) work unchanged.  Pure transpose, no conjugation."""
+    from ..ops.blocktri import TransposedBlockTriFactor
+    if not isinstance(dsf.fact, BlockTriFactor):
+        raise ValueError(
+            "dist_spike_transpose requires block-Thomas partition factors "
+            f"(got {type(dsf.fact).__name__})")
+    K, k, ppd, nb, b = dsf.K, dsf.k, dsf.ppd, dsf.nb, dsf.b
+    ndev = K // ppd
+    method = dsf.fact.method
+    keep = (dsf.V is not None) if store_spikes is None else store_spikes
+    sdt = dsf.V.dtype if dsf.V is not None else None
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+
+    def local_fn(fact, blocks, Btip, Ctip):
+        # tips: Btip_t[p] = Ctip[p+1]^T, Ctip_t[p] = Btip[p-1]^T — one
+        # nearest-neighbour strip each way; global-edge zeros (stored in
+        # Ctip[0]/Btip[K-1]) wrap around and zero the new edges for free
+        ct_next = jax.lax.ppermute(
+            Ctip[0], axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+        Btip_t = tT(jnp.concatenate([Ctip[1:], ct_next[None]], axis=0))
+        bt_prev = jax.lax.ppermute(
+            Btip[-1], axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+        Ctip_t = tT(jnp.concatenate([bt_prev[None], Btip[:-1]], axis=0))
+        # partition-local block transpose (band_to_blocktri zeroed each
+        # partition's L[0]/U[nb-1], so the shifts stay within partitions)
+        zb = jnp.zeros_like(blocks.D[:, :1])
+        blocks_t = BlockTridiagonal(
+            D=tT(blocks.D),
+            L=jnp.concatenate([zb, tT(blocks.U[:, :-1])], axis=1),
+            U=jnp.concatenate([tT(blocks.L[:, 1:]), zb], axis=1))
+        factT = TransposedBlockTriFactor(fact)
+        dtype = Btip.dtype
+        rhsV = jnp.zeros((ppd, nb, b, k), dtype).at[
+            :, nb - 1, b - k:, :].set(Btip_t.astype(dtype))
+        rhsW = jnp.zeros((ppd, nb, b, k), dtype).at[
+            :, 0, :k, :].set(Ctip_t.astype(dtype))
+        Vt = _batched_tri_solve(factT, rhsV).astype(dtype)
+        Wt = _batched_tri_solve(factT, rhsW).astype(dtype)
+        tips = jnp.stack([Vt[:, 0, :k, :], Vt[:, nb - 1, b - k:, :],
+                          Wt[:, 0, :k, :], Wt[:, nb - 1, b - k:, :]], axis=1)
+        all_tips = jax.lax.all_gather(tips, axis).reshape(K, 4, k, k)
+        red_fact, red_Dinv = _build_reduced(
+            all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
+            K, k, dsf.truncated, method, reduced, inverter)
+        V, W = (Vt, Wt) if keep else (None, None)
+        if keep and sdt is not None:
+            V, W = V.astype(sdt), W.astype(sdt)
+        return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W
+
+    in_specs = (_shard_or_rep(dsf.fact, axis),
+                jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
+                P(axis), P(axis))
+    tip_struct = jax.ShapeDtypeStruct((K, k, k), dsf.Btip.dtype)
+    red_struct, _ = jax.eval_shape(
+        partial(_build_reduced, K=K, k=k, truncated=dsf.truncated,
+                method=method, reduced=reduced, inverter=inverter),
+        tip_struct, tip_struct, tip_struct, tip_struct)
+    out_specs = (
+        jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
+        P(axis), P(axis),
+        jax.tree_util.tree_map(lambda _: P(), red_struct),
+        P() if dsf.truncated else None,
+        P(axis) if keep else None,
+        P(axis) if keep else None,
+    )
+    blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False)(dsf.fact, dsf.blocks, dsf.Btip, dsf.Ctip)
+    from ..ops.blocktri import TransposedBlockTriFactor as _T
+    return DistSpikeFactor(blocks=blocks_t, fact=_T(dsf.fact),
+                           Btip=Btip_t, Ctip=Ctip_t, red_fact=red_fact,
+                           red_Dinv=red_Dinv, V=V, W=W, n=dsf.n, K=K,
+                           m=dsf.m, b=b, k=k, ppd=ppd,
+                           truncated=dsf.truncated)
+
+
 def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
                              axis_p: str = "p", axis_rhs: str = "rhs",
                              ksp_type: str = "gmres", use_pc: bool = True,
@@ -873,6 +970,105 @@ def _dist_spike_factor_multislice_impl(
                            red_fact=red_fact, red_Dinv=red_Dinv, V=V, W=W,
                            n=n, K=K, m=m, b=b, k=k, ppd=ppd,
                            truncated=False)
+
+
+def dist_spike_transpose_multislice(
+        dsf: DistSpikeFactor, mesh: Mesh, axis_slice: str = "slice",
+        axis_p: str = "p", reduced: str = "auto", inverter: str = "auto",
+        store_spikes: Optional[bool] = None) -> DistSpikeFactor:
+    """Multislice DistSpikeFactor for A^T reusing the (slice, p) mesh
+    factorization — the multislice form of ``dist_spike_transpose``.
+
+    Same construction, with the multislice PC contract preserved: the TRUE
+    tips transpose with a ppermute over the flattened (slice, p) order (the
+    matvec keeps exact cross-slice coupling), while the transpose spikes
+    and per-slice reduced system are built from SLICE-MASKED tips (slice
+    boundaries are PC-global edges — block-Jacobi across slices, so
+    PCApply stays ICI-only, matching the forward factor)."""
+    from ..ops.blocktri import TransposedBlockTriFactor
+    if not isinstance(dsf.fact, BlockTriFactor):
+        raise ValueError(
+            "dist_spike_transpose_multislice requires block-Thomas "
+            f"partition factors (got {type(dsf.fact).__name__})")
+    K, k, ppd, nb, b = dsf.K, dsf.k, dsf.ppd, dsf.nb, dsf.b
+    n_slices = mesh.shape[axis_slice]
+    ndev_p = mesh.shape[axis_p]
+    Ks = ndev_p * ppd
+    ndev = n_slices * ndev_p
+    axes = (axis_slice, axis_p)
+    method = dsf.fact.method
+    keep = (dsf.V is not None) if store_spikes is None else store_spikes
+    sdt = dsf.V.dtype if dsf.V is not None else None
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+
+    def local_fn(fact, blocks, Btip, Ctip):
+        # true tips: ppermute over the flattened (slice, p) device order —
+        # global-edge zeros wrap and zero the new edges for free
+        ct_next = jax.lax.ppermute(
+            Ctip[0], axes, [(i, (i - 1) % ndev) for i in range(ndev)])
+        Btip_t = tT(jnp.concatenate([Ctip[1:], ct_next[None]], axis=0))
+        bt_prev = jax.lax.ppermute(
+            Btip[-1], axes, [(i, (i + 1) % ndev) for i in range(ndev)])
+        Ctip_t = tT(jnp.concatenate([bt_prev[None], Btip[:-1]], axis=0))
+        zb = jnp.zeros_like(blocks.D[:, :1])
+        blocks_t = BlockTridiagonal(
+            D=tT(blocks.D),
+            L=jnp.concatenate([zb, tT(blocks.U[:, :-1])], axis=1),
+            U=jnp.concatenate([tT(blocks.L[:, 1:]), zb], axis=1))
+        # PC tips: slice boundaries are PC-global edges for the transpose
+        # factor too (the forward PC-tip zeros live only in the spikes /
+        # reduced system, so re-mask the transposed true tips here)
+        pidx = jax.lax.axis_index(axis_p)
+        lidx = pidx * ppd + jnp.arange(ppd)         # index within slice
+        Btip_pc = jnp.where((lidx == Ks - 1)[:, None, None],
+                            jnp.zeros_like(Btip_t), Btip_t)
+        Ctip_pc = jnp.where((lidx == 0)[:, None, None],
+                            jnp.zeros_like(Ctip_t), Ctip_t)
+        factT = TransposedBlockTriFactor(fact)
+        dtype = Btip.dtype
+        rhsV = jnp.zeros((ppd, nb, b, k), dtype).at[
+            :, nb - 1, b - k:, :].set(Btip_pc.astype(dtype))
+        rhsW = jnp.zeros((ppd, nb, b, k), dtype).at[
+            :, 0, :k, :].set(Ctip_pc.astype(dtype))
+        Vt = _batched_tri_solve(factT, rhsV).astype(dtype)
+        Wt = _batched_tri_solve(factT, rhsW).astype(dtype)
+        tips = jnp.stack([Vt[:, 0, :k, :], Vt[:, nb - 1, b - k:, :],
+                          Wt[:, 0, :k, :], Wt[:, nb - 1, b - k:, :]], axis=1)
+        # intra-slice gather ONLY (ICI)
+        slice_tips = jax.lax.all_gather(tips, axis_p).reshape(Ks, 4, k, k)
+        red_fact, red_Dinv = _build_reduced(
+            slice_tips[:, 0], slice_tips[:, 1], slice_tips[:, 2],
+            slice_tips[:, 3], Ks, k, False, method, reduced, inverter)
+        V, W = (Vt, Wt) if keep else (None, None)
+        if keep and sdt is not None:
+            V, W = V.astype(sdt), W.astype(sdt)
+        return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W
+
+    pax = P(axes)
+    in_specs = (_shard_or_rep(dsf.fact, axes),
+                jax.tree_util.tree_map(lambda _: pax, _blocktri_struct()),
+                pax, pax)
+    tip_struct = jax.ShapeDtypeStruct((Ks, k, k), dsf.Btip.dtype)
+    red_struct, _ = jax.eval_shape(
+        partial(_build_reduced, K=Ks, k=k, truncated=False,
+                method=method, reduced=reduced, inverter=inverter),
+        tip_struct, tip_struct, tip_struct, tip_struct)
+    out_specs = (
+        jax.tree_util.tree_map(lambda _: pax, _blocktri_struct()),
+        pax, pax,
+        _per_slice_specs(red_struct, axis_slice),
+        None,
+        pax if keep else None,
+        pax if keep else None,
+    )
+    blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False)(dsf.fact, dsf.blocks, dsf.Btip, dsf.Ctip)
+    return DistSpikeFactor(blocks=blocks_t,
+                           fact=TransposedBlockTriFactor(dsf.fact),
+                           Btip=Btip_t, Ctip=Ctip_t, red_fact=red_fact,
+                           red_Dinv=red_Dinv, V=V, W=W, n=dsf.n, K=K,
+                           m=dsf.m, b=b, k=k, ppd=ppd, truncated=False)
 
 
 def _interface_solve_in_slice(dsf_local, g_top, g_bot, axis_p: str, Ks: int):

@@ -287,6 +287,59 @@ def test_multislice_batched_preonly_is_pc_grade():
     assert 1e-10 < err < 0.5, err
 
 
+@pytest.mark.parametrize("store", [False, True])
+def test_dist_spike_transpose(mesh, store):
+    """dist_spike_transpose reuses the mesh factorization for A^T solves
+    (distributed MatSolveTranspose): transposed local sweeps, k-wide
+    ppermute tip exchange, reassembled replicated reduced system — and the
+    resulting factor drives make_dist_solver on A^T too."""
+    from spike_petsc_tpu.parallel import dist_spike_transpose
+    n = 640
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=8, parts_per_device=2,
+                            store_spikes=store)
+    dsft = dist_spike_transpose(dsf, mesh)
+    rng = np.random.default_rng(41)
+    g = rng.standard_normal(n)
+    lam = np.asarray(dist_spike_solve(dsft, jnp.asarray(g), mesh))
+    lam_e = np.linalg.solve(a.toarray().T, g)
+    np.testing.assert_allclose(lam, lam_e, rtol=1e-9, atol=1e-10)
+    G = rng.standard_normal((n, 3))
+    Lam = np.asarray(dist_spike_solve_many(dsft, jnp.asarray(G), mesh))
+    np.testing.assert_allclose(Lam, np.linalg.solve(a.toarray().T, G),
+                               rtol=1e-9, atol=1e-10)
+    # in-mesh Krylov on A^T with the transpose SPIKE PC (blocks_t matvec)
+    res = make_dist_solver(dsft, mesh, ksp_type="gmres", rtol=1e-10,
+                           maxit=20)(jnp.asarray(a.T @ np.ones(n)))
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.ones(n), rtol=1e-7,
+                               atol=1e-8)
+
+
+def test_dist_spike_transpose_multislice():
+    """Multislice transpose reuse: per-slice transpose SPIKE PC (slice-edge
+    PC tips re-masked), exact A^T cross-slice matvec."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          dist_spike_transpose_multislice,
+                                          make_dist_solver_multislice,
+                                          make_mesh_multislice)
+    n = 640
+    a = problems.nonsym_banded(n, 3, 2, seed=9)
+    bm = banded_of(a)
+    mesh = make_mesh_multislice((2, 4))
+    dsf = dist_spike_factor_multislice(bm, mesh, block_b=8,
+                                       parts_per_device=2, store_spikes=True)
+    dsft = dist_spike_transpose_multislice(dsf, mesh)
+    g = np.random.default_rng(42).standard_normal(n)
+    res = make_dist_solver_multislice(dsft, mesh, ksp_type="gmres",
+                                      rtol=1e-11, maxit=30)(jnp.asarray(g))
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(a.toarray().T, g),
+                               rtol=1e-8, atol=1e-9)
+
+
 def test_3d_mesh_replicated_multislice_serving():
     """(rhs, slice, p) 3-D serving mesh: each rhs-row is a full multislice
     replica solving its own batch — the replica axis carries no solver

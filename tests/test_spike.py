@@ -251,3 +251,85 @@ def test_spike_factor_grouped_matches(kwargs):
     # bf16 spikes are ~1e-4-grade at this small well-conditioned size
     tol = 1e-3 if kwargs.get("spike_dtype") is not None else 1e-5
     np.testing.assert_allclose(x_g, u, rtol=tol, atol=tol / 10)
+
+
+@pytest.mark.parametrize("method", ["inv", "lu"])
+def test_blocktri_solve_transpose_matches_dense(method):
+    """T^T x = r on the FORWARD factorization (no refactorization): the
+    block-Thomas factors T = L*U give T^T = U^T L^T, solved as two sweeps
+    over the same stored blocks transposed."""
+    from spike_petsc_tpu.ops.blocktri import (BlockTridiagonal,
+                                              blocktri_factor,
+                                              blocktri_solve_transpose,
+                                              blocktri_to_dense)
+    rng = np.random.default_rng(91)
+    nb, b = 6, 4
+    D = rng.standard_normal((nb, b, b)) + 4 * np.eye(b)
+    L = 0.3 * rng.standard_normal((nb, b, b)); L[0] = 0
+    U = 0.3 * rng.standard_normal((nb, b, b)); U[-1] = 0
+    t = BlockTridiagonal(D=jnp.asarray(D), L=jnp.asarray(L), U=jnp.asarray(U))
+    A = np.asarray(blocktri_to_dense(t))
+    fact = blocktri_factor(t, method=method)
+    r = rng.standard_normal((nb, b))
+    x = np.asarray(blocktri_solve_transpose(fact, jnp.asarray(r)))
+    np.testing.assert_allclose(x.reshape(-1),
+                               np.linalg.solve(A.T, r.reshape(-1)),
+                               rtol=1e-11, atol=1e-12)
+    # multi-RHS
+    R = rng.standard_normal((nb, b, 3))
+    X = np.asarray(blocktri_solve_transpose(fact, jnp.asarray(R)))
+    np.testing.assert_allclose(X.reshape(nb * b, 3),
+                               np.linalg.solve(A.T, R.reshape(nb * b, 3)),
+                               rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("K,store,method", [
+    (1, False, "inv"), (4, False, "inv"), (4, True, "inv"), (4, False, "lu"),
+])
+def test_spike_transpose_solves_transposed_system(K, store, method):
+    """spike_transpose reuses A's partition factors for A^T x = g (PETSc
+    MatSolveTranspose role): transposed local sweeps, swapped+transposed
+    coupling tips, transpose spikes, reassembled reduced system."""
+    from spike_petsc_tpu.ops.spike import spike_transpose
+
+    n = 333                       # not divisible by K*b: exercises padding
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    bm, kl, ku = banded_of(a)
+    sf = spike_factor(bm, K=K, block_b=8, store_spikes=store, method=method)
+    sft = spike_transpose(sf)
+    rng = np.random.default_rng(92)
+    g = rng.standard_normal(n)
+    lam = np.asarray(spike_solve(sft, jnp.asarray(g)))
+    lam_e = np.linalg.solve(a.toarray().T, g)
+    np.testing.assert_allclose(lam, lam_e, rtol=1e-9, atol=1e-10)
+    # multi-RHS path shares the transpose dispatch
+    G = rng.standard_normal((n, 3))
+    Lam = np.asarray(spike_solve_many(sft, jnp.asarray(G)))
+    np.testing.assert_allclose(Lam, np.linalg.solve(a.toarray().T, G),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_spike_transpose_truncated_and_complex():
+    from spike_petsc_tpu.ops.spike import spike_transpose
+
+    n = 320
+    rng = np.random.default_rng(93)
+    g = rng.standard_normal(n)
+    # truncated reduced system (diagonally-dominant regime)
+    aspd = problems.spd_banded(n, 3, seed=9)
+    bm, _, _ = banded_of(aspd)
+    sf = spike_factor(bm, K=4, block_b=8, truncated=True)
+    lam = np.asarray(spike_solve(spike_transpose(sf), jnp.asarray(g)))
+    np.testing.assert_allclose(lam, np.linalg.solve(aspd.toarray().T, g),
+                               rtol=1e-4, atol=1e-5)
+    # complex adjoint: A^H x = g via conj(solve_T(conj(g)))
+    ar = problems.nonsym_banded(n, 3, 2, seed=11)
+    ac = (ar + 1j * 0.3 * problems.nonsym_banded(n, 3, 2, seed=12)).tocsr()
+    data, kl, ku = hsp.csr_to_banded_arrays(ac)
+    sfc = spike_factor(BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku),
+                       K=4, block_b=8)
+    lam = np.conj(np.asarray(spike_solve(spike_transpose(sfc),
+                                         jnp.asarray(np.conj(g + 0j)))))
+    np.testing.assert_allclose(lam,
+                               np.linalg.solve(ac.toarray().conj().T, g),
+                               rtol=1e-9, atol=1e-10)
