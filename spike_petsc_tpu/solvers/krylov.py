@@ -334,6 +334,87 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                      rnorm=rn, history=out["hist"])
 
 
+def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+         pc_apply: Optional[Callable] = None, *,
+         matvec_transpose: Optional[Callable] = None,
+         pc_apply_transpose: Optional[Callable] = None,
+         rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+         maxit: int = 10000, axis_name: Optional[str] = None,
+         **_) -> KSPResult:
+    """Preconditioned BiConjugate Gradients (PETSc KSPBICG equivalent).
+
+    Runs the shadow recurrence on A^H / M^{-H} — the transpose operators
+    the framework now provides for free (``banded_transpose`` matvecs,
+    ``spike_transpose``/``PC.transpose`` preconditioner applies on stored
+    factors), composed through ``ksp.make_solver`` for `-ksp_type bicg`.
+    ``matvec_transpose``/``pc_apply_transpose`` take the PURE transpose;
+    the Hermitian forms are derived by conjugation wrapping (free for real
+    scalars).  The monitored residual is the true residual.
+    """
+    if matvec_transpose is None:
+        raise ValueError("bicg requires matvec_transpose (an explicit "
+                         "operator through ksp.solve provides it; bare "
+                         "callables cannot be transposed)")
+    psolve = pc_apply or _identity_pc
+    psolve_t = pc_apply_transpose or _identity_pc
+    mv_h = lambda v: jnp.conj(matvec_transpose(jnp.conj(v)))
+    ps_h = lambda v: jnp.conj(psolve_t(jnp.conj(v)))
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    dot = partial(_dot, axis_name=axis_name)
+    norm = partial(_norm, axis_name=axis_name)
+    bnorm = norm(b)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    rdtype = jnp.zeros((), dtype).real.dtype
+    r0 = b - matvec(x0)
+    rt0 = r0
+    z0 = psolve(r0)
+    zt0 = ps_h(rt0)
+    rho0 = dot(rt0, z0)
+    rnorm0 = norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return s["reason"] == CONVERGED_ITERATING
+
+    def body(s):
+        q = matvec(s["p"])
+        qt = mv_h(s["pt"])
+        denom = dot(s["pt"], q)
+        breakdown = jnp.abs(denom) < jnp.finfo(rdtype).tiny
+        alpha = s["rho"] / jnp.where(denom != 0, denom, 1.0)
+        x = s["x"] + alpha * s["p"]
+        r = s["r"] - alpha * q
+        rt = s["rt"] - jnp.conj(alpha) * qt
+        z = psolve(r)
+        zt = ps_h(rt)
+        rho_new = dot(rt, z)
+        breakdown |= jnp.abs(rho_new) < jnp.finfo(rdtype).tiny
+        beta = rho_new / jnp.where(s["rho"] != 0, s["rho"], 1.0)
+        p = z + beta * s["p"]
+        pt = zt + jnp.conj(beta) * s["pt"]
+        rn = norm(r)
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, r=r, rt=rt, p=p, pt=pt, rho=rho_new, its=its,
+                    reason=reason, hist=hist)
+
+    init = dict(x=x0, r=r0, rt=rt0, p=z0, pt=zt0, rho=rho0,
+                its=jnp.int32(0), reason=reason0, hist=hist)
+    init["reason"] = jnp.where(
+        (jnp.abs(rho0) < jnp.finfo(rdtype).tiny)
+        & (reason0 == CONVERGED_ITERATING), DIVERGED_BREAKDOWN, reason0)
+    out = jax.lax.while_loop(cond, body, init)
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
+
+
 # ---------------------------------------------------------------------------
 # CG
 # ---------------------------------------------------------------------------
@@ -507,6 +588,7 @@ register_ksp("gmres", gmres)
 register_ksp("fgmres", fgmres)
 register_ksp("bcgs", bicgstab)
 register_ksp("bicgstab", bicgstab)
+register_ksp("bicg", bicg)
 register_ksp("cg", cg)
 register_ksp("richardson", richardson)
 register_ksp("preonly", preonly)

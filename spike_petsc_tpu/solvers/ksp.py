@@ -70,6 +70,16 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
 
     method = SOLVERS.get(ksp_type)
     kw = _params_from_options(opts, params)
+    if ksp_type == "bicg" and "matvec_transpose" not in kw:
+        # the shadow recurrence needs A^T and M^{-T}: transpose the
+        # operator host-side and reuse the PC's stored factors
+        # (PC.transpose -> spike_transpose; no refactorization)
+        from .operator import transpose_operator
+        kw["matvec_transpose"], _, _ = as_matvec(
+            transpose_operator(A), n_hint=n_hint,
+            impl=opts.get_string("mat_matvec_impl", "auto"))
+        if pc_apply is not None:
+            kw["pc_apply_transpose"] = pc.transpose().apply
 
     def _solve(b, x0=None):
         return method(matvec, b, x0, pc_apply, **kw)

@@ -34,6 +34,37 @@ def _banded_pallas_route(a: BandedMatrix):
     return (lambda x: banded_matvec_prepared(prep, x)), a.n, a.dtype
 
 
+def transpose_operator(a):
+    """Host-side operator transpose (pure transpose, no conjugation) for
+    KSPs that iterate on A^T (`-ksp_type bicg`).  Callables cannot be
+    transposed — pass an explicit operator representation."""
+    if isinstance(a, BandedMatrix):
+        from ..ops.band import banded_transpose
+        return banded_transpose(a)
+    if isinstance(a, BlockTridiagonal):
+        tT = lambda x: jnp.swapaxes(x, -1, -2)
+        zb = jnp.zeros_like(a.D[:1])
+        return BlockTridiagonal(
+            D=tT(a.D),
+            L=jnp.concatenate([zb, tT(a.U[:-1])], axis=0),
+            U=jnp.concatenate([tT(a.L[1:]), zb], axis=0))
+    if callable(a):
+        raise TypeError(
+            "cannot transpose a bare matvec callable; pass an explicit "
+            "operator (BandedMatrix / BlockTridiagonal / sparse / dense) "
+            "or supply matvec_transpose yourself")
+    try:
+        import scipy.sparse as sp
+        if sp.issparse(a):
+            return a.T.tocsr()
+    except ImportError:  # pragma: no cover
+        pass
+    arr = jnp.asarray(a)
+    if arr.ndim == 2:
+        return arr.T
+    raise TypeError(f"cannot transpose operator of type {type(a)!r}")
+
+
 def as_matvec(a, n_hint: int = None,
               impl: str = "auto") -> Tuple[Callable, int, object]:
     """Return (matvec, n, dtype) for any supported operator representation.

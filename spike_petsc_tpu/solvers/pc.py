@@ -42,6 +42,10 @@ class PC:
     apply: Callable
     info: dict = dfield(default_factory=dict)
     inner: Optional["PC"] = None
+    # host-side builder for the M^{-T} apply (PCApplyTranspose analogue);
+    # None = this PC type has no transpose (composite/fieldsplit)
+    make_transpose: Optional[Callable] = dfield(default=None, repr=False)
+    _transposed: Optional["PC"] = dfield(default=None, repr=False)
 
     def describe(self, indent: int = 0) -> str:
         """PCView-style description (/root/reference/src/matbanded.c:196-211)."""
@@ -51,6 +55,19 @@ class PC:
         if self.inner is not None:
             s += "\n" + self.inner.describe(indent + 1)
         return s
+
+    def transpose(self) -> "PC":
+        """A PC applying M^{-T} (PETSc PCApplyTranspose role), built ONCE on
+        the host and cached — factorization-backed PCs reuse their stored
+        factors via ops.spike.spike_transpose (no refactorization).  Used by
+        KSPs that iterate on A^T (`-ksp_type bicg`)."""
+        if self._transposed is None:
+            if self.make_transpose is None:
+                raise ValueError(
+                    f"pc '{self.name}' has no transpose apply "
+                    "(PCApplyTranspose unsupported for this type)")
+            self._transposed = self.make_transpose()
+        return self._transposed
 
 
 def _as_banded(pmat, opts: Options) -> BandedMatrix:
@@ -74,7 +91,9 @@ def make_pc(name: str, pmat, options: Optional[Options] = None,
 
 @register_pc("none")
 def pc_none(pmat, opts: Options) -> PC:
-    return PC(name="none", apply=lambda x: x)
+    pc = PC(name="none", apply=lambda x: x)
+    pc.make_transpose = lambda: pc                  # identity is symmetric
+    return pc
 
 
 @register_pc("jacobi")
@@ -84,7 +103,9 @@ def pc_jacobi(pmat, opts: Options) -> PC:
     else:
         d = jnp.asarray(hsp.as_csr(pmat).diagonal())
     dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
-    return PC(name="jacobi", apply=lambda x: dinv * x)
+    pc = PC(name="jacobi", apply=lambda x: dinv * x)
+    pc.make_transpose = lambda: pc                  # diagonal is symmetric
+    return pc
 
 
 def _newton_probe_active(inverter: str) -> bool:
@@ -202,21 +223,39 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
             raise FloatingPointError(
                 f"pc '{name}': factorization has singular Schur pivots "
                 f"(reorder/scale the matrix first)")
+    def _mk_transpose(_sf=sf, _name=name, _info=info):
+        # PCApplyTranspose: reuse the stored factors (spike_transpose — no
+        # refactorization); built once on the host, cached by PC.transpose
+        from ..ops.spike import spike_transpose
+        sft = spike_transpose(_sf)
+        return PC(name=_name + "_transpose",
+                  apply=partial(spike_solve, sft), info=_info)
+
     if factor_dtype is not None and orig_dtype != factor_dtype:
-        def apply(r, _sf=sf, _fd=factor_dtype, _od=orig_dtype):
-            r_lo = r.astype(_fd)
-            if jnp.dtype(_od).itemsize > 4 >= jnp.dtype(_fd).itemsize:
-                # f64 caller, f32 factors: trace the inner solve with x64
-                # promotion OFF — Pallas Mosaic lowering recurses forever
-                # on i64-typed index converts (JAX bug), and the kernel
-                # only ever sees f32/i32 anyway
-                with jax.enable_x64(False):
+        def _cast_apply(_sf, _fd=factor_dtype, _od=orig_dtype):
+            def apply(r):
+                r_lo = r.astype(_fd)
+                if jnp.dtype(_od).itemsize > 4 >= jnp.dtype(_fd).itemsize:
+                    # f64 caller, f32 factors: trace the inner solve with
+                    # x64 promotion OFF — Pallas Mosaic lowering recurses
+                    # forever on i64-typed index converts (JAX bug), and
+                    # the kernel only ever sees f32/i32 anyway
+                    with jax.enable_x64(False):
+                        y = spike_solve(_sf, r_lo)
+                else:
                     y = spike_solve(_sf, r_lo)
-            else:
-                y = spike_solve(_sf, r_lo)
-            return y.astype(_od)
-        return PC(name=name, apply=apply, info=info)
-    return PC(name=name, apply=partial(spike_solve, sf), info=info)
+                return y.astype(_od)
+            return apply
+
+        def _mk_transpose_cast(_sf=sf, _name=name, _info=info):
+            from ..ops.spike import spike_transpose
+            return PC(name=_name + "_transpose",
+                      apply=_cast_apply(spike_transpose(_sf)), info=_info)
+
+        return PC(name=name, apply=_cast_apply(sf), info=info,
+                  make_transpose=_mk_transpose_cast)
+    return PC(name=name, apply=partial(spike_solve, sf), info=info,
+              make_transpose=_mk_transpose)
 
 
 @register_pc("lu")
@@ -244,7 +283,14 @@ def pc_lu(pmat, opts: Options) -> PC:
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
-    return PC(name="lu", apply=partial(spike_solve, sf), info=info)
+    def _mk_transpose(_sf=sf, _info=info):
+        from ..ops.spike import spike_transpose
+        return PC(name="lu_transpose",
+                  apply=partial(spike_solve, spike_transpose(_sf)),
+                  info=_info)
+
+    return PC(name="lu", apply=partial(spike_solve, sf), info=info,
+              make_transpose=_mk_transpose)
 
 
 @register_pc("spike")
@@ -271,14 +317,26 @@ def pc_bjacobi(pmat, opts: Options) -> PC:
                              truncated=True, inverter="blocked"),
         exact=False)
 
-    def apply(x):
-        from ..ops.spike import _batched_tri_solve
-        rp = jnp.zeros((sf.K * sf.m,), x.dtype).at[:sf.n].set(x)
-        y = _batched_tri_solve(sf.fact, rp.reshape(sf.K, sf.nb, sf.b))
-        return y.reshape(-1)[:sf.n]
+    def _block_apply(fact):
+        def apply(x):
+            from ..ops.spike import _batched_tri_solve
+            rp = jnp.zeros((sf.K * sf.m,), x.dtype).at[:sf.n].set(x)
+            y = _batched_tri_solve(fact, rp.reshape(sf.K, sf.nb, sf.b))
+            return y.reshape(-1)[:sf.n]
+        return apply
 
-    return PC(name="bjacobi", apply=apply,
-              info=dict(blocks=K, block=sf.b, method=method))
+    info = dict(blocks=K, block=sf.b, method=method)
+
+    def _mk_transpose(_info=info):
+        # coupling is dropped, so the transpose PC is just the per-block
+        # transpose solves on the same stored factors
+        from ..ops.blocktri import TransposedBlockTriFactor
+        return PC(name="bjacobi_transpose",
+                  apply=_block_apply(TransposedBlockTriFactor(sf.fact)),
+                  info=_info)
+
+    return PC(name="bjacobi", apply=_block_apply(sf.fact), info=info,
+              make_transpose=_mk_transpose)
 
 
 @register_pc("banded")
@@ -302,6 +360,12 @@ def pc_banded(pmat, opts: Options) -> PC:
     inner_opts = opts.scoped("banded_")
     inner_name = inner_opts.get_string("pc_type", "spike")
     inner = PRECONDITIONERS.get(inner_name)(band, inner_opts)
-    return PC(name="banded", apply=inner.apply,
-              info=dict(k=ext.k, frac=round(ext.frac, 6), kmax=kmax),
-              inner=inner)
+    info = dict(k=ext.k, frac=round(ext.frac, 6), kmax=kmax)
+
+    def _mk_transpose(_info=info):
+        it = inner.transpose()
+        return PC(name="banded_transpose", apply=it.apply, info=_info,
+                  inner=it)
+
+    return PC(name="banded", apply=inner.apply, info=info, inner=inner,
+              make_transpose=_mk_transpose)

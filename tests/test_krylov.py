@@ -279,3 +279,63 @@ def test_as_matvec_impl_routing(monkeypatch):
     assert int(res.reason) > 0
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(u),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bicg_matches_cg_on_spd():
+    """On SPD systems with a symmetric PC, BiCG generates the SAME iterates
+    as CG (the classical equivalence) — a sharp correctness check of the
+    shadow recurrence and the transpose operator plumbing."""
+    from spike_petsc_tpu import solve
+    n = 400
+    a = problems.spd_banded(n, 2, seed=3)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    u = np.random.default_rng(0).standard_normal(n)
+    b = jnp.asarray(a @ u)
+    r_bicg = solve(bm, b, ksp_type="bicg", pc_type="jacobi", rtol=1e-10,
+                   maxit=500)
+    r_cg = solve(bm, b, ksp_type="cg", pc_type="jacobi", rtol=1e-10,
+                 maxit=500)
+    assert int(r_bicg.reason) > 0
+    assert abs(int(r_bicg.its) - int(r_cg.its)) <= 2
+    np.testing.assert_allclose(np.asarray(r_bicg.x), u, rtol=1e-6, atol=1e-7)
+
+
+def test_bicg_nonsymmetric_with_transpose_pcs():
+    """BiCG on a nonsymmetric system: the PC transpose applies come from
+    spike_transpose on the SAME stored factors (PCApplyTranspose role);
+    direct-grade PCs converge in ~1 iteration.  Complex scalars exercise
+    the Hermitian conjugation wrapping."""
+    from spike_petsc_tpu import solve, Options
+    n = 400
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(n)
+    b = jnp.asarray(a @ u)
+    for pc_type, extra in (("lu", []),
+                           ("spike", ["-pc_spike_partitions", "8"])):
+        res = solve(bm, b, ksp_type="bicg", pc_type=pc_type,
+                    options=Options.from_argv(extra), rtol=1e-12, maxit=50)
+        assert int(res.reason) > 0 and int(res.its) <= 3, (pc_type, res)
+        np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-8,
+                                   atol=1e-9)
+    ac = (a + 1j * 0.3 * problems.nonsym_banded(n, 3, 2, seed=11)).tocsr()
+    dc, klc, kuc = hsp.csr_to_banded_arrays(ac)
+    bmc = BandedMatrix(data=jnp.asarray(dc), kl=klc, ku=kuc)
+    uc = u + 1j * rng.standard_normal(n)
+    res = solve(bmc, jnp.asarray(ac @ uc), ksp_type="bicg", pc_type="lu",
+                rtol=1e-12, maxit=60)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), uc, rtol=1e-7, atol=1e-8)
+
+
+def test_bicg_requires_transpose_operator():
+    """A bare matvec callable cannot be transposed: bicg through the KSP
+    layer fails with a clear error instead of silently mis-iterating."""
+    from spike_petsc_tpu import solve
+    import pytest as _pytest
+    b = jnp.ones(16)
+    with _pytest.raises(TypeError, match="transpose"):
+        solve(lambda x: 2.0 * x, b, ksp_type="bicg")
