@@ -57,7 +57,10 @@ def _bwd(kl, ku, K, res, g):
     xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
                     for d in range(w)], axis=1)
     ddata = -lam[:, None] * xg
-    return ddata.astype(x.dtype), lam.astype(x.dtype)
+    # the data cotangent must carry the PRIMAL data dtype (sf.Btip keeps it
+    # even when factor storage is cast), not the solution dtype — mixed
+    # f32-data/f64-rhs runs would otherwise get a promoted gradient
+    return ddata.astype(sf.Btip.dtype), lam.astype(x.dtype)
 
 
 solve_banded_diff.defvjp(_fwd, _bwd)

@@ -75,7 +75,8 @@ def _bwd(kl, ku, mesh, axis, block_b, parts_per_device, res, g):
     xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
                     for d in range(w)], axis=1)
     ddata = -lam[:, None] * xg
-    return ddata.astype(x.dtype), lam.astype(x.dtype)
+    # data cotangent in the PRIMAL data dtype (dsf.Btip preserves it)
+    return ddata.astype(dsf.Btip.dtype), lam.astype(x.dtype)
 
 
 dist_solve_banded_diff.defvjp(_fwd, _bwd)
@@ -152,7 +153,8 @@ def _ms_bwd(kl, ku, mesh, axis_slice, axis_p, block_b, parts_per_device,
     xg = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, d, n)
                     for d in range(w)], axis=1)
     ddata = -lam[:, None] * xg
-    return ddata.astype(x.dtype), lam.astype(x.dtype)
+    # data cotangent in the PRIMAL data dtype (dsf.Btip preserves it)
+    return ddata.astype(dsf.Btip.dtype), lam.astype(x.dtype)
 
 
 dist_solve_banded_diff_multislice.defvjp(_ms_fwd, _ms_bwd)

@@ -584,6 +584,51 @@ def _dsf_specs(dsf: DistSpikeFactor, axis):
         truncated=dsf.truncated)
 
 
+def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,
+                           ppd, nb, b, k, spike_mask=None):
+    """Shared per-device construction for the distributed transposes
+    (1-D mesh and multislice): tip swap+transpose via one k-wide ppermute
+    each way over ``perm_axes`` (stored global-edge zeros wrap around and
+    zero the new edges for free), partition-local block transpose
+    (cross-partition coupling lives in the tips), and the transpose spikes
+    from (optionally ``spike_mask``-ed) tips via batched transpose
+    tri-solves on the SAME stored factors.
+
+    Returns (blocks_t, Btip_t, Ctip_t, tips[ppd, 4, k, k])."""
+    from ..ops.blocktri import TransposedBlockTriFactor
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+    ct_next = jax.lax.ppermute(
+        Ctip[0], perm_axes, [(i, (i - 1) % ndev) for i in range(ndev)])
+    Btip_t = tT(jnp.concatenate([Ctip[1:], ct_next[None]], axis=0))
+    bt_prev = jax.lax.ppermute(
+        Btip[-1], perm_axes, [(i, (i + 1) % ndev) for i in range(ndev)])
+    Ctip_t = tT(jnp.concatenate([bt_prev[None], Btip[:-1]], axis=0))
+    zb = jnp.zeros_like(blocks.D[:, :1])
+    blocks_t = BlockTridiagonal(
+        D=tT(blocks.D),
+        L=jnp.concatenate([zb, tT(blocks.U[:, :-1])], axis=1),
+        U=jnp.concatenate([tT(blocks.L[:, 1:]), zb], axis=1))
+    Bs, Cs = (Btip_t, Ctip_t) if spike_mask is None else \
+        spike_mask(Btip_t, Ctip_t)
+    factT = TransposedBlockTriFactor(fact)
+    dtype = Btip.dtype
+    rhsV = jnp.zeros((ppd, nb, b, k), dtype).at[
+        :, nb - 1, b - k:, :].set(Bs.astype(dtype))
+    rhsW = jnp.zeros((ppd, nb, b, k), dtype).at[
+        :, 0, :k, :].set(Cs.astype(dtype))
+    Vt = _batched_tri_solve(factT, rhsV).astype(dtype)
+    Wt = _batched_tri_solve(factT, rhsW).astype(dtype)
+    tips = jnp.stack([Vt[:, 0, :k, :], Vt[:, nb - 1, b - k:, :],
+                      Wt[:, 0, :k, :], Wt[:, nb - 1, b - k:, :]], axis=1)
+    return blocks_t, Btip_t, Ctip_t, Vt, Wt, tips
+
+
+def _keep_spikes(Vt, Wt, keep: bool, sdt):
+    if not keep:
+        return None, None
+    return (Vt, Wt) if sdt is None else (Vt.astype(sdt), Wt.astype(sdt))
+
+
 def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
                          reduced: str = "auto", inverter: str = "auto",
                          store_spikes: Optional[bool] = None
@@ -606,7 +651,6 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     The result is a full DistSpikeFactor: ``dist_spike_solve``,
     ``dist_spike_solve_many`` and ``make_dist_solver`` (Krylov on A^T with
     the SPIKE PC) work unchanged.  Pure transpose, no conjugation."""
-    from ..ops.blocktri import TransposedBlockTriFactor
     if not isinstance(dsf.fact, BlockTriFactor):
         raise ValueError(
             "dist_spike_transpose requires block-Thomas partition factors "
@@ -616,42 +660,16 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     method = dsf.fact.method
     keep = (dsf.V is not None) if store_spikes is None else store_spikes
     sdt = dsf.V.dtype if dsf.V is not None else None
-    tT = lambda a: jnp.swapaxes(a, -1, -2)
 
     def local_fn(fact, blocks, Btip, Ctip):
-        # tips: Btip_t[p] = Ctip[p+1]^T, Ctip_t[p] = Btip[p-1]^T — one
-        # nearest-neighbour strip each way; global-edge zeros (stored in
-        # Ctip[0]/Btip[K-1]) wrap around and zero the new edges for free
-        ct_next = jax.lax.ppermute(
-            Ctip[0], axis, [(i, (i - 1) % ndev) for i in range(ndev)])
-        Btip_t = tT(jnp.concatenate([Ctip[1:], ct_next[None]], axis=0))
-        bt_prev = jax.lax.ppermute(
-            Btip[-1], axis, [(i, (i + 1) % ndev) for i in range(ndev)])
-        Ctip_t = tT(jnp.concatenate([bt_prev[None], Btip[:-1]], axis=0))
-        # partition-local block transpose (band_to_blocktri zeroed each
-        # partition's L[0]/U[nb-1], so the shifts stay within partitions)
-        zb = jnp.zeros_like(blocks.D[:, :1])
-        blocks_t = BlockTridiagonal(
-            D=tT(blocks.D),
-            L=jnp.concatenate([zb, tT(blocks.U[:, :-1])], axis=1),
-            U=jnp.concatenate([tT(blocks.L[:, 1:]), zb], axis=1))
-        factT = TransposedBlockTriFactor(fact)
-        dtype = Btip.dtype
-        rhsV = jnp.zeros((ppd, nb, b, k), dtype).at[
-            :, nb - 1, b - k:, :].set(Btip_t.astype(dtype))
-        rhsW = jnp.zeros((ppd, nb, b, k), dtype).at[
-            :, 0, :k, :].set(Ctip_t.astype(dtype))
-        Vt = _batched_tri_solve(factT, rhsV).astype(dtype)
-        Wt = _batched_tri_solve(factT, rhsW).astype(dtype)
-        tips = jnp.stack([Vt[:, 0, :k, :], Vt[:, nb - 1, b - k:, :],
-                          Wt[:, 0, :k, :], Wt[:, nb - 1, b - k:, :]], axis=1)
+        blocks_t, Btip_t, Ctip_t, Vt, Wt, tips = _transpose_local_parts(
+            fact, blocks, Btip, Ctip, perm_axes=axis, ndev=ndev, ppd=ppd,
+            nb=nb, b=b, k=k)
         all_tips = jax.lax.all_gather(tips, axis).reshape(K, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
             K, k, dsf.truncated, method, reduced, inverter)
-        V, W = (Vt, Wt) if keep else (None, None)
-        if keep and sdt is not None:
-            V, W = V.astype(sdt), W.astype(sdt)
+        V, W = _keep_spikes(Vt, Wt, keep, sdt)
         return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W
 
     in_specs = (_shard_or_rep(dsf.fact, axis),
@@ -812,6 +830,24 @@ def _per_slice_specs(red_tree, axis_slice: str):
     return _shard_or_rep(red_tree, axis_slice)
 
 
+def _slice_grouped_grid(n_slices: int, per_slice: int):
+    """[n_slices, per_slice] device grid grouped by ``slice_index``, or
+    None when the populations cannot supply it (then callers fall back to
+    a contiguous reshape of the flat device order).  Validates the SAME
+    slices the grid is built from (sorted order): after a partial slice
+    failure, populations can be heterogeneous."""
+    devs = jax.devices()
+    by_slice = {}
+    for d in devs:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    chosen = sorted(by_slice)[:n_slices]
+    if len(by_slice) >= n_slices and all(
+            len(by_slice[s]) >= per_slice for s in chosen):
+        return [sorted(by_slice[s], key=lambda d: d.id)[:per_slice]
+                for s in chosen]
+    return None
+
+
 def make_mesh_multislice(shape, axes=("slice", "p")) -> Mesh:
     """2-D (slices, chips-per-slice) mesh.  On real multi-slice deployments
     devices are grouped by their ``slice_index`` attribute; on single-slice
@@ -822,16 +858,8 @@ def make_mesh_multislice(shape, axes=("slice", "p")) -> Mesh:
     need = n_slices * per_slice
     if need > len(devs):
         raise ValueError(f"requested {need} devices, have {len(devs)}")
-    by_slice = {}
-    for d in devs:
-        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
-    chosen = sorted(by_slice)[:n_slices]
-    # validate the SAME slices the grid will be built from (sorted order):
-    # after a partial slice failure, populations can be heterogeneous
-    if len(by_slice) >= n_slices and all(
-            len(by_slice[s]) >= per_slice for s in chosen):
-        grid = [sorted(by_slice[s], key=lambda d: d.id)[:per_slice]
-                for s in chosen]
+    grid = _slice_grouped_grid(n_slices, per_slice)
+    if grid is not None:
         return Mesh(_np.asarray(grid), tuple(axes))
     return Mesh(_np.asarray(devs[:need]).reshape(n_slices, per_slice),
                 tuple(axes))
@@ -999,49 +1027,30 @@ def dist_spike_transpose_multislice(
     method = dsf.fact.method
     keep = (dsf.V is not None) if store_spikes is None else store_spikes
     sdt = dsf.V.dtype if dsf.V is not None else None
-    tT = lambda a: jnp.swapaxes(a, -1, -2)
 
-    def local_fn(fact, blocks, Btip, Ctip):
-        # true tips: ppermute over the flattened (slice, p) device order —
-        # global-edge zeros wrap and zero the new edges for free
-        ct_next = jax.lax.ppermute(
-            Ctip[0], axes, [(i, (i - 1) % ndev) for i in range(ndev)])
-        Btip_t = tT(jnp.concatenate([Ctip[1:], ct_next[None]], axis=0))
-        bt_prev = jax.lax.ppermute(
-            Btip[-1], axes, [(i, (i + 1) % ndev) for i in range(ndev)])
-        Ctip_t = tT(jnp.concatenate([bt_prev[None], Btip[:-1]], axis=0))
-        zb = jnp.zeros_like(blocks.D[:, :1])
-        blocks_t = BlockTridiagonal(
-            D=tT(blocks.D),
-            L=jnp.concatenate([zb, tT(blocks.U[:, :-1])], axis=1),
-            U=jnp.concatenate([tT(blocks.L[:, 1:]), zb], axis=1))
+    def pc_mask(Btip_t, Ctip_t):
         # PC tips: slice boundaries are PC-global edges for the transpose
         # factor too (the forward PC-tip zeros live only in the spikes /
         # reduced system, so re-mask the transposed true tips here)
-        pidx = jax.lax.axis_index(axis_p)
-        lidx = pidx * ppd + jnp.arange(ppd)         # index within slice
+        lidx = jax.lax.axis_index(axis_p) * ppd + jnp.arange(ppd)
         Btip_pc = jnp.where((lidx == Ks - 1)[:, None, None],
                             jnp.zeros_like(Btip_t), Btip_t)
         Ctip_pc = jnp.where((lidx == 0)[:, None, None],
                             jnp.zeros_like(Ctip_t), Ctip_t)
-        factT = TransposedBlockTriFactor(fact)
-        dtype = Btip.dtype
-        rhsV = jnp.zeros((ppd, nb, b, k), dtype).at[
-            :, nb - 1, b - k:, :].set(Btip_pc.astype(dtype))
-        rhsW = jnp.zeros((ppd, nb, b, k), dtype).at[
-            :, 0, :k, :].set(Ctip_pc.astype(dtype))
-        Vt = _batched_tri_solve(factT, rhsV).astype(dtype)
-        Wt = _batched_tri_solve(factT, rhsW).astype(dtype)
-        tips = jnp.stack([Vt[:, 0, :k, :], Vt[:, nb - 1, b - k:, :],
-                          Wt[:, 0, :k, :], Wt[:, nb - 1, b - k:, :]], axis=1)
+        return Btip_pc, Ctip_pc
+
+    def local_fn(fact, blocks, Btip, Ctip):
+        # true tips ppermute over the flattened (slice, p) device order
+        # (exact cross-slice matvec coupling); spikes from slice-masked tips
+        blocks_t, Btip_t, Ctip_t, Vt, Wt, tips = _transpose_local_parts(
+            fact, blocks, Btip, Ctip, perm_axes=axes, ndev=ndev, ppd=ppd,
+            nb=nb, b=b, k=k, spike_mask=pc_mask)
         # intra-slice gather ONLY (ICI)
         slice_tips = jax.lax.all_gather(tips, axis_p).reshape(Ks, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             slice_tips[:, 0], slice_tips[:, 1], slice_tips[:, 2],
             slice_tips[:, 3], Ks, k, False, method, reduced, inverter)
-        V, W = (Vt, Wt) if keep else (None, None)
-        if keep and sdt is not None:
-            V, W = V.astype(sdt), W.astype(sdt)
+        V, W = _keep_spikes(Vt, Wt, keep, sdt)
         return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W
 
     pax = P(axes)
@@ -1357,16 +1366,10 @@ def make_mesh_3d(shape, axes=("rhs", "slice", "p")) -> Mesh:
     need = n_rep * n_slices * per_slice
     if need > len(devs):
         raise ValueError(f"requested {need} devices, have {len(devs)}")
-    by_slice = {}
-    for d in devs:
-        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
-    chosen = sorted(by_slice)[:n_rep * n_slices]
-    if len(by_slice) >= n_rep * n_slices and all(
-            len(by_slice[s]) >= per_slice for s in chosen):
-        grid = _np.asarray(
-            [sorted(by_slice[s], key=lambda d: d.id)[:per_slice]
-             for s in chosen]).reshape(n_rep, n_slices, per_slice)
-        return Mesh(grid, tuple(axes))
+    grid = _slice_grouped_grid(n_rep * n_slices, per_slice)
+    if grid is not None:
+        return Mesh(_np.asarray(grid).reshape(n_rep, n_slices, per_slice),
+                    tuple(axes))
     return Mesh(_np.asarray(devs[:need]).reshape(shape), tuple(axes))
 
 

@@ -70,15 +70,20 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
 
     method = SOLVERS.get(ksp_type)
     kw = _params_from_options(opts, params)
-    if ksp_type == "bicg" and "matvec_transpose" not in kw:
+    if ksp_type == "bicg":
         # the shadow recurrence needs A^T and M^{-T}: transpose the
         # operator host-side and reuse the PC's stored factors
-        # (PC.transpose -> spike_transpose; no refactorization)
-        from .operator import transpose_operator
-        kw["matvec_transpose"], _, _ = as_matvec(
-            transpose_operator(A), n_hint=n_hint,
-            impl=opts.get_string("mat_matvec_impl", "auto"))
-        if pc_apply is not None:
+        # (PC.transpose -> spike_transpose; no refactorization).  Each
+        # entry is wired independently so a user-supplied
+        # matvec_transpose (the callable-operator escape hatch) still
+        # gets the PC transpose, and a user-supplied pc_apply_transpose
+        # is never clobbered (code-review r3)
+        if "matvec_transpose" not in kw:
+            from .operator import transpose_operator
+            kw["matvec_transpose"], _, _ = as_matvec(
+                transpose_operator(A), n_hint=n_hint,
+                impl=opts.get_string("mat_matvec_impl", "auto"))
+        if pc_apply is not None and "pc_apply_transpose" not in kw:
             kw["pc_apply_transpose"] = pc.transpose().apply
 
     def _solve(b, x0=None):

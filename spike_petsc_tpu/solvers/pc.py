@@ -223,11 +223,17 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
             raise FloatingPointError(
                 f"pc '{name}': factorization has singular Schur pivots "
                 f"(reorder/scale the matrix first)")
-    def _mk_transpose(_sf=sf, _name=name, _info=info):
+    # the transpose reduced system must use the RESOLVED inverter: if the
+    # forward factorization needed the 'blocked' fallback, an 'auto' here
+    # would hand the transpose back to the unguarded Newton engine on
+    # exactly the matrices that broke it (code-review r3)
+    inv_eff = "blocked" if fb else inverter
+
+    def _mk_transpose(_sf=sf, _name=name, _info=info, _inv=inv_eff):
         # PCApplyTranspose: reuse the stored factors (spike_transpose — no
         # refactorization); built once on the host, cached by PC.transpose
         from ..ops.spike import spike_transpose
-        sft = spike_transpose(_sf)
+        sft = spike_transpose(_sf, inverter=_inv)
         return PC(name=_name + "_transpose",
                   apply=partial(spike_solve, sft), info=_info)
 
@@ -247,10 +253,11 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
                 return y.astype(_od)
             return apply
 
-        def _mk_transpose_cast(_sf=sf, _name=name, _info=info):
+        def _mk_transpose_cast(_sf=sf, _name=name, _info=info, _inv=inv_eff):
             from ..ops.spike import spike_transpose
             return PC(name=_name + "_transpose",
-                      apply=_cast_apply(spike_transpose(_sf)), info=_info)
+                      apply=_cast_apply(spike_transpose(_sf, inverter=_inv)),
+                      info=_info)
 
         return PC(name=name, apply=_cast_apply(sf), info=info,
                   make_transpose=_mk_transpose_cast)
@@ -283,10 +290,11 @@ def pc_lu(pmat, opts: Options) -> PC:
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
-    def _mk_transpose(_sf=sf, _info=info):
+    def _mk_transpose(_sf=sf, _info=info,
+                      _inv="blocked" if fb else inverter):
         from ..ops.spike import spike_transpose
         return PC(name="lu_transpose",
-                  apply=partial(spike_solve, spike_transpose(_sf)),
+                  apply=partial(spike_solve, spike_transpose(_sf, inverter=_inv)),
                   info=_info)
 
     return PC(name="lu", apply=partial(spike_solve, sf), info=info,
