@@ -252,6 +252,50 @@ def main() -> None:
         serve_s = t_s1 / r_serve
     del RHS
 
+    # ---- transpose/adjoint solves on stored factors ------------------------
+    # spike_transpose reuses the forward factorization for A^T (the adjoint
+    # step of every differentiable solve, and PCApplyTranspose for bicg):
+    # setup = two transpose spike tri-solves + tiny reduced refactor, vs a
+    # full refactorization (tpu_factor_ms) without it.  The transpose solve
+    # runs the XLA scan sweeps (no fused-kernel variant yet — ROADMAP r4).
+    tr_out = {}
+    try:
+        if os.environ.get("SPIKE_BENCH_TRANSPOSE", "1") == "1":
+            from spike_petsc_tpu.ops.spike import spike_transpose
+
+            tr_fn = jax.jit(spike_transpose)
+            timed(lambda: tr_fn(sf))                       # compile
+            tr_setup_s = min(timed(lambda: tr_fn(sf)) for _ in range(3))
+            sft = tr_fn(sf)
+            sync(sft.Btip)
+
+            @partial(jax.jit, static_argnames=("r",))
+            def tsolve_loop(sft_in, b, r):
+                return jax.lax.fori_loop(
+                    0, r, lambda i, y: spike_solve(sft_in, y), b)
+
+            timed(lambda: tsolve_loop(sft, rhs, 2))        # compile
+            timed(lambda: tsolve_loop(sft, rhs, 12))       # compile
+            t_t1 = min(timed(lambda: tsolve_loop(sft, rhs, 2))
+                       for _ in range(3))
+            t_t2 = min(timed(lambda: tsolve_loop(sft, rhs, 12))
+                       for _ in range(3))
+            tsolve_s = max(t_t2 - t_t1, 1e-9) / 10.0
+            if tsolve_s < 1e-5:
+                tsolve_s = t_t1 / 2.0
+            xt = tsolve_loop(sft, rhs, 1)
+            from spike_petsc_tpu.ops.band import banded_transpose
+            res_t = banded_matvec(banded_transpose(band), xt) - rhs
+            tr_out = {
+                "transpose_setup_ms": round(tr_setup_s * 1e3, 3),
+                "transpose_solve_ms": round(tsolve_s * 1e3, 3),
+                "transpose_relres": float(np.asarray(
+                    jnp.linalg.norm(res_t) / jnp.linalg.norm(rhs))),
+            }
+            del sft
+    except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
+        tr_out = {"transpose_error": f"{type(exc).__name__}: {exc}"[:200]}
+
     # ---- native-assembly factor --------------------------------------------
     # the same problem class assembled DIRECTLY in global blocktri layout:
     # the factor skips the access-pattern-bound band->blocktri conversion
@@ -407,7 +451,7 @@ def main() -> None:
             "gmres_spikepc_its_rtol1e8": g_its,
             "gmres_wall_ms": round(gmres_s * 1e3, 2),
             f"serve_ms_per_rhs_r{r_serve}": round(serve_s * 1e3, 4),
-            **mv_out, **refine_out}))
+            **mv_out, **tr_out, **refine_out}))
         return
 
     from scipy.linalg import lapack
@@ -491,7 +535,7 @@ def main() -> None:
         "gmres_wall_ms": round(gmres_s * 1e3, 2),
         f"serve_ms_per_rhs_r{r_serve}": round(serve_s * 1e3, 4),
         "factor_compile_s": round(factor_compile_s, 2),
-        **mv_out, **refine_out,
+        **mv_out, **tr_out, **refine_out,
     }
     print(json.dumps(out))
 
