@@ -584,6 +584,33 @@ def _dsf_specs(dsf: DistSpikeFactor, axis):
         truncated=dsf.truncated)
 
 
+def _fast_transposed_factor(fact: BlockTriFactor,
+                            blocks: BlockTridiagonal) -> BlockTriFactor:
+    """REGULAR-form factor for T^T from a method='inv' forward factor plus
+    the original blocks: with
+
+        F'_i = (Sinv_{i-1} U_{i-1})^T,  Sinv'_i = Sinv_i^T,
+        U'_i = L_{i+1}^T
+
+    the STANDARD block-Thomas sweeps compute the transpose solve (derive by
+    substituting z_i = Sinv_i^T w_i into the U^T L^T sweeps of
+    blocktri_solve_transpose).  Unlike the TransposedBlockTriFactor marker
+    (which forces the XLA scan), the result is an ordinary 'inv' factor —
+    on TPU the fused manual-DMA Pallas sweep applies, so transpose
+    PCApplies run at forward-solve speed.  Works batched over leading
+    dims; requires the blocks (the distributed factors keep them)."""
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+    prec = sweep_precision(fact.U, fact.Sinv)
+    FU = jnp.matmul(fact.Sinv[..., :-1, :, :], fact.U[..., :-1, :, :],
+                    precision=prec)
+    zbb = jnp.zeros_like(fact.F[..., :1, :, :])
+    Fh = jnp.concatenate([zbb, tT(FU)], axis=-3)
+    Uh = jnp.concatenate([tT(blocks.L[..., 1:, :, :].astype(fact.U.dtype)),
+                          zbb], axis=-3)
+    return BlockTriFactor(F=Fh, U=Uh, Sinv=tT(fact.Sinv), Slu=fact.Slu,
+                          piv=fact.piv, method="inv", nshift=fact.nshift)
+
+
 def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,
                            ppd, nb, b, k, spike_mask=None):
     """Shared per-device construction for the distributed transposes
@@ -594,7 +621,9 @@ def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,
     from (optionally ``spike_mask``-ed) tips via batched transpose
     tri-solves on the SAME stored factors.
 
-    Returns (blocks_t, Btip_t, Ctip_t, tips[ppd, 4, k, k])."""
+    Returns (blocks_t, Btip_t, Ctip_t, Vt, Wt, tips[ppd, 4, k, k], factT)
+    where ``factT`` is the fast regular-form transposed factor for
+    method='inv' (fused-kernel-capable) or None (marker path)."""
     from ..ops.blocktri import TransposedBlockTriFactor
     tT = lambda a: jnp.swapaxes(a, -1, -2)
     ct_next = jax.lax.ppermute(
@@ -610,7 +639,12 @@ def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,
         U=jnp.concatenate([tT(blocks.L[:, 1:]), zb], axis=1))
     Bs, Cs = (Btip_t, Ctip_t) if spike_mask is None else \
         spike_mask(Btip_t, Ctip_t)
-    factT = TransposedBlockTriFactor(fact)
+    if isinstance(fact, BlockTriFactor) and fact.method == "inv":
+        factT = _fast_transposed_factor(fact, blocks)
+        out_factT = factT
+    else:
+        factT = TransposedBlockTriFactor(fact)
+        out_factT = None
     dtype = Btip.dtype
     rhsV = jnp.zeros((ppd, nb, b, k), dtype).at[
         :, nb - 1, b - k:, :].set(Bs.astype(dtype))
@@ -620,7 +654,7 @@ def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,
     Wt = _batched_tri_solve(factT, rhsW).astype(dtype)
     tips = jnp.stack([Vt[:, 0, :k, :], Vt[:, nb - 1, b - k:, :],
                       Wt[:, 0, :k, :], Wt[:, nb - 1, b - k:, :]], axis=1)
-    return blocks_t, Btip_t, Ctip_t, Vt, Wt, tips
+    return blocks_t, Btip_t, Ctip_t, Vt, Wt, tips, out_factT
 
 
 def _keep_spikes(Vt, Wt, keep: bool, sdt):
@@ -662,15 +696,16 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     sdt = dsf.V.dtype if dsf.V is not None else None
 
     def local_fn(fact, blocks, Btip, Ctip):
-        blocks_t, Btip_t, Ctip_t, Vt, Wt, tips = _transpose_local_parts(
-            fact, blocks, Btip, Ctip, perm_axes=axis, ndev=ndev, ppd=ppd,
-            nb=nb, b=b, k=k)
+        blocks_t, Btip_t, Ctip_t, Vt, Wt, tips, factT = \
+            _transpose_local_parts(fact, blocks, Btip, Ctip,
+                                   perm_axes=axis, ndev=ndev, ppd=ppd,
+                                   nb=nb, b=b, k=k)
         all_tips = jax.lax.all_gather(tips, axis).reshape(K, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
             K, k, dsf.truncated, method, reduced, inverter)
         V, W = _keep_spikes(Vt, Wt, keep, sdt)
-        return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W
+        return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W, factT
 
     in_specs = (_shard_or_rep(dsf.fact, axis),
                 jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
@@ -680,6 +715,9 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         partial(_build_reduced, K=K, k=k, truncated=dsf.truncated,
                 method=method, reduced=reduced, inverter=inverter),
         tip_struct, tip_struct, tip_struct, tip_struct)
+    factT_spec = _shard_or_rep(
+        jax.eval_shape(_fast_transposed_factor, dsf.fact, dsf.blocks),
+        axis) if method == "inv" else None
     out_specs = (
         jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
         P(axis), P(axis),
@@ -687,12 +725,16 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         P() if dsf.truncated else None,
         P(axis) if keep else None,
         P(axis) if keep else None,
+        factT_spec,
     )
-    blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W = jax.shard_map(
-        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False)(dsf.fact, dsf.blocks, dsf.Btip, dsf.Ctip)
-    from ..ops.blocktri import TransposedBlockTriFactor as _T
-    return DistSpikeFactor(blocks=blocks_t, fact=_T(dsf.fact),
+    blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W, factT = \
+        jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)(
+            dsf.fact, dsf.blocks, dsf.Btip, dsf.Ctip)
+    if factT is None:
+        from ..ops.blocktri import TransposedBlockTriFactor as _T
+        factT = _T(dsf.fact)
+    return DistSpikeFactor(blocks=blocks_t, fact=factT,
                            Btip=Btip_t, Ctip=Ctip_t, red_fact=red_fact,
                            red_Dinv=red_Dinv, V=V, W=W, n=dsf.n, K=K,
                            m=dsf.m, b=b, k=k, ppd=ppd,
@@ -1042,16 +1084,17 @@ def dist_spike_transpose_multislice(
     def local_fn(fact, blocks, Btip, Ctip):
         # true tips ppermute over the flattened (slice, p) device order
         # (exact cross-slice matvec coupling); spikes from slice-masked tips
-        blocks_t, Btip_t, Ctip_t, Vt, Wt, tips = _transpose_local_parts(
-            fact, blocks, Btip, Ctip, perm_axes=axes, ndev=ndev, ppd=ppd,
-            nb=nb, b=b, k=k, spike_mask=pc_mask)
+        blocks_t, Btip_t, Ctip_t, Vt, Wt, tips, factT = \
+            _transpose_local_parts(fact, blocks, Btip, Ctip,
+                                   perm_axes=axes, ndev=ndev, ppd=ppd,
+                                   nb=nb, b=b, k=k, spike_mask=pc_mask)
         # intra-slice gather ONLY (ICI)
         slice_tips = jax.lax.all_gather(tips, axis_p).reshape(Ks, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             slice_tips[:, 0], slice_tips[:, 1], slice_tips[:, 2],
             slice_tips[:, 3], Ks, k, False, method, reduced, inverter)
         V, W = _keep_spikes(Vt, Wt, keep, sdt)
-        return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W
+        return blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W, factT
 
     pax = P(axes)
     in_specs = (_shard_or_rep(dsf.fact, axes),
@@ -1062,6 +1105,9 @@ def dist_spike_transpose_multislice(
         partial(_build_reduced, K=Ks, k=k, truncated=False,
                 method=method, reduced=reduced, inverter=inverter),
         tip_struct, tip_struct, tip_struct, tip_struct)
+    factT_spec = _shard_or_rep(
+        jax.eval_shape(_fast_transposed_factor, dsf.fact, dsf.blocks),
+        axes) if method == "inv" else None
     out_specs = (
         jax.tree_util.tree_map(lambda _: pax, _blocktri_struct()),
         pax, pax,
@@ -1069,12 +1115,15 @@ def dist_spike_transpose_multislice(
         None,
         pax if keep else None,
         pax if keep else None,
+        factT_spec,
     )
-    blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W = jax.shard_map(
-        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False)(dsf.fact, dsf.blocks, dsf.Btip, dsf.Ctip)
-    return DistSpikeFactor(blocks=blocks_t,
-                           fact=TransposedBlockTriFactor(dsf.fact),
+    blocks_t, Btip_t, Ctip_t, red_fact, red_Dinv, V, W, factT = \
+        jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)(
+            dsf.fact, dsf.blocks, dsf.Btip, dsf.Ctip)
+    if factT is None:
+        factT = TransposedBlockTriFactor(dsf.fact)
+    return DistSpikeFactor(blocks=blocks_t, fact=factT,
                            Btip=Btip_t, Ctip=Ctip_t, red_fact=red_fact,
                            red_Dinv=red_Dinv, V=V, W=W, n=dsf.n, K=K,
                            m=dsf.m, b=b, k=k, ppd=ppd, truncated=False)
