@@ -621,6 +621,38 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,
     return x[..., 0] if squeeze else x
 
 
+def transposed_factor_from_blocks(fact: BlockTriFactor,
+                                  blocks: BlockTridiagonal
+                                  ) -> BlockTriFactor:
+    """REGULAR-form factor for T^T from a method='inv' forward factor plus
+    the original blocks: with
+
+        F'_i = (Sinv_{i-1} U_{i-1})^T,  Sinv'_i = Sinv_i^T,
+        U'_i = L_{i+1}^T
+
+    the STANDARD block-Thomas sweeps compute the transpose solve (derive by
+    substituting z_i = Sinv_i^T w_i into the U^T L^T sweeps of
+    blocktri_solve_transpose).  Unlike the TransposedBlockTriFactor marker
+    (which forces the XLA scan), the result is an ordinary 'inv' factor —
+    on TPU the fused manual-DMA Pallas sweep applies, so transpose solves
+    run at forward-solve speed.  Works batched over leading dims.
+
+    Needs the original L blocks (only L is read from ``blocks``), and
+    materializes a full second factor (~the forward factor's footprint) —
+    the marker wrapper shares storage instead; pick by whether the
+    transpose is applied often enough to amortize."""
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+    prec = sweep_precision(fact.U, fact.Sinv)
+    FU = jnp.matmul(fact.Sinv[..., :-1, :, :], fact.U[..., :-1, :, :],
+                    precision=prec)
+    zbb = jnp.zeros_like(fact.F[..., :1, :, :])
+    Fh = jnp.concatenate([zbb, tT(FU)], axis=-3)
+    Uh = jnp.concatenate([tT(blocks.L[..., 1:, :, :].astype(fact.U.dtype)),
+                          zbb], axis=-3)
+    return BlockTriFactor(F=Fh, U=Uh, Sinv=tT(fact.Sinv), Slu=fact.Slu,
+                          piv=fact.piv, method="inv", nshift=fact.nshift)
+
+
 def blocktri_solve_transpose(fact: BlockTriFactor, rhs: jax.Array,
                              unroll: int = 1) -> jax.Array:
     """Solve T^T x = rhs reusing the FORWARD factorization — no transpose

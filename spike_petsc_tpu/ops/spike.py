@@ -660,7 +660,8 @@ def _spike_columns_from_waux(fact, Btip, yw, b: int, k: int, dtype):
 
 def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
                     inverter: str = "auto",
-                    store_spikes: Optional[bool] = None) -> SpikeFactor:
+                    store_spikes: Optional[bool] = None,
+                    band: Optional[BandedMatrix] = None) -> SpikeFactor:
     """SPIKE factorization of A^T REUSING A's per-partition factors — no
     band transpose, no conversion, no new block inversions (the expensive
     setup stages all vanish).  The returned SpikeFactor solves A^T x = rhs
@@ -682,6 +683,15 @@ def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
     This is the PETSc MatSolveTranspose/PCApplyTranspose capability
     (exercised by KSPs that need A^T and by the implicit-adjoint backward
     pass of ops.autodiff).
+
+    ``band``: optionally pass the ORIGINAL banded matrix to build the
+    transpose in REGULAR factor form (blocktri.transposed_factor_from_blocks
+    — the standard sweeps, fused Pallas kernel included, then compute the
+    transpose solve at forward-solve speed; the default marker form runs
+    the XLA scan).  Costs one band->blocktri conversion at setup (only the
+    L blocks are consumed) and materializes a second factor-sized buffer;
+    worth it when the transpose is applied many times (bicg serving,
+    adjoint-heavy optimization loops).  method='inv' only.
     """
     from .blocktri import TransposedBlockTriFactor
     if not isinstance(sf.fact, BlockTriFactor):
@@ -691,7 +701,16 @@ def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
             "or 'lu'")
     K, nb, b, k = sf.K, sf.nb, sf.b, sf.k
     dtype = sf.Btip.dtype
-    factT = TransposedBlockTriFactor(sf.fact)
+    if band is not None and sf.fact.method == "inv":
+        from .blocktri import transposed_factor_from_blocks
+        bpad = pad_banded(band, K * sf.m)
+        blocks = jax.vmap(
+            lambda d: band_to_blocktri(
+                BandedMatrix(data=d, kl=band.kl, ku=band.ku), b))(
+            bpad.data.reshape(K, sf.m, bpad.width))
+        factT = transposed_factor_from_blocks(sf.fact, blocks)
+    else:
+        factT = TransposedBlockTriFactor(sf.fact)
     tT = lambda a: jnp.swapaxes(a, -1, -2)
     zk = jnp.zeros((1, k, k), dtype)
     Btip_t = jnp.concatenate([tT(sf.Ctip[1:]), zk], axis=0)

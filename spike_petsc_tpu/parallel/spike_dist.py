@@ -40,7 +40,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.band import BandedMatrix, pad_banded
 from ..ops.blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
                             blocktri_factor, blocktri_matvec, blocktri_solve,
-                            sweep_precision)
+                            sweep_precision,
+                            transposed_factor_from_blocks as
+                            _fast_transposed_factor)
 from ..ops.spike import (_batched_tri_solve, _partition_geometry,
                          _rhs_itemsize)
 from ..solvers import krylov
@@ -582,33 +584,6 @@ def _dsf_specs(dsf: DistSpikeFactor, axis):
         W=None if dsf.W is None else P(axis),
         n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k, ppd=dsf.ppd,
         truncated=dsf.truncated)
-
-
-def _fast_transposed_factor(fact: BlockTriFactor,
-                            blocks: BlockTridiagonal) -> BlockTriFactor:
-    """REGULAR-form factor for T^T from a method='inv' forward factor plus
-    the original blocks: with
-
-        F'_i = (Sinv_{i-1} U_{i-1})^T,  Sinv'_i = Sinv_i^T,
-        U'_i = L_{i+1}^T
-
-    the STANDARD block-Thomas sweeps compute the transpose solve (derive by
-    substituting z_i = Sinv_i^T w_i into the U^T L^T sweeps of
-    blocktri_solve_transpose).  Unlike the TransposedBlockTriFactor marker
-    (which forces the XLA scan), the result is an ordinary 'inv' factor —
-    on TPU the fused manual-DMA Pallas sweep applies, so transpose
-    PCApplies run at forward-solve speed.  Works batched over leading
-    dims; requires the blocks (the distributed factors keep them)."""
-    tT = lambda a: jnp.swapaxes(a, -1, -2)
-    prec = sweep_precision(fact.U, fact.Sinv)
-    FU = jnp.matmul(fact.Sinv[..., :-1, :, :], fact.U[..., :-1, :, :],
-                    precision=prec)
-    zbb = jnp.zeros_like(fact.F[..., :1, :, :])
-    Fh = jnp.concatenate([zbb, tT(FU)], axis=-3)
-    Uh = jnp.concatenate([tT(blocks.L[..., 1:, :, :].astype(fact.U.dtype)),
-                          zbb], axis=-3)
-    return BlockTriFactor(F=Fh, U=Uh, Sinv=tT(fact.Sinv), Slu=fact.Slu,
-                          piv=fact.piv, method="inv", nshift=fact.nshift)
 
 
 def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,

@@ -229,11 +229,14 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     # exactly the matrices that broke it (code-review r3)
     inv_eff = "blocked" if fb else inverter
 
-    def _mk_transpose(_sf=sf, _name=name, _info=info, _inv=inv_eff):
+    def _mk_transpose(_sf=sf, _band=band, _name=name, _info=info,
+                      _inv=inv_eff):
         # PCApplyTranspose: reuse the stored factors (spike_transpose — no
-        # refactorization); built once on the host, cached by PC.transpose
+        # refactorization); built once on the host, cached by PC.transpose.
+        # Passing the band builds the REGULAR-form transpose (fused-kernel
+        # sweeps — transpose applies at forward-solve speed)
         from ..ops.spike import spike_transpose
-        sft = spike_transpose(_sf, inverter=_inv)
+        sft = spike_transpose(_sf, inverter=_inv, band=_band)
         return PC(name=_name + "_transpose",
                   apply=partial(spike_solve, sft), info=_info)
 
@@ -253,11 +256,12 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
                 return y.astype(_od)
             return apply
 
-        def _mk_transpose_cast(_sf=sf, _name=name, _info=info, _inv=inv_eff):
+        def _mk_transpose_cast(_sf=sf, _band=band, _name=name, _info=info,
+                               _inv=inv_eff):
             from ..ops.spike import spike_transpose
+            sft = spike_transpose(_sf, inverter=_inv, band=_band)
             return PC(name=_name + "_transpose",
-                      apply=_cast_apply(spike_transpose(_sf, inverter=_inv)),
-                      info=_info)
+                      apply=_cast_apply(sft), info=_info)
 
         return PC(name=name, apply=_cast_apply(sf), info=info,
                   make_transpose=_mk_transpose_cast)
@@ -290,12 +294,12 @@ def pc_lu(pmat, opts: Options) -> PC:
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
-    def _mk_transpose(_sf=sf, _info=info,
+    def _mk_transpose(_sf=sf, _band=band, _info=info,
                       _inv="blocked" if fb else inverter):
         from ..ops.spike import spike_transpose
+        sft = spike_transpose(_sf, inverter=_inv, band=_band)
         return PC(name="lu_transpose",
-                  apply=partial(spike_solve, spike_transpose(_sf, inverter=_inv)),
-                  info=_info)
+                  apply=partial(spike_solve, sft), info=_info)
 
     return PC(name="lu", apply=partial(spike_solve, sf), info=info,
               make_transpose=_mk_transpose)

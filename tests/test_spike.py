@@ -333,3 +333,27 @@ def test_spike_transpose_truncated_and_complex():
     np.testing.assert_allclose(lam,
                                np.linalg.solve(ac.toarray().conj().T, g),
                                rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("K", [1, 4])
+def test_spike_transpose_regular_form_with_band(K):
+    """spike_transpose(band=...) builds the REGULAR-form transposed factor
+    (F' = (Sinv U)^T, Sinv' = Sinv^T, U' = L^T shifted — the standard
+    sweeps then compute the transpose solve, fused Pallas kernel included
+    on TPU) instead of the XLA-scan marker wrapper."""
+    from spike_petsc_tpu.ops.blocktri import BlockTriFactor
+    from spike_petsc_tpu.ops.spike import spike_transpose
+
+    n = 333
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    bm, kl, ku = banded_of(a)
+    sf = spike_factor(bm, K=K, block_b=8)
+    sft = spike_transpose(sf, band=bm)
+    assert isinstance(sft.fact, BlockTriFactor)      # regular form, not marker
+    g = np.random.default_rng(95).standard_normal(n)
+    lam = np.asarray(spike_solve(sft, jnp.asarray(g)))
+    np.testing.assert_allclose(lam, np.linalg.solve(a.toarray().T, g),
+                               rtol=1e-9, atol=1e-10)
+    # identical answers from the marker form
+    lam_m = np.asarray(spike_solve(spike_transpose(sf), jnp.asarray(g)))
+    np.testing.assert_allclose(lam, lam_m, rtol=1e-10, atol=1e-11)
