@@ -50,22 +50,30 @@ def _params_from_options(opts: Options, overrides: dict) -> dict:
 def make_solver(A, *, pmat=None, options: Optional[Options] = None,
                 ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
                 pc: Optional[PC] = None, n_hint: Optional[int] = None,
-                jit: bool = True, **params) -> Callable:
+                jit: bool = True, transpose: bool = False,
+                **params) -> Callable:
     """Compose (operator, preconditioner, method) once; return solve(b, x0).
 
     The returned closure is jitted, so repeated solves amortize setup and
     compilation — the TPU analogue of reusing a configured KSP object.
+
+    ``transpose=True`` solves A^T x = b (PETSc KSPSolveTranspose): the
+    operator transposes host-side and the preconditioner applies M^{-T}
+    via PC.transpose() — reusing its stored factors, no refactorization.
     """
     opts = options or Options()
     ksp_type = ksp_type or opts.get_string("ksp_type", "gmres")
+    if pc is None:
+        name = pc_type or opts.get_string("pc_type", "none")
+        pc = make_pc(name, A if pmat is None else pmat, opts)
+    if transpose:
+        from .operator import transpose_operator
+        A = transpose_operator(A)
+        pc = pc.transpose() if pc.name != "none" else pc
     # -mat_matvec_impl auto|banded_pallas|blocktri|xla: operator SpMV route
     # (the MatMult engine of the hot loop, /root/reference/src/testbed.c:310)
     matvec, n, _ = as_matvec(A, n_hint=n_hint,
                              impl=opts.get_string("mat_matvec_impl", "auto"))
-
-    if pc is None:
-        name = pc_type or opts.get_string("pc_type", "none")
-        pc = make_pc(name, A if pmat is None else pmat, opts)
     pc_apply = pc.apply if pc.name != "none" else None
 
     method = SOLVERS.get(ksp_type)
@@ -95,13 +103,16 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
 def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
           ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
           pc: Optional[PC] = None, monitor: bool = False,
-          view: bool = False, **params) -> KSPResult:
+          view: bool = False, transpose: bool = False,
+          **params) -> KSPResult:
     """One-shot options-driven solve (KSPSolve equivalent).
 
     ``pmat`` is the preconditioning matrix B when it differs from A — exactly
     KSPSetOperators(ksp, A, B) (/root/reference/src/testbed.c:314).
     ``view=True`` prints the configured solver hierarchy before solving
-    (PETSc ``-ksp_view``)."""
+    (PETSc ``-ksp_view``).  ``transpose=True`` solves A^T x = b
+    (KSPSolveTranspose; the PC reuses its stored factors via
+    PC.transpose())."""
     opts = options or Options()
     if pc is None:
         name = pc_type or opts.get_string("pc_type", "none")
@@ -113,7 +124,7 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
     solver = make_solver(A, pmat=pmat, options=options, ksp_type=ksp_type,
                          pc_type=pc_type, pc=pc,
                          n_hint=b.shape[0] if hasattr(b, "shape") else None,
-                         jit=False, **params)
+                         jit=False, transpose=transpose, **params)
     b = jnp.asarray(b)
     res = solver(b, None if x0 is None else jnp.asarray(x0))
     if monitor:

@@ -339,3 +339,23 @@ def test_bicg_requires_transpose_operator():
     b = jnp.ones(16)
     with _pytest.raises(TypeError, match="transpose"):
         solve(lambda x: 2.0 * x, b, ksp_type="bicg")
+
+
+def test_solve_transpose_kspsolvetranspose():
+    """solve(..., transpose=True) (KSPSolveTranspose role): the operator
+    transposes host-side and the PC applies M^{-T} from its stored factors
+    via PC.transpose()."""
+    from spike_petsc_tpu import solve
+    n = 333
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    g = np.random.default_rng(3).standard_normal(n)
+    lam_e = np.linalg.solve(a.toarray().T, g)
+    for kt, pct in (("gmres", "spike"), ("bcgs", "lu")):
+        res = solve(bm, jnp.asarray(g), ksp_type=kt, pc_type=pct,
+                    options=Options({"pc_spike_partitions": 8}),
+                    rtol=1e-12, maxit=40, transpose=True)
+        assert int(res.reason) > 0 and int(res.its) <= 3
+        np.testing.assert_allclose(np.asarray(res.x), lam_e, rtol=1e-9,
+                                   atol=1e-10)
