@@ -26,11 +26,19 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is compile-bound (~180 jitted
 # programs); caching XLA executables across runs makes re-runs fast.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+#
+# The cache WRITE path (compilation_cache.put_executable_and_time) has
+# segfaulted sporadically deep into full-suite runs on this image (three
+# r3 runs died there, at different tests, with and without concurrent
+# processes).  Mitigation: only cache compiles worth >= 2 s (cuts write
+# count ~10x while keeping the expensive shard_map compiles that dominate
+# warm-run savings); SPIKE_TESTS_CACHE=0 disables the cache entirely.
+if os.environ.get("SPIKE_TESTS_CACHE", "1") == "1":
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 # ---------------------------------------------------------------------------
 # Test tiers: the full suite is compile-heavy (~10 min).  Modules dominated
