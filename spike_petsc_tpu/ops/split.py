@@ -72,6 +72,10 @@ def split_plan(a, kmax: int = 255):
     import scipy.sparse as sp
     coo = sp.csr_matrix(a).tocoo()
     n = coo.shape[0]
+    if coo.shape[1] != n:
+        # band storage is square-only; rectangular operators (fieldsplit
+        # off-diagonal blocks A01/A10) take the BCOO route
+        return 0, coo.nnz, False
     dist = np.abs(coo.row - coo.col)
     counts = np.bincount(dist, minlength=n)
     kcap = int(min(kmax, n - 1))

@@ -27,18 +27,28 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the suite is compile-bound (~180 jitted
 # programs); caching XLA executables across runs makes re-runs fast.
 #
-# The cache WRITE path (compilation_cache.put_executable_and_time) has
-# segfaulted sporadically deep into full-suite runs on this image (three
-# r3 runs died there, at different tests, with and without concurrent
-# processes).  Mitigation: only cache compiles worth >= 2 s (cuts write
-# count ~10x while keeping the expensive shard_map compiles that dominate
-# warm-run savings); SPIKE_TESTS_CACHE=0 disables the cache entirely.
-if os.environ.get("SPIKE_TESTS_CACHE", "1") == "1":
+# CAVEAT (r3): full-suite runs have segfaulted sporadically inside the
+# cache WRITE (compilation_cache.put_executable_and_time) — three runs, at
+# different tests, with and without concurrent processes — and cache LOADS
+# print AOT machine-feature-mismatch warnings ("could lead to execution
+# errors such as SIGILL") on this image.  Policy: the cache is ON for the
+# quick tier (where the warm-run speedup matters for iteration, and runs
+# are short enough that the write bug has never bitten) and OFF for full
+# runs by default.  Override with SPIKE_TESTS_CACHE=1 (always on) / =0
+# (always off).
+_cache_env = os.environ.get("SPIKE_TESTS_CACHE", "")
+
+
+def _enable_cache():
     _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+if _cache_env == "1":
+    _enable_cache()
 
 # ---------------------------------------------------------------------------
 # Test tiers: the full suite is compile-heavy (~10 min).  Modules dominated
@@ -59,6 +69,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: compile-heavy tests (multi-device shard_map, "
         "large configs); excluded by `make test-quick`")
+    # quick tier (-m "not slow"): enable the persistent cache unless the
+    # env var pinned a choice (see the cache caveat above)
+    if _cache_env == "" and "slow" in (config.option.markexpr or ""):
+        _enable_cache()
 
 
 def pytest_collection_modifyitems(config, items):

@@ -87,3 +87,22 @@ def test_split_complex():
     x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
     np.testing.assert_allclose(np.asarray(split_matvec(sm, jnp.asarray(x))),
                                a @ x, rtol=1e-6, atol=1e-8)
+
+
+def test_split_plan_rejects_rectangular():
+    """Rectangular operators (fieldsplit off-diagonal blocks) must take the
+    BCOO route: band storage is square-only (regression — split_matvec
+    raised a broadcasting TypeError inside the Schur fieldsplit apply)."""
+    import scipy.sparse as sp
+    from spike_petsc_tpu.ops.split import split_if_profitable, split_plan
+    rng = np.random.default_rng(0)
+    a = sp.random(90, 110, density=0.2, random_state=rng, format="csr")
+    k, nnz_out, profitable = split_plan(a)
+    assert not profitable
+    assert split_if_profitable(a) is None
+    # and the full operator route still works end-to-end
+    from spike_petsc_tpu.solvers.operator import as_matvec
+    mv, n, _ = as_matvec(a)
+    x = rng.standard_normal(110)
+    np.testing.assert_allclose(np.asarray(mv(jnp.asarray(x))), a @ x,
+                               rtol=1e-10, atol=1e-12)
