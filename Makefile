@@ -7,6 +7,9 @@
 PY ?= python
 
 test:
+	@# JIT code mappings exhaust the 65530 default ~70% into the suite
+	@# (XLA then segfaults); raise the limit when we can
+	-@[ "$$(id -u)" = 0 ] && sysctl -qw vm.max_map_count=1048576 || true
 	$(PY) -m pytest tests/ -q
 
 test-fast:
