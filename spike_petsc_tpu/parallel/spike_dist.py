@@ -1446,28 +1446,46 @@ def make_dist_solver_3d(dsf: DistSpikeFactor, mesh: Mesh,
 
 def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
                      ksp_type: str = "gmres", use_pc: bool = True,
+                     dsf_transpose: Optional[DistSpikeFactor] = None,
                      **params):
     """Build a jitted multi-chip Krylov solver: SPIKE-preconditioned
     iterations entirely inside one shard_map program (matvec halo exchange
     via ppermute, reductions via psum, preconditioner = per-device SPIKE).
 
+    ``ksp_type="bicg"`` runs the shadow recurrence on A^T in-mesh: pass
+    ``dsf_transpose=dist_spike_transpose(dsf, mesh, axis)`` — its halo
+    matvec and SPIKE solve supply the transpose operator/PC (no transpose
+    refactorization; same factor blocks, transposed).
+
     Returns solve(rhs[n]) -> KSPResult with x a global [n] array.
     """
     method = SOLVERS.get(ksp_type)
     ppd, m = dsf.ppd, dsf.m
+    if ksp_type == "bicg" and dsf_transpose is None:
+        raise ValueError(
+            "distributed bicg needs the A^T factorization: pass "
+            "dsf_transpose=dist_spike_transpose(dsf, mesh, axis)")
 
-    def local_fn(dsf_in, r_local, x0_local):
+    def local_fn(dsf_in, dsft_in, r_local, x0_local):
         matvec = lambda v: local_matvec(dsf_in, v, axis)
         pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
             if use_pc else None
+        kw = dict(params)
+        if ksp_type == "bicg":
+            kw["matvec_transpose"] = lambda v: local_matvec(dsft_in, v, axis)
+            if use_pc:
+                kw["pc_apply_transpose"] = \
+                    lambda v: local_spike_solve(dsft_in, v, axis)
         res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
-                     pc_apply, axis_name=axis, **params)
+                     pc_apply, axis_name=axis, **kw)
         return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
                 res.history)
 
+    t_specs = None if dsf_transpose is None else \
+        _dsf_specs(dsf_transpose, axis)
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(_dsf_specs(dsf, axis), P(axis), P(axis)),
+        in_specs=(_dsf_specs(dsf, axis), t_specs, P(axis), P(axis)),
         out_specs=(P(axis), P(), P(), P(), P()),
         check_vma=False)
 
@@ -1478,7 +1496,8 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         rhs_sh = _pad_shard_rhs(dsf, mesh, axis, rhs)
         x0_sh = _pad_shard_rhs(dsf, mesh, axis,
                                jnp.zeros_like(rhs) if x0 is None else x0)
-        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh, x0_sh)
+        x, its, reason, rnorm, hist = shmapped(dsf, dsf_transpose, rhs_sh,
+                                               x0_sh)
         return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
                          rnorm=rnorm, history=hist)
 

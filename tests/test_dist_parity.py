@@ -317,6 +317,25 @@ def test_dist_spike_transpose(mesh, store):
                                atol=1e-8)
 
 
+def test_dist_bicg_with_transpose_factor(mesh):
+    """Distributed BiCG: the shadow recurrence runs on A^T in-mesh via the
+    transpose factor's halo matvec + SPIKE solve (KSPBICG on a mesh)."""
+    from spike_petsc_tpu.parallel import dist_spike_transpose
+    n = 640
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=8, parts_per_device=2,
+                            store_spikes=True)
+    dsft = dist_spike_transpose(dsf, mesh)
+    u = np.random.default_rng(51).standard_normal(n)
+    res = make_dist_solver(dsf, mesh, ksp_type="bicg", dsf_transpose=dsft,
+                           rtol=1e-12, maxit=40)(jnp.asarray(a @ u))
+    assert int(res.reason) > 0 and int(res.its) <= 3
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-8, atol=1e-9)
+    with pytest.raises(ValueError, match="dist_spike_transpose"):
+        make_dist_solver(dsf, mesh, ksp_type="bicg")
+
+
 def test_dist_spike_transpose_multislice():
     """Multislice transpose reuse: per-slice transpose SPIKE PC (slice-edge
     PC tips re-masked), exact A^T cross-slice matvec."""
