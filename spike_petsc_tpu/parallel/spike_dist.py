@@ -1214,30 +1214,49 @@ def _multislice_specs(dsf: DistSpikeFactor, axis_slice: str, axis_p: str):
 def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
                                 axis_slice: str = "slice", axis_p: str = "p",
                                 ksp_type: str = "gmres", use_pc: bool = True,
-                                **params):
+                                dsf_transpose: Optional[DistSpikeFactor]
+                                = None, **params):
     """Multi-slice Krylov solver: per-slice SPIKE preconditioner (ICI-only),
     exact cross-slice matvec (k-wide DCN strips), dots psum'd over both axes.
+
+    ``ksp_type="bicg"`` runs the shadow recurrence on A^T in-mesh: pass
+    ``dsf_transpose=dist_spike_transpose_multislice(dsf, mesh, ...)``.
+
     Returns solve(rhs[n]) -> KSPResult."""
     method = SOLVERS.get(ksp_type)
     ppd, m = dsf.ppd, dsf.m
     n_slices = mesh.shape[axis_slice]
     ndev_p = mesh.shape[axis_p]
+    if ksp_type == "bicg" and dsf_transpose is None:
+        raise ValueError(
+            "distributed bicg needs the A^T factorization: pass "
+            "dsf_transpose=dist_spike_transpose_multislice(dsf, mesh, ...)")
 
-    def local_fn(dsf_in, r_local, x0_local):
+    def local_fn(dsf_in, dsft_in, r_local, x0_local):
         matvec = lambda v: local_matvec_multislice(
             dsf_in, v, axis_slice, axis_p, n_slices, ndev_p)
         pc_apply = (lambda v: local_spike_solve_multislice(
             dsf_in, v, axis_slice, axis_p, ndev_p)) if use_pc else None
+        kw = dict(params)
+        if ksp_type == "bicg":
+            kw["matvec_transpose"] = lambda v: local_matvec_multislice(
+                dsft_in, v, axis_slice, axis_p, n_slices, ndev_p)
+            if use_pc:
+                kw["pc_apply_transpose"] = \
+                    lambda v: local_spike_solve_multislice(
+                        dsft_in, v, axis_slice, axis_p, ndev_p)
         res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
-                     pc_apply, axis_name=(axis_slice, axis_p), **params)
+                     pc_apply, axis_name=(axis_slice, axis_p), **kw)
         return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
                 res.history)
 
     pax = P((axis_slice, axis_p))
     specs = _multislice_specs(dsf, axis_slice, axis_p)
+    t_specs = None if dsf_transpose is None else \
+        _multislice_specs(dsf_transpose, axis_slice, axis_p)
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(specs, pax, pax),
+        in_specs=(specs, t_specs, pax, pax),
         out_specs=(pax, P(), P(), P(), P()),
         check_vma=False)
 
@@ -1252,7 +1271,8 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
     def solve_fn(rhs, x0=None):
         rhs_sh = _shard(rhs)
         x0_sh = _shard(jnp.zeros_like(rhs) if x0 is None else x0)
-        x, its, reason, rnorm, hist = shmapped(dsf, rhs_sh, x0_sh)
+        x, its, reason, rnorm, hist = shmapped(dsf, dsf_transpose, rhs_sh,
+                                               x0_sh)
         return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
                          rnorm=rnorm, history=hist)
 

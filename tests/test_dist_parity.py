@@ -357,6 +357,14 @@ def test_dist_spike_transpose_multislice():
     np.testing.assert_allclose(np.asarray(res.x),
                                np.linalg.solve(a.toarray().T, g),
                                rtol=1e-8, atol=1e-9)
+    # multislice BiCG: shadow recurrence on A^T in the same (slice, p) mesh
+    u = np.random.default_rng(43).standard_normal(n)
+    res_b = make_dist_solver_multislice(
+        dsf, mesh, ksp_type="bicg", dsf_transpose=dsft, rtol=1e-11,
+        maxit=40)(jnp.asarray(a @ u))
+    assert int(res_b.reason) > 0
+    np.testing.assert_allclose(np.asarray(res_b.x), u, rtol=1e-8,
+                               atol=1e-9)
 
 
 def test_3d_mesh_replicated_multislice_serving():
