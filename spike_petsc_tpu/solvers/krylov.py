@@ -68,7 +68,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
           pc_apply: Optional[Callable] = None, *, restart: int = 30,
           rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
           maxit: int = 10000, side: str = "left",
-          monitor_true: bool = False,
+          monitor_true: bool = False, norm_type: str = "default",
           axis_name: Optional[str] = None) -> KSPResult:
     """Restarted GMRES with left (default) or right preconditioning.
 
@@ -85,7 +85,8 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
                        atol=atol, divtol=divtol, maxit=maxit,
                        flexible=False, right=(side == "right"),
-                       monitor_true=monitor_true, axis_name=axis_name)
+                       monitor_true=monitor_true, norm_type=norm_type,
+                       axis_name=axis_name)
 
 
 def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
@@ -103,7 +104,8 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 
 
 def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
-                maxit, flexible, right, monitor_true=False, axis_name=None):
+                maxit, flexible, right, monitor_true=False,
+                norm_type="default", axis_name=None):
     psolve = pc_apply or _identity_pc
     n = b.shape[0]
     dtype = b.dtype
@@ -114,15 +116,21 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
     norm = partial(_norm, axis_name=axis_name)
     gram = partial(_gram, axis_name=axis_name)
 
-    # Reference norm for the relative tolerance: preconditioned rhs norm for
-    # left preconditioning (PETSc KSP_NORM_PRECONDITIONED default), plain
-    # ||b|| for right.
-    bnorm = norm(b) if right else norm(psolve(b))
+    # Convergence norm (PETSc KSPSetNormType): the default tests the
+    # preconditioned residual for left pc (KSP_NORM_PRECONDITIONED) and the
+    # true residual for right pc; norm_type="unpreconditioned" forces the
+    # TRUE residual test under left pc too (one extra matvec per iteration
+    # to build it — exactly PETSc's cost for KSP_NORM_UNPRECONDITIONED).
+    if norm_type not in ("default", "preconditioned", "unpreconditioned"):
+        raise ValueError(f"unknown norm_type {norm_type!r}")
+    unprec = norm_type == "unpreconditioned" and not right
+    track_true = monitor_true or unprec
+    bnorm = norm(b) if (right or unprec) else norm(psolve(b))
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
     hist0 = jnp.full((maxit + 1,), jnp.nan, rdtype)
-    thist0 = jnp.full((maxit + 1,), jnp.nan, rdtype) if monitor_true else None
+    thist0 = jnp.full((maxit + 1,), jnp.nan, rdtype) if track_true else None
 
     def residual(x):
         r = b - matvec(x)
@@ -213,11 +221,11 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 
             rn = jnp.abs(g[j + 1])
             its_i = its_i + 1
-            hist_i = hist_i.at[its_i].set(rn)
-            if monitor_true:
+            if track_true:
                 # build the current solution estimate and its true residual
-                # (what PETSc's -ksp_monitor_true_residual reports); one
-                # extra matvec per iteration, opt-in
+                # (what PETSc's -ksp_monitor_true_residual reports, and the
+                # norm KSP_NORM_UNPRECONDITIONED converges on); one extra
+                # matvec per iteration, opt-in
                 y = _lsq_update(H, g, j + 1)
                 if flexible:
                     dx = y @ Z
@@ -227,6 +235,9 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
                         dx = psolve(dx)
                 true_rn = norm(b - matvec(x + dx))
                 thist_i = thist_i.at[its_i].set(true_rn)
+                if unprec:
+                    rn = true_rn.astype(rn.dtype)
+            hist_i = hist_i.at[its_i].set(rn)
             reason_i = check(rn, bnorm, its_i)
             return (V, Z, H, g, cs, sn, j + 1, its_i, rn, reason_i, hist_i,
                     thist_i)
@@ -258,9 +269,12 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 
     r0 = residual(x0)
     rnorm0 = _norm(r0, axis_name)
+    if track_true:
+        true0 = norm(b - matvec(x0))
+        thist0 = thist0.at[0].set(true0)
+        if unprec:
+            rnorm0 = true0
     hist0 = hist0.at[0].set(rnorm0)
-    if monitor_true:
-        thist0 = thist0.at[0].set(norm(b - matvec(x0)))
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
     state = (x0, r0, jnp.int32(0), rnorm0, reason0, hist0, thist0)
     x, _, its, rnorm, reason, hist, thist = jax.lax.while_loop(

@@ -41,6 +41,11 @@ def _params_from_options(opts: Options, overrides: dict) -> dict:
     side = opts.get_string("ksp_pc_side", None)
     if side:
         p["side"] = side
+    # -ksp_norm_type preconditioned|unpreconditioned (KSPSetNormType):
+    # gmres/fgmres convergence-test norm; other KSPs ignore it
+    norm_type = opts.get_string("ksp_norm_type", None)
+    if norm_type:
+        p["norm_type"] = norm_type
     if opts.get_bool("ksp_monitor_true_residual", False):
         p["monitor_true"] = True
     p.update({k: v for k, v in overrides.items() if v is not None})

@@ -359,3 +359,34 @@ def test_solve_transpose_kspsolvetranspose():
         assert int(res.reason) > 0 and int(res.its) <= 3
         np.testing.assert_allclose(np.asarray(res.x), lam_e, rtol=1e-9,
                                    atol=1e-10)
+
+
+def test_gmres_norm_type_unpreconditioned():
+    """-ksp_norm_type unpreconditioned (KSPSetNormType): with a badly
+    scaled left PC, the default preconditioned test stops far from the
+    true tolerance; the unpreconditioned test converges on the TRUE
+    residual (and reports it as rnorm)."""
+    from spike_petsc_tpu.ops.band import banded_matvec
+    from spike_petsc_tpu.solvers.krylov import gmres
+    n = 300
+    a = problems.spd_banded(n, 2, seed=3)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    b = jnp.asarray(a @ np.ones(n))
+    mv = lambda v: banded_matvec(bm, v)
+    d = jnp.asarray(np.logspace(0, -3, n))       # badly scaled "PC"
+    pc = lambda r: d * r
+    rp = gmres(mv, b, None, pc, rtol=1e-4, maxit=400, restart=100)
+    ru = gmres(mv, b, None, pc, rtol=1e-4, maxit=400, restart=100,
+               norm_type="unpreconditioned")
+    tb = float(jnp.linalg.norm(b))
+    tp = float(jnp.linalg.norm(b - mv(rp.x))) / tb
+    tu = float(jnp.linalg.norm(b - mv(ru.x))) / tb
+    assert int(ru.reason) > 0 and tu <= 1e-4
+    assert tp > 10 * tu                          # default stopped early
+    np.testing.assert_allclose(float(ru.rnorm), tu * tb, rtol=1e-12)
+    # true_history is populated and ends at the converged norm
+    th = np.asarray(ru.true_history)
+    np.testing.assert_allclose(th[int(ru.its)], float(ru.rnorm), rtol=1e-12)
+    with pytest.raises(ValueError, match="norm_type"):
+        gmres(mv, b, None, pc, norm_type="bogus")
