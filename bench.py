@@ -254,47 +254,64 @@ def main() -> None:
 
     # ---- transpose/adjoint solves on stored factors ------------------------
     # spike_transpose reuses the forward factorization for A^T (the adjoint
-    # step of every differentiable solve, and PCApplyTranspose for bicg):
-    # setup = two transpose spike tri-solves + tiny reduced refactor, vs a
-    # full refactorization (tpu_factor_ms) without it.  The transpose solve
-    # runs the XLA scan sweeps (no fused-kernel variant yet — ROADMAP r4).
+    # step of every differentiable solve, and PCApplyTranspose for bicg).
+    # Two forms are measured: the REGULAR-form factor (band= — standard
+    # sweeps, fused Pallas kernel; setup pays one band conversion) and the
+    # storage-sharing marker form (XLA-scan transpose sweeps, zero setup).
     tr_out = {}
     try:
         if os.environ.get("SPIKE_BENCH_TRANSPOSE", "1") == "1":
+            from spike_petsc_tpu.ops.band import banded_transpose
             from spike_petsc_tpu.ops.spike import spike_transpose
 
-            tr_fn = jax.jit(spike_transpose)
-            timed(lambda: tr_fn(sf))                       # compile
-            tr_setup_s = min(timed(lambda: tr_fn(sf)) for _ in range(3))
-            sft = tr_fn(sf)
-            sync(sft.Btip)
+            def _tsolve_ms(sft_in):
+                @partial(jax.jit, static_argnames=("r",))
+                def tsolve_loop(s, bb, r):
+                    return jax.lax.fori_loop(
+                        0, r, lambda i, y: spike_solve(s, y), bb)
 
-            @partial(jax.jit, static_argnames=("r",))
-            def tsolve_loop(sft_in, b, r):
-                return jax.lax.fori_loop(
-                    0, r, lambda i, y: spike_solve(sft_in, y), b)
+                timed(lambda: tsolve_loop(sft_in, rhs, 2))     # compile
+                timed(lambda: tsolve_loop(sft_in, rhs, 12))    # compile
+                t1 = min(timed(lambda: tsolve_loop(sft_in, rhs, 2))
+                         for _ in range(3))
+                t2 = min(timed(lambda: tsolve_loop(sft_in, rhs, 12))
+                         for _ in range(3))
+                s = max(t2 - t1, 1e-9) / 10.0
+                if s < 1e-5:
+                    s = t1 / 2.0
+                return s, tsolve_loop(sft_in, rhs, 1)
 
-            timed(lambda: tsolve_loop(sft, rhs, 2))        # compile
-            timed(lambda: tsolve_loop(sft, rhs, 12))       # compile
-            t_t1 = min(timed(lambda: tsolve_loop(sft, rhs, 2))
-                       for _ in range(3))
-            t_t2 = min(timed(lambda: tsolve_loop(sft, rhs, 12))
-                       for _ in range(3))
-            tsolve_s = max(t_t2 - t_t1, 1e-9) / 10.0
-            if tsolve_s < 1e-5:
-                tsolve_s = t_t1 / 2.0
-            xt = tsolve_loop(sft, rhs, 1)
-            from spike_petsc_tpu.ops.band import banded_transpose
-            res_t = banded_matvec(banded_transpose(band), xt) - rhs
+            bandT = banded_transpose(band)
+            # fast regular form (fused-kernel sweeps)
+            tr_fast = jax.jit(lambda s, d: spike_transpose(
+                s, band=BandedMatrix(data=d, kl=k, ku=k)))
+            timed(lambda: tr_fast(sf, data))               # compile
+            fast_setup_s = min(timed(lambda: tr_fast(sf, data))
+                               for _ in range(3))
+            sft = tr_fast(sf, data)
+            sync(sft.fact.Sinv)
+            fast_s, xt = _tsolve_ms(sft)
+            res_t = banded_matvec(bandT, xt) - rhs
             tr_out = {
-                "transpose_setup_ms": round(tr_setup_s * 1e3, 3),
-                "transpose_solve_ms": round(tsolve_s * 1e3, 3),
+                "transpose_setup_ms": round(fast_setup_s * 1e3, 3),
+                "transpose_solve_ms": round(fast_s * 1e3, 3),
                 "transpose_relres": float(np.asarray(
                     jnp.linalg.norm(res_t) / jnp.linalg.norm(rhs))),
             }
             del sft
+            # marker form (zero-setup, scan sweeps) — the gap the fused
+            # path buys
+            tr_mk = jax.jit(spike_transpose)
+            timed(lambda: tr_mk(sf))                       # compile
+            mk_setup_s = min(timed(lambda: tr_mk(sf)) for _ in range(3))
+            sft_mk = tr_mk(sf)
+            sync(sft_mk.Btip)
+            mk_s, _ = _tsolve_ms(sft_mk)
+            tr_out["transpose_marker_setup_ms"] = round(mk_setup_s * 1e3, 3)
+            tr_out["transpose_marker_solve_ms"] = round(mk_s * 1e3, 3)
+            del sft_mk
     except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
-        tr_out = {"transpose_error": f"{type(exc).__name__}: {exc}"[:200]}
+        tr_out["transpose_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # ---- native-assembly factor --------------------------------------------
     # the same problem class assembled DIRECTLY in global blocktri layout:

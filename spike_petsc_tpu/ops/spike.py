@@ -180,13 +180,25 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     # out-of-partition couplings live only in the first/last k rows of each
     # partition (b >= k), i.e. exactly the L[0]/U[nb-1] blocks that
     # band_to_blocktri zeroes — no separate local-band mask pass needed
-    local = band.data.reshape(K, m, band.width)
+    blocks = _band_to_blocks_chunked(band, K, m, b, kl, ku)
+    return _finish_factor(blocks, Btip, Ctip, n=n, K=K, m=m, b=b, k=k,
+                          method=method, truncated=truncated,
+                          store_spikes=store_spikes, store_dtype=store_dtype,
+                          reduced=reduced, shift=shift,
+                          shift_amount=shift_amount, inverter=inverter,
+                          spike_dtype=spike_dtype)
 
+
+def _band_to_blocks_chunked(band: BandedMatrix, K: int, m: int, b: int,
+                            kl: int, ku: int) -> BlockTridiagonal:
+    """Per-partition band -> blocktri conversion, chunked over partition
+    groups so the skew intermediate ([m, w + ~3b] per partition) stays
+    bounded: unchunked it peaks at ~3x the block storage and OOMs a 16 GB
+    chip near N=2e6 at the bench bandwidth.  ``band`` must already be
+    padded to K*m rows."""
+    local = band.data.reshape(K, m, band.width)
     to_blocks = jax.vmap(
         lambda d: band_to_blocktri(BandedMatrix(data=d, kl=kl, ku=ku), b))
-    # chunk the conversion so its skew intermediate ([m, w + ~3b] per
-    # partition) stays bounded: unchunked it peaks at ~3x the block storage
-    # and OOMs a 16 GB chip near N=2e6 at the bench bandwidth
     skew_bytes = K * m * (band.width + 3 * b) * jnp.dtype(band.dtype).itemsize
     need = min(K, -(-skew_bytes // _CONV_CHUNK_BYTES))
     nch = next((c for c in range(int(need), K + 1) if K % c == 0), 1) \
@@ -194,16 +206,9 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
     if nch > 1:
         blocks = jax.lax.map(to_blocks, local.reshape(nch, K // nch, m,
                                                       band.width))
-        blocks = jax.tree_util.tree_map(
+        return jax.tree_util.tree_map(
             lambda x: x.reshape(K, *x.shape[2:]), blocks)
-    else:
-        blocks = to_blocks(local)                           # [K, nb, b, b] x3
-    return _finish_factor(blocks, Btip, Ctip, n=n, K=K, m=m, b=b, k=k,
-                          method=method, truncated=truncated,
-                          store_spikes=store_spikes, store_dtype=store_dtype,
-                          reduced=reduced, shift=shift,
-                          shift_amount=shift_amount, inverter=inverter,
-                          spike_dtype=spike_dtype)
+    return to_blocks(local)                                # [K, nb, b, b] x3
 
 
 def _finish_factor(blocks, Btip, Ctip, *, n, K, m, b, k, method, truncated,
@@ -704,10 +709,9 @@ def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
     if band is not None and sf.fact.method == "inv":
         from .blocktri import transposed_factor_from_blocks
         bpad = pad_banded(band, K * sf.m)
-        blocks = jax.vmap(
-            lambda d: band_to_blocktri(
-                BandedMatrix(data=d, kl=band.kl, ku=band.ku), b))(
-            bpad.data.reshape(K, sf.m, bpad.width))
+        # same chunked conversion as the forward factor (the unchunked skew
+        # intermediate OOMs a 16 GB chip near N=2e6; code-review r3)
+        blocks = _band_to_blocks_chunked(bpad, K, sf.m, b, band.kl, band.ku)
         factT = transposed_factor_from_blocks(sf.fact, blocks)
     else:
         factT = TransposedBlockTriFactor(sf.fact)

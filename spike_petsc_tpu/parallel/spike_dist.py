@@ -587,7 +587,7 @@ def _dsf_specs(dsf: DistSpikeFactor, axis):
 
 
 def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,
-                           ppd, nb, b, k, spike_mask=None):
+                           ppd, nb, b, k, spike_mask=None, fast=True):
     """Shared per-device construction for the distributed transposes
     (1-D mesh and multislice): tip swap+transpose via one k-wide ppermute
     each way over ``perm_axes`` (stored global-edge zeros wrap around and
@@ -614,7 +614,7 @@ def _transpose_local_parts(fact, blocks, Btip, Ctip, *, perm_axes, ndev,
         U=jnp.concatenate([tT(blocks.L[:, 1:]), zb], axis=1))
     Bs, Cs = (Btip_t, Ctip_t) if spike_mask is None else \
         spike_mask(Btip_t, Ctip_t)
-    if isinstance(fact, BlockTriFactor) and fact.method == "inv":
+    if fast and isinstance(fact, BlockTriFactor) and fact.method == "inv":
         factT = _fast_transposed_factor(fact, blocks)
         out_factT = factT
     else:
@@ -640,15 +640,13 @@ def _keep_spikes(Vt, Wt, keep: bool, sdt):
 
 def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
                          reduced: str = "auto", inverter: str = "auto",
-                         store_spikes: Optional[bool] = None
-                         ) -> DistSpikeFactor:
+                         store_spikes: Optional[bool] = None,
+                         fast: bool = True) -> DistSpikeFactor:
     """DistSpikeFactor for A^T REUSING the mesh factorization — the
     distributed form of ops.spike.spike_transpose (no transpose
     refactorization: no conversion, no new block inversions).
 
-    Per device: partition factors transpose in place (local solves dispatch
-    to ``blocktri_solve_transpose`` via the ``TransposedBlockTriFactor``
-    marker); the block-tridiagonal blocks transpose partition-locally
+    Per device: the block-tridiagonal blocks transpose partition-locally
     (D'=D^T, L'_i=U_{i-1}^T, U'_i=L_{i+1}^T — cross-partition coupling
     lives in the tips); coupling tips swap and transpose with one k-wide
     ppermute each (A^T couples partition p forward through C_{p+1}^T,
@@ -656,6 +654,13 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     no masking is needed); transpose spikes are two batched transpose
     tri-solves; the replicated reduced system is reassembled from their
     all-gathered tips.
+
+    ``fast=True`` (default, method='inv') materializes the REGULAR-form
+    transposed factor (blocktri.transposed_factor_from_blocks — transpose
+    solves take the standard sweeps, fused Pallas kernel included) at the
+    cost of ~a second factor-sized buffer per device; ``fast=False`` (and
+    method='lu') shares storage through the ``TransposedBlockTriFactor``
+    marker instead (XLA-scan transpose sweeps, zero extra memory).
 
     The result is a full DistSpikeFactor: ``dist_spike_solve``,
     ``dist_spike_solve_many`` and ``make_dist_solver`` (Krylov on A^T with
@@ -674,7 +679,7 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         blocks_t, Btip_t, Ctip_t, Vt, Wt, tips, factT = \
             _transpose_local_parts(fact, blocks, Btip, Ctip,
                                    perm_axes=axis, ndev=ndev, ppd=ppd,
-                                   nb=nb, b=b, k=k)
+                                   nb=nb, b=b, k=k, fast=fast)
         all_tips = jax.lax.all_gather(tips, axis).reshape(K, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
             all_tips[:, 0], all_tips[:, 1], all_tips[:, 2], all_tips[:, 3],
@@ -692,7 +697,7 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         tip_struct, tip_struct, tip_struct, tip_struct)
     factT_spec = _shard_or_rep(
         jax.eval_shape(_fast_transposed_factor, dsf.fact, dsf.blocks),
-        axis) if method == "inv" else None
+        axis) if (fast and method == "inv") else None
     out_specs = (
         jax.tree_util.tree_map(lambda _: P(axis), _blocktri_struct()),
         P(axis), P(axis),
@@ -1020,9 +1025,11 @@ def _dist_spike_factor_multislice_impl(
 def dist_spike_transpose_multislice(
         dsf: DistSpikeFactor, mesh: Mesh, axis_slice: str = "slice",
         axis_p: str = "p", reduced: str = "auto", inverter: str = "auto",
-        store_spikes: Optional[bool] = None) -> DistSpikeFactor:
+        store_spikes: Optional[bool] = None,
+        fast: bool = True) -> DistSpikeFactor:
     """Multislice DistSpikeFactor for A^T reusing the (slice, p) mesh
-    factorization — the multislice form of ``dist_spike_transpose``.
+    factorization — the multislice form of ``dist_spike_transpose``
+    (see there for the ``fast`` regular-form-vs-marker memory tradeoff).
 
     Same construction, with the multislice PC contract preserved: the TRUE
     tips transpose with a ppermute over the flattened (slice, p) order (the
@@ -1062,7 +1069,8 @@ def dist_spike_transpose_multislice(
         blocks_t, Btip_t, Ctip_t, Vt, Wt, tips, factT = \
             _transpose_local_parts(fact, blocks, Btip, Ctip,
                                    perm_axes=axes, ndev=ndev, ppd=ppd,
-                                   nb=nb, b=b, k=k, spike_mask=pc_mask)
+                                   nb=nb, b=b, k=k, spike_mask=pc_mask,
+                                   fast=fast)
         # intra-slice gather ONLY (ICI)
         slice_tips = jax.lax.all_gather(tips, axis_p).reshape(Ks, 4, k, k)
         red_fact, red_Dinv = _build_reduced(
@@ -1082,7 +1090,7 @@ def dist_spike_transpose_multislice(
         tip_struct, tip_struct, tip_struct, tip_struct)
     factT_spec = _shard_or_rep(
         jax.eval_shape(_fast_transposed_factor, dsf.fact, dsf.blocks),
-        axes) if method == "inv" else None
+        axes) if (fast and method == "inv") else None
     out_specs = (
         jax.tree_util.tree_map(lambda _: pax, _blocktri_struct()),
         pax, pax,

@@ -93,14 +93,20 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
            pc_apply: Optional[Callable] = None, *, restart: int = 30,
            rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
            maxit: int = 10000, monitor_true: bool = False,
+           norm_type: str = "default",
            axis_name: Optional[str] = None, **_) -> KSPResult:
     """Flexible GMRES (right-preconditioned, stores the preconditioned basis;
     tolerates nonlinear/iterative preconditioners such as inner Krylov
-    solves — the analogue of nesting KSPs under PETSc prefixes)."""
+    solves — the analogue of nesting KSPs under PETSc prefixes).
+
+    ``norm_type``: validated for consistency — right preconditioning
+    already monitors the true residual, so "unpreconditioned" is a no-op
+    and "preconditioned" is an error (as in PETSc)."""
     return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
                        atol=atol, divtol=divtol, maxit=maxit,
                        flexible=True, right=True,
-                       monitor_true=monitor_true, axis_name=axis_name)
+                       monitor_true=monitor_true, norm_type=norm_type,
+                       axis_name=axis_name)
 
 
 def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
@@ -123,6 +129,11 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
     # to build it — exactly PETSc's cost for KSP_NORM_UNPRECONDITIONED).
     if norm_type not in ("default", "preconditioned", "unpreconditioned"):
         raise ValueError(f"unknown norm_type {norm_type!r}")
+    if norm_type == "preconditioned" and right:
+        # right preconditioning monitors the true residual by construction
+        # (PETSc errors on this combination too)
+        raise ValueError("norm_type='preconditioned' is incompatible with "
+                         "right preconditioning (fgmres / side='right')")
     unprec = norm_type == "unpreconditioned" and not right
     track_true = monitor_true or unprec
     bnorm = norm(b) if (right or unprec) else norm(psolve(b))

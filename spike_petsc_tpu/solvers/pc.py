@@ -67,6 +67,11 @@ class PC:
                     f"pc '{self.name}' has no transpose apply "
                     "(PCApplyTranspose unsupported for this type)")
             self._transposed = self.make_transpose()
+            # transpose() is an involution: (M^T)^{-T} = M^{-1}, so the
+            # transposed PC's transpose is this PC itself (KSPSolveTranspose
+            # + bicg composes: the shadow recurrence gets the forward apply)
+            if self._transposed._transposed is None:
+                self._transposed._transposed = self
         return self._transposed
 
 
@@ -228,8 +233,14 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     # would hand the transpose back to the unguarded Newton engine on
     # exactly the matrices that broke it (code-review r3)
     inv_eff = "blocked" if fb else inverter
+    # -pc_<name>_transpose_fast 0: storage-sharing marker form (XLA-scan
+    # transpose sweeps, zero extra memory) instead of the default
+    # regular-form transpose (fused-kernel speed, ~a second factor-sized
+    # buffer + one band conversion at build)
+    tr_band = band if opts.get_bool(f"pc_{name}_transpose_fast", True) \
+        else None
 
-    def _mk_transpose(_sf=sf, _band=band, _name=name, _info=info,
+    def _mk_transpose(_sf=sf, _band=tr_band, _name=name, _info=info,
                       _inv=inv_eff):
         # PCApplyTranspose: reuse the stored factors (spike_transpose — no
         # refactorization); built once on the host, cached by PC.transpose.
@@ -256,7 +267,7 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
                 return y.astype(_od)
             return apply
 
-        def _mk_transpose_cast(_sf=sf, _band=band, _name=name, _info=info,
+        def _mk_transpose_cast(_sf=sf, _band=tr_band, _name=name, _info=info,
                                _inv=inv_eff):
             from ..ops.spike import spike_transpose
             sft = spike_transpose(_sf, inverter=_inv, band=_band)
@@ -294,8 +305,10 @@ def pc_lu(pmat, opts: Options) -> PC:
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
-    def _mk_transpose(_sf=sf, _band=band, _info=info,
-                      _inv="blocked" if fb else inverter):
+    def _mk_transpose(_sf=sf,
+                      _band=(band if opts.get_bool("pc_lu_transpose_fast",
+                                                   True) else None),
+                      _info=info, _inv="blocked" if fb else inverter):
         from ..ops.spike import spike_transpose
         sft = spike_transpose(_sf, inverter=_inv, band=_band)
         return PC(name="lu_transpose",

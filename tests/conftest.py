@@ -89,8 +89,10 @@ def pytest_configure(config):
         "markers", "slow: compile-heavy tests (multi-device shard_map, "
         "large configs); excluded by `make test-quick`")
     # quick tier (-m "not slow"): enable the persistent cache unless the
-    # env var pinned a choice (see the cache caveat above)
-    if _cache_env == "" and "slow" in (config.option.markexpr or ""):
+    # env var pinned a choice (see the cache caveat above).  Match the
+    # DESELECTING expression specifically — a bare '-m slow' runs exactly
+    # the compile-heavy tier the policy excludes.
+    if _cache_env == "" and "not slow" in (config.option.markexpr or ""):
         _enable_cache()
 
 
