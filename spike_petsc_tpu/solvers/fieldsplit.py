@@ -60,6 +60,32 @@ def pc_composite(pmat, opts: Options) -> PC:
     pc = PC(name="composite", apply=apply,
             info=dict(type=ctype, pcs=",".join(names)))
     pc.inner = inners[0]
+
+    def _mk_transpose(_info=pc.info):
+        # PCApplyTranspose: additive transposes term-wise; multiplicative
+        # reverses the stage order on A^T (I - M^{-T}A^T factors as the
+        # reversed product of the per-stage factors transposed)
+        innersT = [p.transpose() for p in inners]
+        if ctype == "additive":
+            def applyT(r):
+                z = innersT[0].apply(r)
+                for it in innersT[1:]:
+                    z = z + it.apply(r)
+                return z
+        else:
+            from .operator import transpose_operator
+            mvT, _, _ = as_matvec(transpose_operator(pmat))
+            rev = innersT[::-1]
+
+            def applyT(r):
+                z = rev[0].apply(r)
+                for it in rev[1:]:
+                    z = z + it.apply(r - mvT(z))
+                return z
+        return PC(name="composite_transpose", apply=applyT, info=_info,
+                  inner=innersT[0])
+
+    pc.make_transpose = _mk_transpose
     return pc
 
 
@@ -173,12 +199,36 @@ def pc_fieldsplit_is(pmat, isets, opts: Options) -> PC:
             return scatter([z0, z1], r.dtype)
 
         inner0 = pc0
+
+        def _mk_transpose():
+            # transpose of the full Schur factorization P = L D U:
+            # P^{-T} = L^{-T} D^{-T} U^{-T} — same three-step structure
+            # with A01 <-> A10 transposed and the inner PCs transposed
+            pc0t, pc1t = pc0.transpose(), pc1.transpose()
+            mv01t, _, _ = as_matvec(A01.T.tocsr())   # [n1, n0]
+            mv10t, _, _ = as_matvec(A10.T.tocsr())   # [n0, n1]
+
+            def applyT(r):
+                r0, r1 = r[dev_isets[0]], r[dev_isets[1]]
+                w0p = pc0t.apply(r0)
+                w1 = pc1t.apply(r1 - mv01t(w0p))
+                w0 = w0p - pc0t.apply(mv10t(w1))
+                return scatter([w0, w1], r.dtype)
+            return applyT, pc0t
     else:
         pcs = [make_pc(i, blk(i, i)) for i in range(nf)]
         if ftype == "additive":
             def apply(r):
                 zs = [pcs[i].apply(r[dev_isets[i]]) for i in range(nf)]
                 return scatter(zs, r.dtype)
+
+            def _mk_transpose():
+                pcst = [p.transpose() for p in pcs]
+
+                def applyT(r):
+                    zs = [pcst[i].apply(r[dev_isets[i]]) for i in range(nf)]
+                    return scatter(zs, r.dtype)
+                return applyT, pcst[0]
         elif ftype == "multiplicative":
             # block Gauss-Seidel over the fields:
             # z_i = M_ii^{-1} (r_i - sum_{j<i} A_ij z_j)
@@ -193,16 +243,42 @@ def pc_fieldsplit_is(pmat, isets, opts: Options) -> PC:
                         ri = ri - mv_low[(i, j)](zs[j])
                     zs.append(pcs[i].apply(ri))
                 return scatter(zs, r.dtype)
+
+            def _mk_transpose():
+                # transpose of block lower Gauss-Seidel is block UPPER
+                # Gauss-Seidel on A^T: w_i = M_ii^{-T}(r_i -
+                # sum_{j>i} A_ji^T w_j), i descending
+                pcst = [p.transpose() for p in pcs]
+                mv_up = {(i, j): as_matvec(blk(j, i).T.tocsr())[0]
+                         for i in range(nf) for j in range(i + 1, nf)}
+
+                def applyT(r):
+                    ws = [None] * nf
+                    for i in range(nf - 1, -1, -1):
+                        ri = r[dev_isets[i]]
+                        for j in range(i + 1, nf):
+                            ri = ri - mv_up[(i, j)](ws[j])
+                        ws[i] = pcst[i].apply(ri)
+                    return scatter(ws, r.dtype)
+                return applyT, pcst[0]
         else:
             raise ValueError(f"unknown fieldsplit type {ftype!r}")
         inner0 = pcs[0]
 
-    return PC(name="fieldsplit", apply=apply,
-              info=dict(type=ftype, nfields=nf,
-                        sizes=[int(len(ix)) for ix in isets],
-                        schur_precondition=(sprec if ftype == "schur"
-                                            else None)),
-              inner=inner0)
+    pc = PC(name="fieldsplit", apply=apply,
+            info=dict(type=ftype, nfields=nf,
+                      sizes=[int(len(ix)) for ix in isets],
+                      schur_precondition=(sprec if ftype == "schur"
+                                          else None)),
+            inner=inner0)
+
+    def _mk_transpose_pc(_info=pc.info):
+        applyT, innerT = _mk_transpose()
+        return PC(name="fieldsplit_transpose", apply=applyT, info=_info,
+                  inner=innerT)
+
+    pc.make_transpose = _mk_transpose_pc
+    return pc
 
 
 @register_pc("fieldsplit")

@@ -136,3 +136,41 @@ def test_fieldsplit_fields_gap_is_an_error():
                     "pc_fieldsplit_2_fields": "1,2"})
     with pytest.raises(ValueError, match="contiguously"):
         _fieldsplit_isets(opts, 9)
+
+
+def test_composite_and_fieldsplit_transposes_adjoint_identity():
+    """PCApplyTranspose for the composed PCs: every type must satisfy the
+    adjoint identity <y, M^{-1} x> == <M^{-T} y, x> (composite reverses
+    its multiplicative stage order on A^T; fieldsplit-schur swaps
+    A01 <-> A10 transposed; block Gauss-Seidel becomes the upper sweep)."""
+    from spike_petsc_tpu.solvers.fieldsplit import pc_fieldsplit_is
+    from spike_petsc_tpu.solvers.pc import make_pc
+
+    rng = np.random.default_rng(0)
+    n = 200
+    a = problems.nonsym_banded(n, 4, 3, seed=9).tocsr()
+    x = jnp.asarray(rng.standard_normal(n))
+    y = jnp.asarray(rng.standard_normal(n))
+
+    def adjoint_gap(pc):
+        t = pc.transpose()
+        return abs(float(jnp.vdot(y, pc.apply(x)))
+                   - float(jnp.vdot(t.apply(y), x)))
+
+    for ct in ("additive", "multiplicative"):
+        pc = make_pc("composite", a, Options(
+            {"pc_composite_pcs": "jacobi,spike", "pc_composite_type": ct,
+             "sub_1_pc_spike_partitions": 4}))
+        assert adjoint_gap(pc) < 1e-10, ct
+    perm = rng.permutation(n)
+    isets = [np.sort(perm[:90]), np.sort(perm[90:])]
+    for ft in ("schur", "additive", "multiplicative"):
+        pc = pc_fieldsplit_is(a, isets, Options({"pc_fieldsplit_type": ft}))
+        assert adjoint_gap(pc) < 1e-10, ft
+    # and end-to-end: BiCG's shadow recurrence through the Schur transpose
+    u = rng.standard_normal(n)
+    pcS = pc_fieldsplit_is(a, isets, Options({"pc_fieldsplit_type": "schur"}))
+    res = solve(a, jnp.asarray(a @ u), pc=pcS, ksp_type="bicg", rtol=1e-10,
+                maxit=200)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
