@@ -10,7 +10,8 @@ from .spike_dist import (DistSpikeFactor, dist_spike_factor, dist_spike_solve,
                          dist_spike_transpose_multislice,
                          make_mesh_3d, make_dist_solver_3d)
 from .matching_dev import auction_match, auction_match_dist
-from .elastic import ResilientResult, SolveCheckpoint, resilient_solve
+from .elastic import (ResilientResult, ResilientServeResult, SolveCheckpoint,
+                      resilient_serve, resilient_solve)
 from .autodiff import (dist_solve_banded_diff,
                        dist_solve_banded_diff_multislice)
 
@@ -25,6 +26,7 @@ __all__ = [
     "dist_spike_transpose_multislice",
     "make_mesh_3d", "make_dist_solver_3d",
     "auction_match", "auction_match_dist",
-    "ResilientResult", "SolveCheckpoint", "resilient_solve",
+    "ResilientResult", "ResilientServeResult", "SolveCheckpoint",
+    "resilient_serve", "resilient_solve",
     "dist_solve_banded_diff", "dist_solve_banded_diff_multislice",
 ]

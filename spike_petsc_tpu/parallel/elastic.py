@@ -268,3 +268,145 @@ def resilient_solve(band: BandedMatrix, rhs, *,
     return ResilientResult(x=state.x, its=state.its_done, reason=reason,
                            rnorm=state.rnorm, segments=state.segments,
                            failures=failures, meshes_used=meshes_used)
+
+
+@dataclass
+class ResilientServeResult:
+    """Served batch plus the recovery trail."""
+
+    X: np.ndarray                # [R, n]
+    attempts: int
+    failures: int
+    meshes_used: list
+
+
+def resilient_serve(band: BandedMatrix, B, *,
+                    mesh_shape: tuple,
+                    parts_per_device: int = 1,
+                    block_b: Optional[int] = None,
+                    method: str = "inv",
+                    ksp_type: str = "richardson",
+                    rtol: float = 1e-8,
+                    maxit: int = 50,
+                    fault_injector: Optional[Callable[[int], None]] = None,
+                    max_failures: int = 2,
+                    on_failure: Optional[Callable] = None,
+                    **solver_params) -> ResilientServeResult:
+    """Elastic multi-RHS serving on a replica mesh: device failures cost
+    REPLICAS (throughput), not work — the replica axis carries no solver
+    communication, so recovery just rebuilds with a smaller rhs axis and
+    re-serves the batch (solves are milliseconds; no checkpointing needed,
+    unlike the long-iteration ``resilient_solve``).
+
+    Args:
+      B: right-hand sides [R, n] (rows are padded to a multiple of the
+        current rhs-axis size with zero columns and trimmed from X).
+      mesh_shape: (n_rhs, n_p) for the 2-D replica mesh
+        (``make_dist_solver_batched``), or (n_rhs, n_slices, per_slice)
+        for the 3-D replicated-multislice mesh (``make_dist_solver_3d``).
+      on_failure: ``(cfg, exc) -> new_cfg`` policy; the default re-probes
+        device health (put+readback per device) and shrinks ONLY the
+        replica axis to what the survivors support with the inner
+        (slice, p) shape fixed; all-healthy probes get one same-size
+        retry per failure streak.
+      fault_injector: test hook called after each serve attempt; raising
+        is treated like a device failure.
+
+    Returns ResilientServeResult (X: [R, n]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    three_d = len(mesh_shape) == 3
+    if not three_d and len(mesh_shape) != 2:
+        raise ValueError("mesh_shape must be (n_rhs, n_p) or "
+                         "(n_rhs, n_slices, per_slice)")
+    B = np.asarray(B)
+    R = B.shape[0]
+    failures = 0
+    attempts = 0
+    meshes_used = []
+    cfg = tuple(int(c) for c in mesh_shape)
+
+    def build(c):
+        if three_d:
+            from .spike_dist import (dist_spike_factor_multislice,
+                                     make_dist_solver_3d, make_mesh_3d)
+            mesh = make_mesh_3d(c)
+            dsf = dist_spike_factor_multislice(
+                band, mesh, method=method, block_b=block_b,
+                parts_per_device=parts_per_device)
+            meshes_used.append(tuple(int(s) for s in mesh.devices.shape))
+            return make_dist_solver_3d(dsf, mesh, ksp_type=ksp_type,
+                                       rtol=rtol, maxit=maxit,
+                                       **solver_params)
+        from .mesh import make_mesh_2d
+        from .spike_dist import make_dist_solver_batched
+        mesh = make_mesh_2d(c, axes=("rhs", "p"))
+        dsf = dist_spike_factor(band, mesh, axis="p", method=method,
+                                block_b=block_b,
+                                parts_per_device=parts_per_device)
+        meshes_used.append(tuple(int(s) for s in mesh.devices.shape))
+        return make_dist_solver_batched(dsf, mesh, ksp_type=ksp_type,
+                                        rtol=rtol, maxit=maxit,
+                                        **solver_params)
+
+    def _probe_alive():
+        try:
+            devs = jax.devices()
+        except Exception:
+            return 0
+        alive = 0
+        for d in devs:
+            try:
+                np.asarray(jax.device_put(jnp.ones((1,), jnp.float32), d))
+                alive += 1
+            except Exception:
+                continue
+        return alive
+
+    inner = int(np.prod(cfg[1:]))
+
+    def _default_on_failure(c, exc):
+        alive = _probe_alive()
+        if alive >= c[0] * inner:
+            return c                      # transient; retry same size
+        new_r = min(c[0], alive // inner)
+        if new_r < 1:
+            raise RuntimeError(
+                f"only {alive} devices survive — fewer than one replica "
+                f"of {inner}; cannot rebuild a serving mesh") from exc
+        return (new_r,) + c[1:]
+
+    policy = on_failure or _default_on_failure
+    solver = None
+    same_size_retries = 0
+    while True:
+        try:
+            if solver is None:
+                solver = build(cfg)
+            r_ax = cfg[0]
+            Rp = -(-R // r_ax) * r_ax
+            Bp = np.zeros((Rp, B.shape[1]), B.dtype)
+            Bp[:R] = B
+            X = np.asarray(solver(jnp.asarray(Bp)))  # readback = barrier
+            attempts += 1
+            if fault_injector is not None:
+                fault_injector(attempts - 1)
+            return ResilientServeResult(X=X[:R], attempts=attempts,
+                                        failures=failures,
+                                        meshes_used=meshes_used)
+        except Exception as exc:  # noqa: BLE001 — any runtime/device error
+            attempts += 1
+            failures += 1
+            if failures > max_failures:
+                raise
+            new_cfg = tuple(policy(cfg, exc))
+            if new_cfg == cfg and on_failure is None:
+                same_size_retries += 1
+                if same_size_retries > 1:
+                    # the probe is not seeing the real fault: drop a replica
+                    new_cfg = (max(1, cfg[0] - 1),) + cfg[1:]
+            if new_cfg != cfg or on_failure is not None:
+                cfg = new_cfg
+                solver = None

@@ -766,7 +766,11 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
                 R = rblk - local_matvec_many(dsf_in, X, axis_p)
                 rn2 = jax.lax.psum(jnp.sum(jnp.square(R), axis=(0, 1, 2)),
                                    axis_p)
-                return R, jnp.max(jnp.sqrt(rn2 / bnorm2))
+                # pmax over the replica axis: every replica takes the SAME
+                # trip count, so the per-trip collectives stay aligned
+                # across independent replica groups (see _keep_iterating)
+                return R, jax.lax.pmax(
+                    jnp.max(jnp.sqrt(rn2 / bnorm2)), axis_rhs)
 
             # the carry holds the CURRENT iterate's residual so convergence
             # is tested before spending the next correction — checking the
@@ -797,8 +801,11 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
                 if use_pc else None
 
             def one(rl):
+                # conv_sync_axis=axis_rhs: replicas must take identical
+                # trip counts or their per-trip collectives misalign
                 return method(matvec, rl.reshape(-1), None, pc_apply,
-                              axis_name=axis_p, **params).x.reshape(ppd, m)
+                              axis_name=axis_p, conv_sync_axis=axis_rhs,
+                              **params).x.reshape(ppd, m)
             return jax.lax.map(one, r_local)
 
     # factor fields are sharded over axis_p only (replicated across axis_rhs)
@@ -1289,14 +1296,19 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
 
 def _multislice_many_local_fn(dsf: DistSpikeFactor, ksp_type: str,
                               axis_slice: str, axis_p: str, n_slices: int,
-                              ndev_p: int, params: dict):
+                              ndev_p: int, params: dict,
+                              sync_axis: Optional[str] = None):
     """Per-device multi-RHS engine on a (slice, p) submesh:
     local_fn(dsf_local, r_local[ppd, m, r]) -> x[ppd, m, r].
 
     The engine bodies behind both multislice serving surfaces
     (make_dist_solver_multislice_batched and the 3-D replica mesh of
     make_dist_solver_3d); collectives touch ONLY axis_slice/axis_p, so an
-    outer replica axis stays communication-free."""
+    outer replica axis stays communication-free — but on a REPLICA mesh
+    the iteration-count decisions must still be synchronized over
+    ``sync_axis``: otherwise replicas take different while_loop trip
+    counts and their per-trip collectives misalign across the independent
+    groups (deadlock on XLA:CPU; see solvers.krylov._keep_iterating)."""
     ppd, m, nb, b = dsf.ppd, dsf.m, dsf.nb, dsf.b
     axes = (axis_slice, axis_p)
 
@@ -1324,7 +1336,10 @@ def _multislice_many_local_fn(dsf: DistSpikeFactor, ksp_type: str,
                 R = rblk - local_matvec_many(dsf_in, X, axes)
                 rn2 = jax.lax.psum(jnp.sum(jnp.square(R), axis=(0, 1, 2)),
                                    axes)
-                return R, jnp.max(jnp.sqrt(rn2 / bnorm2))
+                rel = jnp.max(jnp.sqrt(rn2 / bnorm2))
+                if sync_axis is not None:
+                    rel = jax.lax.pmax(rel, sync_axis)
+                return R, rel
 
             def body(carry):
                 X, R, _, it = carry
@@ -1352,7 +1367,8 @@ def _multislice_many_local_fn(dsf: DistSpikeFactor, ksp_type: str,
 
             def one(rl):
                 return method(matvec, rl.reshape(-1), None, pc_apply,
-                              axis_name=axes, **params).x.reshape(ppd, m)
+                              axis_name=axes, conv_sync_axis=sync_axis,
+                              **params).x.reshape(ppd, m)
             x = jax.lax.map(one, jnp.moveaxis(r_local, -1, 0))
             return jnp.moveaxis(x, 0, -1)
     return local_fn
@@ -1448,7 +1464,7 @@ def make_dist_solver_3d(dsf: DistSpikeFactor, mesh: Mesh,
     Krylov name (per-RHS convergence control under lax.map)."""
     local_engine = _multislice_many_local_fn(
         dsf, ksp_type, axis_slice, axis_p, mesh.shape[axis_slice],
-        mesh.shape[axis_p], params)
+        mesh.shape[axis_p], params, sync_axis=axis_rhs)
 
     def local_fn(dsf_in, r_local):                 # [Rloc, ppd, m]
         x = local_engine(dsf_in, jnp.moveaxis(r_local, 0, -1))

@@ -60,6 +60,23 @@ def _gram(V, w, axis_name=None):
     return h
 
 
+def _keep_iterating(reason, conv_sync_axis=None):
+    """Loop predicate, optionally SYNCHRONIZED over a mesh axis that the
+    solver's reductions do NOT cover (e.g. the replica axis of a serving
+    mesh).  Without the sync, independent replicas take data-dependent,
+    DIFFERENT while_loop trip counts — and since each trip executes
+    collectives (ppermute halos, psum dots) over the partition axes,
+    devices in different replicas execute mismatched collective sequences:
+    a deadlock on XLA:CPU's rendezvous and undefined behaviour generally.
+    Synced, every participant iterates until ALL have stopped (extra
+    iterations on converged replicas are harmless refinement; reported
+    ``its`` counts executed iterations)."""
+    it = reason == CONVERGED_ITERATING
+    if conv_sync_axis is None:
+        return it
+    return jax.lax.pmax(it.astype(jnp.int32), conv_sync_axis) == 1
+
+
 # ---------------------------------------------------------------------------
 # GMRES (restarted, modified Gram-Schmidt, Givens rotations)
 # ---------------------------------------------------------------------------
@@ -69,7 +86,8 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
           rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
           maxit: int = 10000, side: str = "left",
           monitor_true: bool = False, norm_type: str = "default",
-          axis_name: Optional[str] = None) -> KSPResult:
+          axis_name: Optional[str] = None,
+          conv_sync_axis: Optional[str] = None) -> KSPResult:
     """Restarted GMRES with left (default) or right preconditioning.
 
     Matches PETSc KSPGMRES defaults (restart 30, rtol 1e-5, classical Givens
@@ -86,7 +104,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                        atol=atol, divtol=divtol, maxit=maxit,
                        flexible=False, right=(side == "right"),
                        monitor_true=monitor_true, norm_type=norm_type,
-                       axis_name=axis_name)
+                       axis_name=axis_name, conv_sync_axis=conv_sync_axis)
 
 
 def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
@@ -94,7 +112,8 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
            rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
            maxit: int = 10000, monitor_true: bool = False,
            norm_type: str = "default",
-           axis_name: Optional[str] = None, **_) -> KSPResult:
+           axis_name: Optional[str] = None,
+           conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Flexible GMRES (right-preconditioned, stores the preconditioned basis;
     tolerates nonlinear/iterative preconditioners such as inner Krylov
     solves — the analogue of nesting KSPs under PETSc prefixes).
@@ -106,12 +125,12 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                        atol=atol, divtol=divtol, maxit=maxit,
                        flexible=True, right=True,
                        monitor_true=monitor_true, norm_type=norm_type,
-                       axis_name=axis_name)
+                       axis_name=axis_name, conv_sync_axis=conv_sync_axis)
 
 
 def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
                 maxit, flexible, right, monitor_true=False,
-                norm_type="default", axis_name=None):
+                norm_type="default", axis_name=None, conv_sync_axis=None):
     psolve = pc_apply or _identity_pc
     n = b.shape[0]
     dtype = b.dtype
@@ -176,7 +195,7 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 
         def inner_cond(c):
             _, _, _, _, _, _, j, its_i, _, reason_i, _, _ = c
-            return (j < restart) & (reason_i == CONVERGED_ITERATING)
+            return (j < restart) & _keep_iterating(reason_i, conv_sync_axis)
 
         def inner_body(c):
             V, Z, H, g, cs, sn, j, its_i, rn, reason_i, hist_i, thist_i = c
@@ -269,14 +288,15 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
                 dx = psolve(dx)
         x = x + dx
         # residual for the NEXT cycle; skipped (branch not executed on TPU)
-        # when this cycle ended the solve
-        r = jax.lax.cond(reason == CONVERGED_ITERATING,
+        # when this cycle ended the solve — the SYNCED predicate, so a
+        # replica forced into extra cycles refreshes r and keeps refining
+        r = jax.lax.cond(_keep_iterating(reason, conv_sync_axis),
                          lambda op: residual(op[0]), lambda op: op[1],
                          (x, r))
         return (x, r, its, rnorm, reason, hist, thist)
 
     def outer_cond(state):
-        return state[4] == CONVERGED_ITERATING
+        return _keep_iterating(state[4], conv_sync_axis)
 
     r0 = residual(x0)
     rnorm0 = _norm(r0, axis_name)
@@ -301,7 +321,8 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
              pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
              atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
-             axis_name: Optional[str] = None, **_) -> KSPResult:
+             axis_name: Optional[str] = None,
+             conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned BiCGStab (van der Vorst), PETSc KSPBCGS equivalent —
     the solver BASELINE config 3 pairs with the MC64 pre-pass.  The monitored
     residual is already the true (unpreconditioned) residual."""
@@ -322,7 +343,7 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
-        return s["reason"] == CONVERGED_ITERATING
+        return _keep_iterating(s["reason"], conv_sync_axis)
 
     def body(s):
         rho_new = dot(rtilde, s["r"])
@@ -365,7 +386,7 @@ def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
          pc_apply_transpose: Optional[Callable] = None,
          rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
          maxit: int = 10000, axis_name: Optional[str] = None,
-         **_) -> KSPResult:
+         conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned BiConjugate Gradients (PETSc KSPBICG equivalent).
 
     Runs the shadow recurrence on A^H / M^{-H} — the transpose operators
@@ -403,7 +424,7 @@ def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
-        return s["reason"] == CONVERGED_ITERATING
+        return _keep_iterating(s["reason"], conv_sync_axis)
 
     def body(s):
         q = matvec(s["p"])
@@ -447,7 +468,8 @@ def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
        pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
        atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
-       axis_name: Optional[str] = None, **_) -> KSPResult:
+       axis_name: Optional[str] = None,
+       conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned conjugate gradients (SPD operators/preconditioners)."""
     psolve = pc_apply or _identity_pc
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -466,7 +488,7 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
-        return s["reason"] == CONVERGED_ITERATING
+        return _keep_iterating(s["reason"], conv_sync_axis)
 
     def body(s):
         w = matvec(s["p"])
@@ -500,7 +522,7 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                pc_apply: Optional[Callable] = None, *, scale: float = 1.0,
                rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
                maxit: int = 10000, axis_name: Optional[str] = None,
-               **_) -> KSPResult:
+               conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned Richardson iteration x += scale * M^{-1} r — doubles as
     stationary iterative refinement when M is a (possibly lower-precision)
     direct factorization."""
@@ -518,7 +540,7 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
-        return s["reason"] == CONVERGED_ITERATING
+        return _keep_iterating(s["reason"], conv_sync_axis)
 
     def body(s):
         x = s["x"] + scale * psolve(s["r"])
@@ -540,7 +562,8 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
               pc_apply: Optional[Callable] = None, *, emin: float = 0.1,
               emax: float = 1.1, rtol: float = 1e-5, atol: float = 1e-50,
               divtol: float = 1e4, maxit: int = 10000,
-              axis_name: Optional[str] = None, **_) -> KSPResult:
+              axis_name: Optional[str] = None,
+              conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Chebyshev semi-iteration over the (preconditioned) spectrum interval
     [emin, emax] — PETSc KSPCHEBYSHEV equivalent; reduction-free iterations
     (no dot products -> no psum latency on the mesh), the classic smoother
@@ -563,7 +586,7 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
-        return s["reason"] == CONVERGED_ITERATING
+        return _keep_iterating(s["reason"], conv_sync_axis)
 
     def body(s):
         z = psolve(s["r"])

@@ -405,6 +405,31 @@ def test_3d_mesh_replicated_multislice_serving():
     np.testing.assert_allclose(X, Xref.T, rtol=1e-6, atol=1e-8)
 
 
+def test_3d_mesh_trip_count_sync_no_deadlock():
+    """Regression: replicas whose convergence loops take DIFFERENT trip
+    counts execute mismatched collective sequences — a deadlock on
+    XLA:CPU's rendezvous (hit at ppd=1 with uneven column batches).  The
+    engines now pmax the keep-iterating decision over the replica axis
+    (solvers.krylov._keep_iterating / the richardson rel pmax)."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_3d, make_mesh_3d)
+    n = 512
+    a = problems.spd_banded(n, 3, seed=5)
+    bm = banded_of(a)
+    mesh3 = make_mesh_3d((2, 2, 2))
+    dsf = dist_spike_factor_multislice(bm, mesh3, block_b=8)  # ppd=1 repro
+    rng = np.random.default_rng(7)
+    # deliberately heterogeneous difficulty across the two replicas
+    U = rng.standard_normal((6, n))
+    U[3:] *= 1e6
+    B = jnp.asarray((a @ U.T).T)
+    for kt in ("richardson", "gmres"):
+        X = np.asarray(make_dist_solver_3d(dsf, mesh3, ksp_type=kt,
+                                           rtol=1e-10, maxit=60)(B))
+        rel = np.linalg.norm(X - U) / np.linalg.norm(U)
+        assert rel < 1e-8, (kt, rel)
+
+
 def test_3d_mesh_preonly_and_krylov():
     """The other two per-replica engines on the 3-D mesh: preonly replica
     consistency (same rhs on both replicas -> identical answers) and

@@ -223,3 +223,46 @@ def test_multislice_checkpoint_resume(tmp_path):
                            ckpt_path=ck, resume=True)
     assert res2.reason == CONVERGED_RTOL
     np.testing.assert_allclose(res2.x, u, rtol=1e-7, atol=1e-8)
+
+
+def test_resilient_serve_replica_loss_3d():
+    """Elastic serving on the (rhs, slice, p) mesh: losing a replica costs
+    throughput only — the batch is re-served on a rebuilt mesh with fewer
+    replicas, same inner (slice, p) shape."""
+    from spike_petsc_tpu.parallel import resilient_serve
+
+    n, R = 512, 5
+    a = problems.spd_banded(n, 3, seed=5)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    U = np.random.default_rng(0).standard_normal((R, n))
+    B = (a @ U.T).T
+
+    def inject(i):
+        if i == 0:
+            raise RuntimeError("injected replica loss")
+
+    res = resilient_serve(bm, B, mesh_shape=(2, 2, 2), block_b=8,
+                          ksp_type="richardson", rtol=1e-10, maxit=40,
+                          fault_injector=inject,
+                          on_failure=lambda c, e: (1,) + tuple(c[1:]))
+    assert res.failures == 1
+    assert res.meshes_used == [(2, 2, 2), (1, 2, 2)]
+    rel = np.linalg.norm(res.X - U) / np.linalg.norm(U)
+    assert rel < 1e-8, rel
+
+
+def test_resilient_serve_2d_no_fault_pads_batch():
+    """2-D (rhs, p) serving path: R not divisible by the rhs axis is padded
+    with zero columns and trimmed; no-fault runs report a clean trail."""
+    from spike_petsc_tpu.parallel import resilient_serve
+
+    n, R = 512, 5
+    a = problems.spd_banded(n, 3, seed=5)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    U = np.random.default_rng(1).standard_normal((R, n))
+    res = resilient_serve(bm, (a @ U.T).T, mesh_shape=(2, 4), block_b=8,
+                          ksp_type="preonly")
+    assert res.failures == 0 and res.meshes_used == [(2, 4)]
+    np.testing.assert_allclose(res.X, U, rtol=1e-8, atol=1e-9)
