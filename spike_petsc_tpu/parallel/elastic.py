@@ -397,7 +397,6 @@ def resilient_serve(band: BandedMatrix, B, *,
                                         failures=failures,
                                         meshes_used=meshes_used)
         except Exception as exc:  # noqa: BLE001 — any runtime/device error
-            attempts += 1
             failures += 1
             if failures > max_failures:
                 raise

@@ -266,3 +266,38 @@ def test_resilient_serve_2d_no_fault_pads_batch():
                           ksp_type="preonly")
     assert res.failures == 0 and res.meshes_used == [(2, 4)]
     np.testing.assert_allclose(res.X, U, rtol=1e-8, atol=1e-9)
+
+
+def test_resilient_serve_default_policy_transient_retry():
+    """Default on_failure: when every device still answers the health probe
+    the failure is treated as transient — one same-size retry, no replica
+    dropped; a second consecutive failure drops a replica anyway."""
+    from spike_petsc_tpu.parallel import resilient_serve
+
+    n, R = 384, 4
+    a = problems.spd_banded(n, 3, seed=6)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    U = np.random.default_rng(2).standard_normal((R, n))
+    B = (a @ U.T).T
+
+    def inject_once(i):
+        if i == 0:
+            raise RuntimeError("transient blip")
+
+    res = resilient_serve(bm, B, mesh_shape=(2, 4), block_b=8,
+                          ksp_type="preonly", fault_injector=inject_once)
+    assert res.failures == 1
+    assert res.meshes_used == [(2, 4)]          # same size retained
+    np.testing.assert_allclose(res.X, U, rtol=1e-8, atol=1e-9)
+
+    def inject_twice(i):
+        if i <= 1:
+            raise RuntimeError("persistent fault the probe cannot see")
+
+    res2 = resilient_serve(bm, B, mesh_shape=(2, 4), block_b=8,
+                           ksp_type="preonly", fault_injector=inject_twice,
+                           max_failures=3)
+    assert res2.failures == 2
+    assert res2.meshes_used[-1] == (1, 4)       # forced replica drop
+    np.testing.assert_allclose(res2.X, U, rtol=1e-8, atol=1e-9)
