@@ -289,12 +289,17 @@ def main() -> None:
             fast_setup_s = min(timed(lambda: tr_fast(sf, data))
                                for _ in range(3))
             sft = tr_fast(sf, data)
-            sync(sft.fact.Sinv)
+            sync(sft.Btip)      # Btip exists for BOTH forms (fast regular
+            # factor for method=inv, marker wrapper for lu/cr)
             fast_s, xt = _tsolve_ms(sft)
             res_t = banded_matvec(bandT, xt) - rhs
+            from spike_petsc_tpu.ops.blocktri import BlockTriFactor
             tr_out = {
                 "transpose_setup_ms": round(fast_setup_s * 1e3, 3),
                 "transpose_solve_ms": round(fast_s * 1e3, 3),
+                "transpose_form": ("fast" if isinstance(sft.fact,
+                                                        BlockTriFactor)
+                                   else "marker"),
                 "transpose_relres": float(np.asarray(
                     jnp.linalg.norm(res_t) / jnp.linalg.norm(rhs))),
             }

@@ -329,6 +329,9 @@ def resilient_serve(band: BandedMatrix, B, *,
     cfg = tuple(int(c) for c in mesh_shape)
 
     def build(c):
+        # meshes_used records only meshes whose solver CONSTRUCTION
+        # completed (a failure mid-build must not log a ghost mesh in the
+        # recovery trail; code-review r3)
         if three_d:
             from .spike_dist import (dist_spike_factor_multislice,
                                      make_dist_solver_3d, make_mesh_3d)
@@ -336,20 +339,21 @@ def resilient_serve(band: BandedMatrix, B, *,
             dsf = dist_spike_factor_multislice(
                 band, mesh, method=method, block_b=block_b,
                 parts_per_device=parts_per_device)
-            meshes_used.append(tuple(int(s) for s in mesh.devices.shape))
-            return make_dist_solver_3d(dsf, mesh, ksp_type=ksp_type,
-                                       rtol=rtol, maxit=maxit,
-                                       **solver_params)
-        from .mesh import make_mesh_2d
-        from .spike_dist import make_dist_solver_batched
-        mesh = make_mesh_2d(c, axes=("rhs", "p"))
-        dsf = dist_spike_factor(band, mesh, axis="p", method=method,
-                                block_b=block_b,
-                                parts_per_device=parts_per_device)
+            solver = make_dist_solver_3d(dsf, mesh, ksp_type=ksp_type,
+                                         rtol=rtol, maxit=maxit,
+                                         **solver_params)
+        else:
+            from .mesh import make_mesh_2d
+            from .spike_dist import make_dist_solver_batched
+            mesh = make_mesh_2d(c, axes=("rhs", "p"))
+            dsf = dist_spike_factor(band, mesh, axis="p", method=method,
+                                    block_b=block_b,
+                                    parts_per_device=parts_per_device)
+            solver = make_dist_solver_batched(dsf, mesh, ksp_type=ksp_type,
+                                              rtol=rtol, maxit=maxit,
+                                              **solver_params)
         meshes_used.append(tuple(int(s) for s in mesh.devices.shape))
-        return make_dist_solver_batched(dsf, mesh, ksp_type=ksp_type,
-                                        rtol=rtol, maxit=maxit,
-                                        **solver_params)
+        return solver
 
     def _probe_alive():
         try:
@@ -406,6 +410,10 @@ def resilient_serve(band: BandedMatrix, B, *,
                 if same_size_retries > 1:
                     # the probe is not seeing the real fault: drop a replica
                     new_cfg = (max(1, cfg[0] - 1),) + cfg[1:]
-            if new_cfg != cfg or on_failure is not None:
+            if new_cfg != cfg:
+                # unchanged cfg (default transient path OR a custom policy
+                # returning the same size) reuses the built solver — a
+                # rebuild would pay the factor + shard_map recompile for
+                # nothing (code-review r3)
                 cfg = new_cfg
                 solver = None

@@ -77,6 +77,26 @@ def _keep_iterating(reason, conv_sync_axis=None):
     return jax.lax.pmax(it.astype(jnp.int32), conv_sync_axis) == 1
 
 
+def _freeze_when_done(body, conv_sync_axis):
+    """Wrap a while_loop body so a participant whose reason is already
+    TERMINAL keeps executing the body's collectives (alignment!) but
+    discards every state update — without this, conv_sync_axis-forced
+    extra trips would (a) divide by the breakdown-zero scalars bicgstab
+    just stopped on (NaN overwrites a valid solution) and (b) recompute
+    ``reason = check(...)``, silently re-arming a loop that stopped on
+    DIVERGED_BREAKDOWN.  No-op (unwrapped) without a sync axis, where the
+    loop exits on any terminal reason before re-entering the body."""
+    if conv_sync_axis is None:
+        return body
+
+    def wrapped(s):
+        new_s = body(s)
+        active = s["reason"] == CONVERGED_ITERATING
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(active, n, o), new_s, s)
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # GMRES (restarted, modified Gram-Schmidt, Givens rotations)
 # ---------------------------------------------------------------------------
@@ -374,7 +394,7 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                 rho=jnp.ones((), dtype), alpha=jnp.ones((), dtype),
                 omega=jnp.ones((), dtype), its=jnp.int32(0), reason=reason0,
                 hist=hist)
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis), init)
     rn = norm(b - matvec(out["x"]))
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
                      rnorm=rn, history=out["hist"])
@@ -456,7 +476,7 @@ def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     init["reason"] = jnp.where(
         (jnp.abs(rho0) < jnp.finfo(rdtype).tiny)
         & (reason0 == CONVERGED_ITERATING), DIVERGED_BREAKDOWN, reason0)
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis), init)
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
                      rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
@@ -509,7 +529,7 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 
     init = dict(x=x0, r=r0, p=z0, rz=dot(r0, z0), its=jnp.int32(0),
                 reason=reason0, hist=hist)
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis), init)
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
                      rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
@@ -552,8 +572,8 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                     hist=hist)
 
     out = jax.lax.while_loop(
-        cond, body, dict(x=x0, r=r0, its=jnp.int32(0), reason=reason0,
-                         hist=hist))
+        cond, _freeze_when_done(body, conv_sync_axis),
+        dict(x=x0, r=r0, its=jnp.int32(0), reason=reason0, hist=hist))
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
                      rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
@@ -606,7 +626,7 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 
     init = dict(x=x0, r=r0, p=jnp.zeros_like(b), rho=jnp.zeros((), dtype),
                 its=jnp.int32(0), reason=reason0, hist=hist)
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis), init)
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
                      rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
