@@ -60,6 +60,20 @@ def _gram(V, w, axis_name=None):
     return h
 
 
+def _dots(pairs, axis_name=None):
+    """Fused inner products: one stacked psum for several <a_i, b_i>.
+
+    On a mesh every ``_dot`` is a separate latency-bound ICI round trip;
+    independent reductions that the algorithm consumes together should ride
+    ONE collective (the analogue of PETSc's split/pipelined KSP variants
+    batching MPI_Allreduce calls).  Returns a tuple of scalars in pair order.
+    """
+    d = jnp.stack([jnp.vdot(a, b) for a, b in pairs])
+    if axis_name is not None:
+        d = jax.lax.psum(d, axis_name)
+    return tuple(d[i] for i in range(len(pairs)))
+
+
 def _keep_iterating(reason, conv_sync_axis=None):
     """Loop predicate, optionally SYNCHRONIZED over a mesh axis that the
     solver's reductions do NOT cover (e.g. the replica axis of a serving
@@ -377,8 +391,9 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         sr = s["r"] - alpha * v
         shat = psolve(sr)
         t = matvec(shat)
-        tt = dot(t, t)
-        omega = dot(t, sr) / jnp.where(tt != 0, tt, 1.0)
+        # <t,t> and <t,sr> ride one fused psum (exact same scalars)
+        tt, ts = _dots(((t, t), (t, sr)), axis_name)
+        omega = ts / jnp.where(tt != 0, tt, 1.0)
         x = s["x"] + alpha * phat + omega * shat
         r = sr - omega * t
         rn = norm(r)
@@ -457,12 +472,13 @@ def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         rt = s["rt"] - jnp.conj(alpha) * qt
         z = psolve(r)
         zt = ps_h(rt)
-        rho_new = dot(rt, z)
+        # <rt,z> and ||r||^2 share one fused psum (exact same scalars)
+        rho_new, rr = _dots(((rt, z), (r, r)), axis_name)
         breakdown |= jnp.abs(rho_new) < jnp.finfo(rdtype).tiny
         beta = rho_new / jnp.where(s["rho"] != 0, s["rho"], 1.0)
         p = z + beta * s["p"]
         pt = zt + jnp.conj(beta) * s["pt"]
-        rn = norm(r)
+        rn = jnp.sqrt(jnp.real(rr))
         its = s["its"] + 1
         hist = s["hist"].at[its].set(rn)
         reason = check(rn, bnorm, its)
@@ -517,10 +533,12 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         x = s["x"] + alpha * s["p"]
         r = s["r"] - alpha * w
         z = psolve(r)
-        rz_new = dot(r, z)
+        # <r,z> and ||r||^2 ride one fused psum (identical values, one
+        # fewer ICI round trip per iteration on a mesh)
+        rz_new, rr = _dots(((r, z), (r, r)), axis_name)
         beta = rz_new / jnp.where(s["rz"] != 0, s["rz"], 1.0)
         p = z + beta * s["p"]
-        rn = norm(r)
+        rn = jnp.sqrt(jnp.real(rr))
         its = s["its"] + 1
         hist = s["hist"].at[its].set(rn)
         reason = check(rn, bnorm, its)
@@ -530,6 +548,98 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     init = dict(x=x0, r=r0, p=z0, rz=dot(r0, z0), its=jnp.int32(0),
                 reason=reason0, hist=hist)
     out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis), init)
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
+
+
+def pipecg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+           pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+           atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+           axis_name: Optional[str] = None,
+           conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """Pipelined conjugate gradients (Ghysels & Vanroose; PETSc KSPPIPECG).
+
+    Mathematically equivalent to ``cg`` in exact arithmetic, restructured for
+    mesh latency: every iteration issues exactly ONE fused reduction
+    (<r,u>, <w,u>, <r,r> stacked into a single psum) and the reduction has no
+    data dependency on that iteration's preconditioner apply ``m = M⁻¹w`` or
+    matvec ``n = A·m`` — XLA's scheduler can overlap the ICI collective with
+    the local compute, the pipelining that PETSc implements with
+    MPI_Iallreduce.  Plain ``cg`` costs 2 sequential psums per iteration plus
+    a matvec and PC apply on the critical path.
+
+    The extra recurrences (s = A·p, q = M⁻¹·A·p, z = A·M⁻¹·A·p carried
+    alongside p) trade 4 more axpys and ~2× vector state for the latency win;
+    rounding drift vs textbook CG is well-studied and small for the
+    well-conditioned preconditioned systems the SPIKE PC produces.  Use for
+    SPD operators/preconditioners on meshes where psum latency, not
+    bandwidth, dominates the iteration.
+    """
+    psolve = pc_apply or _identity_pc
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    norm = partial(_norm, axis_name=axis_name)
+    bnorm = norm(b)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    rdtype = jnp.zeros((), dtype).real.dtype
+    r0 = b - matvec(x0)
+    u0 = psolve(r0)
+    w0 = matvec(u0)
+    gamma0, delta0, rr0 = _dots(((r0, u0), (w0, u0), (r0, r0)), axis_name)
+    rnorm0 = jnp.sqrt(jnp.real(rr0))
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+    # next iteration's m/n are computed ahead of their consuming iteration —
+    # the pipeline stage that hides the reduction latency
+    m0 = psolve(w0)
+    n0 = matvec(m0)
+
+    def cond(s):
+        return _keep_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        first = s["its"] == 0
+        gamma, delta = s["gamma"], s["delta"]
+        beta = jnp.where(first, 0.0, gamma / jnp.where(s["gamma_p"] != 0,
+                                                       s["gamma_p"], 1.0))
+        denom = jnp.where(
+            first, delta,
+            delta - beta * gamma / jnp.where(s["alpha_p"] != 0,
+                                             s["alpha_p"], 1.0))
+        breakdown = jnp.abs(denom) < jnp.finfo(rdtype).tiny
+        alpha = gamma / jnp.where(denom != 0, denom, 1.0)
+        z = s["n"] + beta * s["z"]
+        q = s["m"] + beta * s["q"]
+        sv = s["w"] + beta * s["s"]
+        p = s["u"] + beta * s["p"]
+        x = s["x"] + alpha * p
+        r = s["r"] - alpha * sv
+        u = s["u"] - alpha * q
+        w = s["w"] - alpha * z
+        # the fused reduction (one psum) and the next pipeline stage's
+        # m = M⁻¹w, n = A m are mutually independent -> overlappable
+        gamma_n, delta_n, rr = _dots(((r, u), (w, u), (r, r)), axis_name)
+        m = psolve(w)
+        n = matvec(m)
+        rn = jnp.sqrt(jnp.real(rr))
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, r=r, u=u, w=w, m=m, n=n, z=z, q=q, s=sv, p=p,
+                    gamma=gamma_n, delta=delta_n, gamma_p=gamma,
+                    alpha_p=alpha, its=its, reason=reason, hist=hist)
+
+    zeros = jnp.zeros_like(b)
+    init = dict(x=x0, r=r0, u=u0, w=w0, m=m0, n=n0, z=zeros, q=zeros,
+                s=zeros, p=zeros, gamma=gamma0, delta=delta0,
+                gamma_p=jnp.ones((), dtype), alpha_p=jnp.ones((), dtype),
+                its=jnp.int32(0), reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
                      rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
@@ -658,5 +768,6 @@ register_ksp("bcgs", bicgstab)
 register_ksp("bicgstab", bicgstab)
 register_ksp("bicg", bicg)
 register_ksp("cg", cg)
+register_ksp("pipecg", pipecg)
 register_ksp("richardson", richardson)
 register_ksp("preonly", preonly)

@@ -31,7 +31,8 @@ def manufactured(acsr, seed=None):
     return u, acsr @ u
 
 
-@pytest.mark.parametrize("ksp_type", ["gmres", "fgmres", "bcgs", "cg"])
+@pytest.mark.parametrize("ksp_type", ["gmres", "fgmres", "bcgs", "cg",
+                                      "pipecg"])
 def test_unpreconditioned_convergence_spd(ksp_type):
     a = problems.spd_banded(120, 3, seed=0)
     u, b = manufactured(a)
@@ -279,6 +280,59 @@ def test_as_matvec_impl_routing(monkeypatch):
     assert int(res.reason) > 0
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(u),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pipecg_matches_cg_on_spd():
+    """Pipelined CG is algebraically CG (Ghysels–Vanroose recurrences): same
+    iterates, same residual history to rounding, same iteration count ±1 —
+    the sharp check that the extra s/q/z recurrences track A·p, M⁻¹A·p
+    correctly."""
+    n = 400
+    a = problems.spd_banded(n, 2, seed=3)
+    bm = banded_of(a)
+    u = np.random.default_rng(0).standard_normal(n)
+    b = jnp.asarray(a @ u)
+    r_pipe = solve(bm, b, ksp_type="pipecg", pc_type="jacobi", rtol=1e-10,
+                   maxit=500)
+    r_cg = solve(bm, b, ksp_type="cg", pc_type="jacobi", rtol=1e-10,
+                 maxit=500)
+    assert int(r_pipe.reason) > 0
+    assert abs(int(r_pipe.its) - int(r_cg.its)) <= 1
+    np.testing.assert_allclose(np.asarray(r_pipe.x), u, rtol=1e-6, atol=1e-7)
+    # residual histories agree closely while both are defined
+    k = min(int(r_pipe.its), int(r_cg.its))
+    hp = np.asarray(r_pipe.history)[: k + 1]
+    hc = np.asarray(r_cg.history)[: k + 1]
+    np.testing.assert_allclose(hp, hc, rtol=1e-6, atol=1e-12)
+
+
+def test_pipecg_single_fused_reduction_per_iteration():
+    """The design contract: pipecg's loop body issues exactly ONE psum per
+    iteration (cg issues two after its own fusion; pre-fusion three).
+    Counted in the jaxpr of the solver traced with a mesh axis."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from spike_petsc_tpu.solvers import krylov
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("p",))
+
+    def count_psums(method):
+        def local(bs):
+            mv = lambda x: x  # identity operator: reductions still psum
+            return method(mv, bs, axis_name="p", rtol=1e-12, maxit=5).x
+
+        f = shard_map(local, mesh=mesh, in_specs=P("p"), out_specs=P("p"))
+        txt = str(jax.make_jaxpr(f)(jnp.ones(64)))
+        return txt.count("psum")
+
+    n_pipe = count_psums(krylov.pipecg)
+    n_cg = count_psums(krylov.cg)
+    # jaxpr text counts include setup reductions (pipecg: bnorm + 1 fused
+    # init; cg: bnorm + init rz + init norm) — the loop body contributes 1
+    # (pipecg) vs 2 (cg) occurrences
+    assert n_pipe < n_cg, (n_pipe, n_cg)
 
 
 def test_bicg_matches_cg_on_spd():

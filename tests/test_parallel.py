@@ -122,7 +122,7 @@ def test_dist_krylov_solver_unpreconditioned_reductions(mesh):
     np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("ksp_type", ["gmres", "bcgs", "cg"])
+@pytest.mark.parametrize("ksp_type", ["gmres", "bcgs", "cg", "pipecg"])
 def test_dist_krylov_spike_preconditioned(mesh, ksp_type):
     n = 700
     a = problems.spd_banded(n, 5, seed=9)
