@@ -1,7 +1,8 @@
 """Solver layer: Krylov methods (KSP), preconditioners (PC), composition."""
 
 from .ksp import make_solver, print_monitor, solve
-from .krylov import (bicgstab, cg, chebyshev, fgmres, gmres, pipecg,
+from .krylov import (arnoldi_hessenberg, bicgstab, cg, chebyshev,
+                     estimate_extreme_eigs, fgmres, gmres, minres, pipecg,
                      preonly, richardson)
 from .pc import PC, make_pc
 from .reorder import solve_reordered
@@ -9,6 +10,7 @@ from .types import KSPResult, reason_str
 
 __all__ = [
     "solve", "make_solver", "print_monitor", "solve_reordered",
-    "gmres", "fgmres", "bicgstab", "cg", "pipecg", "chebyshev", "richardson",
-    "preonly", "PC", "make_pc", "KSPResult", "reason_str",
+    "gmres", "fgmres", "bicgstab", "cg", "pipecg", "minres", "chebyshev",
+    "richardson", "preonly", "arnoldi_hessenberg", "estimate_extreme_eigs",
+    "PC", "make_pc", "KSPResult", "reason_str",
 ]

@@ -112,6 +112,98 @@ def _freeze_when_done(body, conv_sync_axis):
 
 
 # ---------------------------------------------------------------------------
+# Arnoldi spectrum estimation (KSPComputeEigenvalues / KSPChebyshevEstEig)
+# ---------------------------------------------------------------------------
+
+def arnoldi_hessenberg(matvec: Callable, v0: jax.Array, m: int,
+                       pc_apply: Optional[Callable] = None,
+                       axis_name: Optional[str] = None):
+    """m-step Arnoldi factorization of the left-preconditioned operator
+    M⁻¹A started from ``v0``; returns ``(H, k)`` with H the (m+1, m)
+    Hessenberg and ``k`` the number of completed columns (< m on exact
+    breakdown, where the Krylov space became invariant — the Ritz values of
+    ``H[:k, :k]`` are then exact eigenvalues).
+
+    Jittable (one device dispatch); the Ritz values of ``H[:k, :k]``
+    estimate the extreme eigenvalues of M⁻¹A — the engine behind PETSc's
+    ``KSPComputeEigenvalues`` diagnostics and ``KSPChebyshevEstEig``
+    bound selection (the reference drives both through PETSc options,
+    cf. /root/reference/src/makefile:17-18 option-driven KSP config).
+    """
+    psolve = pc_apply or _identity_pc
+    dtype = v0.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    norm = partial(_norm, axis_name=axis_name)
+    n0 = norm(v0)
+    v = v0 / jnp.where(n0 != 0, n0, 1.0).astype(rdtype)
+    V = jnp.zeros((m + 1,) + v0.shape, dtype).at[0].set(v)
+    H = jnp.zeros((m + 1, m), dtype)
+    tiny = jnp.finfo(rdtype).tiny
+
+    def body(j, c):
+        V, H, k, alive = c
+        w = psolve(matvec(V[j]))
+        # modified-GS projections against ALL stored vectors; rows > j are
+        # zero vectors so their (exactly zero) coefficients are harmless,
+        # masked anyway for clarity
+        h = _gram(V, w, axis_name)
+        h = jnp.where(jnp.arange(m + 1) <= j, h, 0)
+        w = w - jnp.tensordot(h, V, axes=([0], [0]))
+        hj1 = norm(w)
+        ok = hj1 > 1e3 * tiny
+        H = H.at[:, j].set(h).at[j + 1, j].set(hj1.astype(dtype))
+        V = V.at[j + 1].set(jnp.where(
+            ok, w / jnp.where(hj1 != 0, hj1, 1.0).astype(rdtype), 0))
+        k = k + jnp.where(alive, 1, 0)
+        return V, H, k, alive & ok
+
+    _, H, k, _ = jax.lax.fori_loop(
+        0, m, body, (V, H, jnp.int32(0), jnp.bool_(True)))
+    return H, k
+
+
+def estimate_extreme_eigs(matvec: Callable, n: int, dtype=jnp.float32, *,
+                          m: int = 10, pc_apply: Optional[Callable] = None,
+                          seed: int = 0, v0=None):
+    """Host-side Ritz-value estimation of M⁻¹A's spectrum: run ``m`` Arnoldi
+    steps on device, eigendecompose the tiny Hessenberg on host.  Returns the
+    complex Ritz values (length ≤ m).  This is setup-time work (PETSc runs
+    its estimation once inside KSPSetUp), so eager dispatch is fine."""
+    import numpy as np
+    m = max(1, min(int(m), int(n)))
+    if v0 is None:
+        v0 = jnp.asarray(
+            np.random.default_rng(seed).standard_normal(n), dtype)
+    H, k = jax.jit(
+        lambda v: arnoldi_hessenberg(matvec, v, m, pc_apply))(v0)
+    k = int(k)
+    if k == 0:
+        return np.zeros(0, complex)
+    Hk = np.asarray(H)[:k, :k]
+    return np.linalg.eigvals(Hk)
+
+
+#: PETSc's default -ksp_chebyshev_esteig transform: bounds from the Ritz
+#: extremes as (a·λmin + b·λmax, c·λmin + d·λmax).  The 0.1 floor keeps the
+#: smoother robust when the smallest eigenvalues are underestimated by a
+#: short Arnoldi run; 1.1 adds headroom above the largest Ritz value.
+ESTEIG_DEFAULT_TRANSFORM = (0.0, 0.1, 0.0, 1.1)
+
+
+def chebyshev_esteig_bounds(eigs, transform=ESTEIG_DEFAULT_TRANSFORM):
+    """Map Ritz values to chebyshev [emin, emax] via the 4-parameter PETSc
+    transform (KSPChebyshevEstEigSet semantics)."""
+    import numpy as np
+    re = np.real(np.asarray(eigs))
+    if re.size == 0:
+        raise ValueError("no Ritz values: Arnoldi broke down at step 0 "
+                         "(zero starting vector?)")
+    lmin, lmax = float(re.min()), float(re.max())
+    a, b, c, d = transform
+    return a * lmin + b * lmax, c * lmin + d * lmax
+
+
+# ---------------------------------------------------------------------------
 # GMRES (restarted, modified Gram-Schmidt, Givens rotations)
 # ---------------------------------------------------------------------------
 
@@ -644,6 +736,106 @@ def pipecg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                      rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
 
+def minres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+           pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+           atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+           axis_name: Optional[str] = None,
+           conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """Preconditioned MINRES (Paige–Saunders; PETSc KSPMINRES) for SYMMETRIC
+    (possibly indefinite) operators with an SPD preconditioner — the gap CG
+    leaves for saddle-point / shifted systems (e.g. the fieldsplit Schur
+    blocks, or interior shifts where the SPIKE band loses definiteness).
+
+    Lanczos three-term recurrence + on-the-fly Givens QR of the tridiagonal;
+    one matvec, one PC apply and two (sequentially dependent) reductions
+    <v,Av> and β² = <r₂, M⁻¹r₂> per iteration.  The monitored norm is the
+    preconditioned residual ‖r‖_{M⁻¹} (phibar recurrence), matching the
+    left-preconditioned convergence convention of the other KSPs here;
+    ``rnorm`` in the result is the true unpreconditioned final residual.
+    Breakdown (β² ≤ 0, i.e. an indefinite preconditioner) reports
+    DIVERGED_BREAKDOWN rather than silently producing NaNs.
+    """
+    psolve = pc_apply or _identity_pc
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    norm = partial(_norm, axis_name=axis_name)
+    dot = partial(_dot, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    r1 = b - matvec(x0)
+    y0 = psolve(r1)
+    beta1_sq = jnp.real(dot(r1, y0))
+    pc_indef0 = beta1_sq < 0
+    beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
+    # convergence is tested on ‖r‖_{M⁻¹}; ‖b‖_{M⁻¹} is the matching scale
+    yb = psolve(b)
+    bnorm = jnp.sqrt(jnp.maximum(jnp.real(dot(b, yb)), 0))
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(beta1)
+    reason0 = jnp.where(pc_indef0, DIVERGED_BREAKDOWN,
+                        check(beta1, bnorm, jnp.int32(0)))
+
+    def cond(s):
+        return _keep_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        beta, oldb = s["beta"], s["oldb"]
+        ibeta = 1.0 / jnp.where(beta != 0, beta, 1.0)
+        v = s["y"] * ibeta.astype(rdtype)
+        y = matvec(v)
+        y = jnp.where(s["its"] >= 1,
+                      y - (beta / jnp.where(oldb != 0, oldb, 1.0)) * s["r1"],
+                      y)
+        alfa = jnp.real(dot(v, y))
+        y = y - (alfa * ibeta) * s["r2"]
+        r1n, r2n = s["r2"], y
+        yn = psolve(r2n)
+        beta_sq = jnp.real(dot(r2n, yn))
+        pc_indef = beta_sq < 0
+        beta_n = jnp.sqrt(jnp.maximum(beta_sq, 0))
+        # Givens QR of the Lanczos tridiagonal, one column per iteration
+        oldeps = s["epsln"]
+        delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+        gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+        epsln = s["sn"] * beta_n
+        dbar = -s["cs"] * beta_n
+        gamma = jnp.sqrt(gbar * gbar + beta_n * beta_n)
+        lanczos_break = gamma < jnp.finfo(rdtype).tiny
+        gamma = jnp.where(lanczos_break, 1.0, gamma)
+        cs = gbar / gamma
+        sn = beta_n / gamma
+        phi = cs * s["phibar"]
+        phibar = sn * s["phibar"]
+        w1, w2 = s["w2"], s["w"]
+        w = (v - oldeps.astype(dtype) * w1 - delta.astype(dtype) * w2) \
+            / gamma.astype(rdtype)
+        x = s["x"] + phi.astype(dtype) * w
+        rn = phibar
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        # breakdown wins over the convergence check: β² < 0 zeroes sn and
+        # collapses phibar to 0, which would otherwise read as CONVERGED_ATOL
+        reason = jnp.where(pc_indef | lanczos_break,
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, y=yn, r1=r1n, r2=r2n, w=w, w2=w2,
+                    beta=beta_n, oldb=beta, dbar=dbar, epsln=epsln,
+                    cs=cs, sn=sn, phibar=phibar, its=its, reason=reason,
+                    hist=hist)
+
+    zeros = jnp.zeros_like(b)
+    rzero = jnp.zeros((), rdtype)
+    init = dict(x=x0, y=y0, r1=r1, r2=r1, w=zeros, w2=zeros,
+                beta=beta1, oldb=rzero, dbar=rzero, epsln=rzero,
+                cs=-jnp.ones((), rdtype), sn=rzero, phibar=beta1,
+                its=jnp.int32(0), reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
+
+
 # ---------------------------------------------------------------------------
 # Richardson / preonly
 # ---------------------------------------------------------------------------
@@ -769,5 +961,6 @@ register_ksp("bicgstab", bicgstab)
 register_ksp("bicg", bicg)
 register_ksp("cg", cg)
 register_ksp("pipecg", pipecg)
+register_ksp("minres", minres)
 register_ksp("richardson", richardson)
 register_ksp("preonly", preonly)

@@ -77,12 +77,43 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
         pc = pc.transpose() if pc.name != "none" else pc
     # -mat_matvec_impl auto|banded_pallas|blocktri|xla: operator SpMV route
     # (the MatMult engine of the hot loop, /root/reference/src/testbed.c:310)
-    matvec, n, _ = as_matvec(A, n_hint=n_hint,
-                             impl=opts.get_string("mat_matvec_impl", "auto"))
+    matvec, n, op_dtype = as_matvec(
+        A, n_hint=n_hint, impl=opts.get_string("mat_matvec_impl", "auto"))
     pc_apply = pc.apply if pc.name != "none" else None
 
     method = SOLVERS.get(ksp_type)
     kw = _params_from_options(opts, params)
+    if ksp_type == "richardson":
+        sc = opts.get_real("ksp_richardson_scale", None)
+        if sc is not None:
+            kw.setdefault("scale", sc)
+    if ksp_type == "chebyshev" and "emin" not in kw:
+        # -ksp_chebyshev_eigenvalues emin,emax pins the bounds explicitly;
+        # -ksp_chebyshev_esteig [a,b,c,d] estimates them from Ritz values of
+        # a short setup-time Arnoldi run on M^{-1}A (KSPChebyshevEstEig),
+        # transformed as (a*lmin + b*lmax, c*lmin + d*lmax).  Explicit
+        # bounds win when both are given (PETSc semantics).
+        ev = opts.get_list("ksp_chebyshev_eigenvalues")
+        if ev is not None:
+            if len(ev) != 2:
+                raise ValueError(
+                    "-ksp_chebyshev_eigenvalues expects 'emin,emax', got "
+                    f"{ev!r}")
+            kw["emin"], kw["emax"] = float(ev[0]), float(ev[1])
+        elif opts.has("ksp_chebyshev_esteig"):
+            tr = opts.get_list("ksp_chebyshev_esteig") or []
+            if tr and len(tr) != 4:
+                raise ValueError(
+                    "-ksp_chebyshev_esteig expects 'a,b,c,d' (or no value "
+                    f"for the default transform), got {tr!r}")
+            transform = (tuple(float(t) for t in tr) if tr
+                         else krylov.ESTEIG_DEFAULT_TRANSFORM)
+            eigs = krylov.estimate_extreme_eigs(
+                matvec, n, op_dtype,
+                m=opts.get_int("ksp_chebyshev_esteig_steps", 10),
+                pc_apply=pc_apply)
+            kw["emin"], kw["emax"] = krylov.chebyshev_esteig_bounds(
+                eigs, transform)
     if ksp_type == "bicg":
         # the shadow recurrence needs A^T and M^{-T}: transpose the
         # operator host-side and reuse the PC's stored factors
@@ -135,6 +166,30 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
     if monitor:
         import numpy as _np
         print_monitor(res, bnorm=float(_np.linalg.norm(_np.asarray(b))))
+    if opts.get_bool("ksp_compute_eigenvalues", False):
+        # PETSc -ksp_compute_eigenvalues: Ritz estimates of the
+        # preconditioned operator's spectrum after the solve.  PETSc reads
+        # them from the solver's own Hessenberg; here a dedicated Arnoldi
+        # run (same operator, same PC, b as the starting vector) computes
+        # them — identical estimates for GMRES, and available for every
+        # KSP type.
+        import numpy as _np
+        op = A
+        if transpose:
+            from .operator import transpose_operator
+            op = transpose_operator(A)
+        mv, n, dt = as_matvec(op, n_hint=b.shape[0],
+                              impl=opts.get_string("mat_matvec_impl",
+                                                   "auto"))
+        pcx = pc.transpose() if transpose and pc.name != "none" else pc
+        eigs = krylov.estimate_extreme_eigs(
+            mv, n, dt, m=min(n, max(int(res.its), 2), 30),
+            pc_apply=pcx.apply if pcx.name != "none" else None,
+            v0=b.astype(dt))
+        order = _np.argsort(eigs.real)
+        print("Iteratively computed eigenvalues")
+        for e in eigs[order]:
+            print(f"{e.real:g} + {e.imag:g}i")
     return res
 
 

@@ -32,7 +32,7 @@ def manufactured(acsr, seed=None):
 
 
 @pytest.mark.parametrize("ksp_type", ["gmres", "fgmres", "bcgs", "cg",
-                                      "pipecg"])
+                                      "pipecg", "minres"])
 def test_unpreconditioned_convergence_spd(ksp_type):
     a = problems.spd_banded(120, 3, seed=0)
     u, b = manufactured(a)
@@ -333,6 +333,153 @@ def test_pipecg_single_fused_reduction_per_iteration():
     # init; cg: bnorm + init rz + init norm) — the loop body contributes 1
     # (pipecg) vs 2 (cg) occurrences
     assert n_pipe < n_cg, (n_pipe, n_cg)
+
+
+def test_minres_symmetric_indefinite():
+    """MINRES's raison d'être: a symmetric but INDEFINITE operator (shifted
+    Laplacian with the shift strictly inside the spectrum) where CG's
+    short recurrence breaks down but MINRES minimizes the residual."""
+    n = 200
+    lap = problems.tridiag_laplacian(n)
+    evals = np.linalg.eigvalsh(lap.toarray())
+    sigma = 0.5 * (evals[n // 3] + evals[n // 3 + 1])  # between eigenvalues
+    import scipy.sparse as sp
+    a = (lap - sigma * sp.eye(n, format="csr")).tocsr()
+    assert np.linalg.eigvalsh(a.toarray()).min() < 0 < \
+        np.linalg.eigvalsh(a.toarray()).max()
+    u, b = manufactured(a, seed=1)
+    bm = banded_of(a)
+    res = solve(bm, jnp.asarray(b), ksp_type="minres", rtol=1e-10,
+                maxit=2000)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+def test_minres_spd_preconditioned_matches_direct():
+    """SPD system + SPD (jacobi) preconditioner: converges to the direct
+    solution; residual history is monotone (MINRES minimizes ||r||)."""
+    a = problems.spd_banded(300, 4, seed=5)
+    u, b = manufactured(a, seed=2)
+    bm = banded_of(a)
+    res = solve(bm, jnp.asarray(b), ksp_type="minres", pc_type="jacobi",
+                rtol=1e-11, maxit=1000)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-8)
+    h = np.asarray(res.history)[: int(res.its) + 1]
+    assert np.all(np.diff(h) <= 1e-12 + 1e-7 * h[:-1])
+
+
+def test_minres_indefinite_pc_reports_breakdown():
+    """An indefinite preconditioner violates MINRES's SPD-M contract: the
+    β² = <r, M⁻¹r> inner product goes negative and the solver must stop
+    with DIVERGED_BREAKDOWN, not emit NaNs."""
+    import scipy.sparse as sp
+    from spike_petsc_tpu.solvers.types import DIVERGED_BREAKDOWN
+    a = problems.spd_banded(50, 2, seed=0)
+    u, b = manufactured(a)
+    bm = banded_of(a)
+    sgn = jnp.asarray(np.where(np.arange(50) % 2 == 0, 1.0, -1.0))
+    pc_bad = lambda x: sgn * x  # symmetric, indefinite
+    from spike_petsc_tpu.solvers import krylov
+    from spike_petsc_tpu.solvers.operator import as_matvec
+    mv, _, _ = as_matvec(bm)
+    res = krylov.minres(mv, jnp.asarray(b), pc_apply=pc_bad, rtol=1e-10,
+                        maxit=100)
+    assert int(res.reason) == DIVERGED_BREAKDOWN
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_arnoldi_ritz_estimates_extreme_eigs():
+    """The Ritz values of a short Arnoldi run bracket into the true spectrum
+    and the largest Ritz value approaches λmax — the property chebyshev
+    esteig relies on."""
+    from spike_petsc_tpu.solvers import estimate_extreme_eigs
+    from spike_petsc_tpu.solvers.operator import as_matvec
+    a = problems.spd_banded(250, 3, seed=7)
+    evals = np.linalg.eigvalsh(a.toarray())
+    mv, n, dt = as_matvec(banded_of(a))
+    ritz = estimate_extreme_eigs(mv, n, dt, m=30, seed=1)
+    assert ritz.size > 0
+    assert abs(ritz.real.max() - evals.max()) < 0.02 * abs(evals.max())
+    # Ritz values live inside the field of values: within the spectrum range
+    assert ritz.real.max() <= evals.max() * (1 + 1e-8)
+    assert ritz.real.min() >= evals.min() * (1 - 1e-8) - 1e-12
+
+
+def test_chebyshev_esteig_converges_where_default_bounds_fail():
+    """Unpreconditioned 2-D Laplacian has λmax ≈ 8: the fixed default
+    bounds [0.1, 1.1] (tuned for preconditioned spectra) diverge, while
+    -ksp_chebyshev_esteig picks working bounds from Ritz values — the
+    whole point of KSPChebyshevEstEig."""
+    a = problems.laplacian_2d(16, 16)
+    u, b = manufactured(a)
+    bm = banded_of(a)
+    bad = solve(bm, jnp.asarray(b), ksp_type="chebyshev", rtol=1e-8,
+                maxit=300)
+    assert int(bad.reason) < 0  # diverges (bounds exclude most of spectrum)
+    opts = Options.from_argv(["-ksp_type", "chebyshev",
+                              "-ksp_chebyshev_esteig",
+                              "-ksp_chebyshev_esteig_steps", "20",
+                              "-ksp_rtol", "1e-8", "-ksp_max_it", "2000"])
+    good = solve(bm, jnp.asarray(b), options=opts)
+    assert int(good.reason) > 0, reason_str(good.reason)
+    np.testing.assert_allclose(np.asarray(good.x), u, rtol=1e-5, atol=1e-6)
+
+
+def test_chebyshev_eigenvalues_option_pins_bounds():
+    """-ksp_chebyshev_eigenvalues emin,emax: explicit spectral bounds via
+    the options database (and they win over esteig when both are given)."""
+    a = problems.laplacian_2d(12, 12)
+    u, b = manufactured(a)
+    evals = np.linalg.eigvalsh(a.toarray())
+    bm = banded_of(a)
+    opts = Options.from_argv([
+        "-ksp_type", "chebyshev", "-ksp_chebyshev_eigenvalues",
+        f"{0.9 * evals.min()},{1.1 * evals.max()}",
+        "-ksp_chebyshev_esteig",  # ignored: explicit bounds win
+        "-ksp_rtol", "1e-8", "-ksp_max_it", "3000"])
+    res = solve(bm, jnp.asarray(b), options=opts)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+def test_compute_eigenvalues_prints(capsys):
+    """-ksp_compute_eigenvalues prints Ritz estimates after the solve
+    (PETSc diagnostic parity); extreme printed values match the true
+    spectrum of the preconditioned operator reasonably."""
+    a = problems.spd_banded(150, 3, seed=3)
+    u, b = manufactured(a)
+    bm = banded_of(a)
+    opts = Options.from_argv(["-ksp_type", "gmres", "-ksp_rtol", "1e-10",
+                              "-ksp_compute_eigenvalues"])
+    res = solve(bm, jnp.asarray(b), options=opts)
+    assert int(res.reason) > 0
+    out = capsys.readouterr().out
+    assert "Iteratively computed eigenvalues" in out
+    vals = [float(l.split(" + ")[0]) for l in out.splitlines()
+            if " + " in l and l.strip().endswith("i")]
+    assert len(vals) >= 2
+    evals = np.linalg.eigvalsh(a.toarray())
+    assert vals[-1] <= evals.max() * (1 + 1e-6)
+    assert vals[0] >= evals.min() * (1 - 1e-6) - 1e-12
+
+
+def test_richardson_scale_option():
+    """-ksp_richardson_scale wires KSPRichardsonSetScale through options."""
+    a = problems.spd_banded(100, 2, seed=4)
+    u, b = manufactured(a)
+    bm = banded_of(a)
+    opts = Options.from_argv(["-ksp_type", "richardson",
+                              "-ksp_richardson_scale", "0.5",
+                              "-ksp_rtol", "1e-9", "-ksp_max_it", "500"])
+    res = solve(bm, jnp.asarray(b), pc_type="lu", options=opts)
+    assert int(res.reason) > 0
+    # scale 0.5 with an exact-LU PC: error halves per iteration -> needs
+    # strictly more iterations than scale 1 (which converges immediately)
+    res1 = solve(bm, jnp.asarray(b), ksp_type="richardson", pc_type="lu",
+                 rtol=1e-9, maxit=500)
+    assert int(res.its) > int(res1.its)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-7)
 
 
 def test_bicg_matches_cg_on_spd():
