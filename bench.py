@@ -315,6 +315,27 @@ def main() -> None:
             tr_out["transpose_marker_setup_ms"] = round(mk_setup_s * 1e3, 3)
             tr_out["transpose_marker_solve_ms"] = round(mk_s * 1e3, 3)
             del sft_mk
+            # store_lt form: the L blocks were kept at factor time
+            # (spike_factor(store_lt=True)), so the regular-form transpose
+            # setup drops the band->blocktri conversion entirely — measured
+            # by attaching precomputed L blocks and timing spike_transpose
+            import dataclasses as _dc
+
+            from spike_petsc_tpu.ops.band import pad_banded as _pb
+            from spike_petsc_tpu.ops.spike import _band_to_blocks_chunked
+
+            Lb = jax.jit(lambda d: _band_to_blocks_chunked(
+                _pb(BandedMatrix(data=d, kl=k, ku=k), sf.K * sf.m),
+                sf.K, sf.m, sf.b, k, k).L)(data)
+            sync(Lb)
+            sf_lt = _dc.replace(sf, Lb=Lb)
+            tr_lt = jax.jit(spike_transpose)
+            timed(lambda: tr_lt(sf_lt))                    # compile
+            lt_setup_s = min(timed(lambda: tr_lt(sf_lt)) for _ in range(3))
+            sft_lt = tr_lt(sf_lt)
+            assert isinstance(sft_lt.fact, BlockTriFactor)
+            tr_out["transpose_lt_setup_ms"] = round(lt_setup_s * 1e3, 3)
+            del sft_lt, sf_lt, Lb
     except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
         tr_out["transpose_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -102,6 +102,7 @@ def save_factorization(path: str, sf) -> None:
                           else _describe_tri_factor(sf.red_fact)),
                 has_red_dinv=sf.red_Dinv is not None,
                 has_spikes=sf.V is not None,
+                has_lb=sf.Lb is not None,
                 exotic_dtypes=exotic)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
@@ -146,11 +147,12 @@ def load_factorization(path: str):
                else _tri_factor_template(meta["red_fact"]))
         red_dinv = 0 if meta["has_red_dinv"] else None
         spike = 0 if meta["has_spikes"] else None
+        lb = 0 if meta.get("has_lb") else None   # pre-store_lt checkpoints
         return SpikeFactor(fact=fact, Btip=0, Ctip=0, red_fact=red,
                            red_Dinv=red_dinv, V=spike, W=spike,
                            n=meta["n"], K=meta["K"], m=meta["m"],
                            b=meta["b"], k=meta["k"],
-                           truncated=meta["truncated"])
+                           truncated=meta["truncated"], Lb=lb)
 
     treedef = jax.tree_util.tree_structure(template())
     if treedef.num_leaves != n_leaves:

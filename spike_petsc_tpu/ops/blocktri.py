@@ -641,13 +641,23 @@ def transposed_factor_from_blocks(fact: BlockTriFactor,
     materializes a full second factor (~the forward factor's footprint) —
     the marker wrapper shares storage instead; pick by whether the
     transpose is applied often enough to amortize."""
+    return transposed_factor_from_L(fact, blocks.L)
+
+
+def transposed_factor_from_L(fact: BlockTriFactor,
+                             L: jax.Array) -> BlockTriFactor:
+    """``transposed_factor_from_blocks`` from the bare subdiagonal blocks
+    ``L`` ([..., nb, b, b]; row 0 is ignored) — the entry used when the
+    factorization stored them at factor time (``spike_factor(store_lt=True)``
+    keeps ``SpikeFactor.Lb``), so no band->blocktri reconversion is needed
+    to build the regular-form transpose."""
     tT = lambda a: jnp.swapaxes(a, -1, -2)
     prec = sweep_precision(fact.U, fact.Sinv)
     FU = jnp.matmul(fact.Sinv[..., :-1, :, :], fact.U[..., :-1, :, :],
                     precision=prec)
     zbb = jnp.zeros_like(fact.F[..., :1, :, :])
     Fh = jnp.concatenate([zbb, tT(FU)], axis=-3)
-    Uh = jnp.concatenate([tT(blocks.L[..., 1:, :, :].astype(fact.U.dtype)),
+    Uh = jnp.concatenate([tT(L[..., 1:, :, :].astype(fact.U.dtype)),
                           zbb], axis=-3)
     return BlockTriFactor(F=Fh, U=Uh, Sinv=tT(fact.Sinv), Slu=fact.Slu,
                           piv=fact.piv, method="inv", nshift=fact.nshift)

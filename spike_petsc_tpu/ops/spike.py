@@ -58,6 +58,10 @@ class SpikeFactor:
     b: int = field(metadata=dict(static=True))        # block size
     k: int = field(metadata=dict(static=True))        # tip size = max(kl, ku)
     truncated: bool = field(metadata=dict(static=True))
+    # [K, nb, b, b] original subdiagonal blocks (store_lt=True): lets
+    # spike_transpose build the REGULAR-form transpose factor without
+    # re-running the band->blocktri conversion (and without the band at all)
+    Lb: Optional[jax.Array] = None
 
     @property
     def nb(self) -> int:
@@ -166,11 +170,11 @@ def _local_band_mask(m: int, kl: int, ku: int, dtype) -> jax.Array:
 @partial(jax.jit, static_argnames=("K", "block_b", "method", "truncated",
                                    "store_spikes", "kl", "ku", "n",
                                    "store_dtype", "reduced", "shift",
-                                   "inverter", "spike_dtype"))
+                                   "inverter", "spike_dtype", "store_lt"))
 def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
                        store_spikes, store_dtype=None, reduced="auto",
                        shift="none", shift_amount=0.0, inverter="auto",
-                       spike_dtype=None):
+                       spike_dtype=None, store_lt=False):
     k, b, m = _partition_geometry(n, K, kl, ku, block_b)
     npad = K * m
     band = pad_banded(BandedMatrix(data=data, kl=kl, ku=ku), npad)
@@ -186,7 +190,7 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
                           store_spikes=store_spikes, store_dtype=store_dtype,
                           reduced=reduced, shift=shift,
                           shift_amount=shift_amount, inverter=inverter,
-                          spike_dtype=spike_dtype)
+                          spike_dtype=spike_dtype, store_lt=store_lt)
 
 
 def _band_to_blocks_chunked(band: BandedMatrix, K: int, m: int, b: int,
@@ -213,7 +217,7 @@ def _band_to_blocks_chunked(band: BandedMatrix, K: int, m: int, b: int,
 
 def _finish_factor(blocks, Btip, Ctip, *, n, K, m, b, k, method, truncated,
                    store_spikes, store_dtype, reduced, shift, shift_amount,
-                   inverter, spike_dtype) -> SpikeFactor:
+                   inverter, spike_dtype, store_lt=False) -> SpikeFactor:
     """Shared factorization tail (partition factor -> spikes -> reduced
     system -> mixed-precision cast) for both the band-storage entry
     (spike_factor) and the blocktri-native entry (spike_factor_blocks)."""
@@ -272,18 +276,26 @@ def _finish_factor(blocks, Btip, Ctip, *, n, K, m, b, k, method, truncated,
         V = V.astype(spike_dtype)
         W = W.astype(spike_dtype)
 
+    Lb = None
+    if store_lt:
+        # keep the subdiagonal blocks (at the factor's storage dtype): the
+        # transpose factor's U' = L^T builds from these with no band and no
+        # reconversion (blocktri.transposed_factor_from_L)
+        Lb = blocks.L if store_dtype is None else blocks.L.astype(store_dtype)
+
     return SpikeFactor(fact=fact, Btip=Btip, Ctip=Ctip, red_fact=red_fact,
                        red_Dinv=red_Dinv, V=V, W=W, n=n, K=K, m=m, b=b, k=k,
-                       truncated=truncated)
+                       truncated=truncated, Lb=Lb)
 
 
 @partial(jax.jit, static_argnames=("n", "kl", "ku", "K", "method",
                                    "truncated", "store_spikes",
                                    "store_dtype", "reduced", "shift",
-                                   "inverter", "spike_dtype"))
+                                   "inverter", "spike_dtype", "store_lt"))
 def _spike_factor_blocks_impl(D, L, U, *, n, kl, ku, K, method, truncated,
                               store_spikes, store_dtype, reduced, shift,
-                              shift_amount, inverter, spike_dtype):
+                              shift_amount, inverter, spike_dtype,
+                              store_lt=False):
     NB, b = D.shape[0], D.shape[-1]
     k = max(kl, ku, 1)
     nb = NB // K
@@ -303,7 +315,7 @@ def _spike_factor_blocks_impl(D, L, U, *, n, kl, ku, K, method, truncated,
                           store_spikes=store_spikes, store_dtype=store_dtype,
                           reduced=reduced, shift=shift,
                           shift_amount=shift_amount, inverter=inverter,
-                          spike_dtype=spike_dtype)
+                          spike_dtype=spike_dtype, store_lt=store_lt)
 
 
 def spike_factor_blocks(T: BlockTridiagonal, n: int, K: int, kl: int,
@@ -312,7 +324,8 @@ def spike_factor_blocks(T: BlockTridiagonal, n: int, K: int, kl: int,
                         store_dtype=None, reduced: str = "auto",
                         shift: str = "none", shift_amount: float = 0.0,
                         inverter: str = "auto",
-                        spike_dtype=None) -> SpikeFactor:
+                        spike_dtype=None,
+                        store_lt: bool = False) -> SpikeFactor:
     """Factor a banded matrix already assembled in GLOBAL block-tridiagonal
     (p-major) layout — the native TPU assembly path.
 
@@ -347,20 +360,21 @@ def spike_factor_blocks(T: BlockTridiagonal, n: int, K: int, kl: int,
         raise ValueError(
             f"partition rows {(NB // K) * b} must be >= 2*k={2 * k}; "
             f"reduce K or bandwidth")
+    _check_store_lt(store_lt, method)
     return _spike_factor_blocks_impl(
         T.D, T.L, T.U, n=n, kl=kl, ku=ku, K=K, method=method,
         truncated=truncated, store_spikes=store_spikes,
         store_dtype=store_dtype, reduced=reduced, shift=shift,
         shift_amount=shift_amount, inverter=inverter,
-        spike_dtype=spike_dtype)
+        spike_dtype=spike_dtype, store_lt=store_lt)
 
 
 @partial(jax.jit, static_argnames=("kl", "ku", "b", "k", "method", "shift",
                                    "inverter", "store_spikes", "store_dtype",
-                                   "spike_dtype"))
+                                   "spike_dtype", "store_lt"))
 def _group_factor_impl(local, Btip_g, Ctip_g, *, kl, ku, b, k, method,
                        shift, shift_amount, inverter, store_spikes,
-                       store_dtype, spike_dtype):
+                       store_dtype, spike_dtype, store_lt=False):
     """Factor one GROUP of partitions: [Kg, m, w] local band rows ->
     (cast factors, cast V/W or None, f32 spike tips for the reduced build).
     The working set is one group's f32 intermediates — the memory unit of
@@ -407,7 +421,10 @@ def _group_factor_impl(local, Btip_g, Ctip_g, *, kl, ku, b, k, method,
             V, W = V.astype(store_dtype), W.astype(store_dtype)
     if spike_dtype is not None and V is not None:
         V, W = V.astype(spike_dtype), W.astype(spike_dtype)
-    return fact, V, W, tips
+    Lb = None
+    if store_lt:
+        Lb = blocks.L if store_dtype is None else blocks.L.astype(store_dtype)
+    return fact, V, W, tips, Lb
 
 
 @partial(jax.jit, static_argnames=("truncated", "method", "reduced",
@@ -445,7 +462,8 @@ def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
                          store_dtype=None, reduced: str = "auto",
                          shift: str = "none", shift_amount: float = 0.0,
                          inverter: str = "auto",
-                         spike_dtype=None) -> SpikeFactor:
+                         spike_dtype=None,
+                         store_lt: bool = False) -> SpikeFactor:
     """spike_factor with the partition axis processed in ``groups`` separate
     device programs (one compile, ``groups`` executions).
 
@@ -462,12 +480,14 @@ def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
     """
     if K % groups or groups < 1:
         raise ValueError(f"groups={groups} must divide K={K}")
+    _check_store_lt(store_lt, method)
     if groups == 1 or K == 1:
         return spike_factor(band, K, block_b=block_b, method=method,
                             truncated=truncated, store_spikes=store_spikes,
                             store_dtype=store_dtype, reduced=reduced,
                             shift=shift, shift_amount=shift_amount,
-                            inverter=inverter, spike_dtype=spike_dtype)
+                            inverter=inverter, spike_dtype=spike_dtype,
+                            store_lt=store_lt)
     k, b, m = _partition_geometry(band.n, K, band.kl, band.ku, block_b)
     n, kl, ku = band.n, band.kl, band.ku
     Kg = K // groups
@@ -504,15 +524,18 @@ def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
             local_g, Btip_g, Ctip_g, kl=kl, ku=ku, b=b, k=k,
             method=method, shift=shift, shift_amount=shift_amount,
             inverter=inverter, store_spikes=store_spikes,
-            store_dtype=store_dtype, spike_dtype=spike_dtype),
+            store_dtype=store_dtype, spike_dtype=spike_dtype,
+            store_lt=store_lt),
             Btip_g, Ctip_g)
         if out is None:
             out = jax.tree_util.tree_map(
                 lambda x: jnp.zeros((K,) + x.shape[1:], x.dtype), piece)
         out = _acc(out, piece, g)
-    fact, V, W, (V_top, V_bot, W_top, W_bot), Btip, Ctip = out
+    fact, V, W, (V_top, V_bot, W_top, W_bot), Lb, Btip, Ctip = out
     if not store_spikes:
         V = W = None
+    if not store_lt:
+        Lb = None
 
     red_fact = red_Dinv = None
     if K > 1:
@@ -521,7 +544,14 @@ def spike_factor_grouped(band: BandedMatrix, K: int, groups: int,
             reduced=reduced, inverter=inverter)
     return SpikeFactor(fact=fact, Btip=Btip, Ctip=Ctip, red_fact=red_fact,
                        red_Dinv=red_Dinv, V=V, W=W, n=n, K=K, m=m, b=b,
-                       k=k, truncated=truncated)
+                       k=k, truncated=truncated, Lb=Lb)
+
+
+def _check_store_lt(store_lt: bool, method: str) -> None:
+    if store_lt and method != "inv":
+        raise ValueError(
+            "store_lt builds the regular-form transpose factor, which "
+            f"needs method='inv' block-Thomas factors (got {method!r})")
 
 
 def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
@@ -529,7 +559,8 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
                  store_spikes: bool = False, store_dtype=None,
                  reduced: str = "auto", shift: str = "none",
                  shift_amount: float = 0.0,
-                 inverter: str = "auto", spike_dtype=None) -> SpikeFactor:
+                 inverter: str = "auto", spike_dtype=None,
+                 store_lt: bool = False) -> SpikeFactor:
     """Factor a banded matrix for SPIKE solves over K partitions.
 
     Args:
@@ -566,13 +597,21 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
         the scaling pipeline provides), "blocked", "lapack", or "auto"
         (newton on TPU, lapack elsewhere).  If factor_health reports a bad
         newton factorization, re-factor with inverter="blocked".
+      store_lt: keep the subdiagonal blocks L ([K, nb, b, b], at
+        store_dtype) so ``spike_transpose`` can build the REGULAR-form
+        (fused-kernel-capable) transpose factor with no band and no
+        band->blocktri reconversion — the blocks were computed during this
+        factorization anyway.  Costs one factor-component of storage; pick
+        it when transposes are applied often (bicg, adjoint-heavy loops)
+        and the original band won't be kept around.  method='inv' only.
     """
+    _check_store_lt(store_lt, method)
     return _spike_factor_impl(
         band.data, n=band.n, kl=band.kl, ku=band.ku, K=K, block_b=block_b,
         method=method, truncated=truncated, store_spikes=store_spikes,
         store_dtype=store_dtype, reduced=reduced, shift=shift,
         shift_amount=shift_amount, inverter=inverter,
-        spike_dtype=spike_dtype)
+        spike_dtype=spike_dtype, store_lt=store_lt)
 
 
 # ---------------------------------------------------------------------------
@@ -666,7 +705,8 @@ def _spike_columns_from_waux(fact, Btip, yw, b: int, k: int, dtype):
 def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
                     inverter: str = "auto",
                     store_spikes: Optional[bool] = None,
-                    band: Optional[BandedMatrix] = None) -> SpikeFactor:
+                    band: Optional[BandedMatrix] = None,
+                    fast: bool = True) -> SpikeFactor:
     """SPIKE factorization of A^T REUSING A's per-partition factors — no
     band transpose, no conversion, no new block inversions (the expensive
     setup stages all vanish).  The returned SpikeFactor solves A^T x = rhs
@@ -689,14 +729,21 @@ def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
     (exercised by KSPs that need A^T and by the implicit-adjoint backward
     pass of ops.autodiff).
 
-    ``band``: optionally pass the ORIGINAL banded matrix to build the
-    transpose in REGULAR factor form (blocktri.transposed_factor_from_blocks
-    — the standard sweeps, fused Pallas kernel included, then compute the
-    transpose solve at forward-solve speed; the default marker form runs
-    the XLA scan).  Costs one band->blocktri conversion at setup (only the
-    L blocks are consumed) and materializes a second factor-sized buffer;
-    worth it when the transpose is applied many times (bicg serving,
-    adjoint-heavy optimization loops).  method='inv' only.
+    REGULAR-form transpose (``fast=True``, the default when the inputs
+    allow it): build a real BlockTriFactor for A^T — the standard sweeps,
+    fused Pallas kernel included, compute the transpose solve at
+    forward-solve speed; the marker form runs the XLA scan.  The L blocks
+    it needs come from, in preference order:
+
+    * ``sf.Lb`` — stored at factor time (``spike_factor(store_lt=True)``);
+      zero extra setup work here.
+    * ``band`` — the ORIGINAL banded matrix; costs one band->blocktri
+      conversion at setup (only the L blocks are consumed).
+
+    Either way it materializes a second factor-sized buffer; worth it when
+    the transpose is applied many times (bicg serving, adjoint-heavy
+    optimization loops).  method='inv' only; ``fast=False`` forces the
+    zero-memory marker form.
     """
     from .blocktri import TransposedBlockTriFactor
     if not isinstance(sf.fact, BlockTriFactor):
@@ -706,7 +753,10 @@ def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
             "or 'lu'")
     K, nb, b, k = sf.K, sf.nb, sf.b, sf.k
     dtype = sf.Btip.dtype
-    if band is not None and sf.fact.method == "inv":
+    if fast and sf.Lb is not None and sf.fact.method == "inv":
+        from .blocktri import transposed_factor_from_L
+        factT = transposed_factor_from_L(sf.fact, sf.Lb)
+    elif fast and band is not None and sf.fact.method == "inv":
         from .blocktri import transposed_factor_from_blocks
         bpad = pad_banded(band, K * sf.m)
         # same chunked conversion as the forward factor (the unchunked skew

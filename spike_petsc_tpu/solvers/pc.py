@@ -169,6 +169,10 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     method = opts.get_string(f"pc_{name}_method", "inv")
     truncated = opts.get_bool(f"pc_{name}_truncated", truncated_default)
     store = opts.get_bool(f"pc_{name}_store_spikes", False)
+    # -pc_<name>_store_lt: keep the L blocks at factor time so the
+    # regular-form transpose builds with NO band->blocktri reconversion
+    # (spike_factor(store_lt=True) -> spike_transpose uses sf.Lb)
+    store_lt = opts.get_bool(f"pc_{name}_store_lt", False)
     shift = opts.get_string("pc_factor_shift_type", "none")
     shift_amount = opts.get_real("pc_factor_shift_amount", 0.0)
     inverter = opts.get_string(f"pc_{name}_inverter", "auto")
@@ -195,7 +199,7 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
                       truncated=truncated, store_spikes=store,
                       shift=shift, shift_amount=shift_amount,
                       inverter=inverter, store_dtype=store_dtype,
-                      spike_dtype=spike_dtype)
+                      spike_dtype=spike_dtype, store_lt=store_lt)
     info = dict(partitions=K, block=sf.b, tip=sf.k, method=method,
                 truncated=truncated)
     if factor_dtype is not None and orig_dtype != factor_dtype:
@@ -204,13 +208,15 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
         info["store_dtype"] = jnp.dtype(store_dtype).name
     if spike_dtype is not None and store:
         info["spike_dtype"] = jnp.dtype(spike_dtype).name
+    if store_lt:
+        info["store_lt"] = True
     sf, fb = _newton_safety_net(
         band, sf, inverter, store_dtype, spike_dtype,
         lambda: spike_factor(band, K=K, block_b=block, method=method,
                              truncated=truncated, store_spikes=store,
                              shift=shift, shift_amount=shift_amount,
                              inverter="blocked", store_dtype=store_dtype,
-                             spike_dtype=spike_dtype),
+                             spike_dtype=spike_dtype, store_lt=store_lt),
         exact=not truncated)
     if fb:
         info["inverter_fallback"] = "blocked"
@@ -236,18 +242,18 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
     # -pc_<name>_transpose_fast 0: storage-sharing marker form (XLA-scan
     # transpose sweeps, zero extra memory) instead of the default
     # regular-form transpose (fused-kernel speed, ~a second factor-sized
-    # buffer + one band conversion at build)
-    tr_band = band if opts.get_bool(f"pc_{name}_transpose_fast", True) \
-        else None
+    # buffer; the band conversion at build vanishes under store_lt)
+    tr_fast = opts.get_bool(f"pc_{name}_transpose_fast", True)
+    tr_band = band if tr_fast else None
 
     def _mk_transpose(_sf=sf, _band=tr_band, _name=name, _info=info,
-                      _inv=inv_eff):
+                      _inv=inv_eff, _fast=tr_fast):
         # PCApplyTranspose: reuse the stored factors (spike_transpose — no
         # refactorization); built once on the host, cached by PC.transpose.
-        # Passing the band builds the REGULAR-form transpose (fused-kernel
-        # sweeps — transpose applies at forward-solve speed)
+        # The band (or stored Lb) builds the REGULAR-form transpose
+        # (fused-kernel sweeps — transpose applies at forward-solve speed)
         from ..ops.spike import spike_transpose
-        sft = spike_transpose(_sf, inverter=_inv, band=_band)
+        sft = spike_transpose(_sf, inverter=_inv, band=_band, fast=_fast)
         return PC(name=_name + "_transpose",
                   apply=partial(spike_solve, sft), info=_info)
 
@@ -268,9 +274,9 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
             return apply
 
         def _mk_transpose_cast(_sf=sf, _band=tr_band, _name=name, _info=info,
-                               _inv=inv_eff):
+                               _inv=inv_eff, _fast=tr_fast):
             from ..ops.spike import spike_transpose
-            sft = spike_transpose(_sf, inverter=_inv, band=_band)
+            sft = spike_transpose(_sf, inverter=_inv, band=_band, fast=_fast)
             return PC(name=_name + "_transpose",
                       apply=_cast_apply(sft), info=_info)
 
@@ -291,26 +297,30 @@ def pc_lu(pmat, opts: Options) -> PC:
     shift = opts.get_string("pc_factor_shift_type", "none")
     shift_amount = opts.get_real("pc_factor_shift_amount", 0.0)
     inverter = opts.get_string("pc_lu_inverter", "auto")
+    store_lt = opts.get_bool("pc_lu_store_lt", False)
     sf = spike_factor(band, K=1, block_b=block, method=method,
                       shift=shift, shift_amount=shift_amount,
-                      inverter=inverter)
+                      inverter=inverter, store_lt=store_lt)
     info = dict(block=sf.b, method=method)
+    if store_lt:
+        info["store_lt"] = True
     sf, fb = _newton_safety_net(
         band, sf, inverter, None, None,
         lambda: spike_factor(band, K=1, block_b=block, method=method,
                              shift=shift, shift_amount=shift_amount,
-                             inverter="blocked"))
+                             inverter="blocked", store_lt=store_lt))
     if fb:
         info["inverter_fallback"] = "blocked"
     if shift != "none":
         import numpy as _np
         info["shifted_pivots"] = int(_np.asarray(sf.fact.nshift).sum())
-    def _mk_transpose(_sf=sf,
-                      _band=(band if opts.get_bool("pc_lu_transpose_fast",
-                                                   True) else None),
-                      _info=info, _inv="blocked" if fb else inverter):
+    _lu_tr_fast = opts.get_bool("pc_lu_transpose_fast", True)
+
+    def _mk_transpose(_sf=sf, _band=(band if _lu_tr_fast else None),
+                      _info=info, _inv="blocked" if fb else inverter,
+                      _fast=_lu_tr_fast):
         from ..ops.spike import spike_transpose
-        sft = spike_transpose(_sf, inverter=_inv, band=_band)
+        sft = spike_transpose(_sf, inverter=_inv, band=_band, fast=_fast)
         return PC(name="lu_transpose",
                   apply=partial(spike_solve, sft), info=_info)
 

@@ -75,6 +75,17 @@ def test_factor_blocks_options_surface():
                   for j in range(3)], axis=1)
     X = np.asarray(spike_solve_many(sf, jnp.asarray(B)))
     assert np.linalg.norm(X - U) / np.linalg.norm(U) < 5e-3
+    # store_lt on the native entry: the L blocks are RIGHT THERE at
+    # assembly — the regular-form transpose needs no band at any point
+    from spike_petsc_tpu.ops.blocktri import BlockTriFactor
+    from spike_petsc_tpu.ops.spike import spike_transpose
+    sf_lt = spike_factor_blocks(Tg, n=n, K=K, kl=kl, ku=ku, store_lt=True)
+    sft = spike_transpose(sf_lt)
+    assert isinstance(sft.fact, BlockTriFactor)
+    g = rng.standard_normal(n).astype(np.float32)
+    lam = np.asarray(spike_solve(sft, jnp.asarray(g)))
+    err = np.linalg.norm(a.toarray().T @ lam - g) / np.linalg.norm(g)
+    assert err < 1e-5, err
 
 
 def test_device_generator_native_assembly():

@@ -112,7 +112,8 @@ def test_factorization_checkpoint_cr_variants(tmp_path):
             (dict(K=4, block_b=8, store_spikes=True), "spikes"),
             (dict(K=4, block_b=8, store_spikes=True,
                   spike_dtype=jnp.bfloat16), "bf16_spikes"),
-            (dict(K=4, block_b=8, method="cr", reduced="cr"), "cr_cr")]:
+            (dict(K=4, block_b=8, method="cr", reduced="cr"), "cr_cr"),
+            (dict(K=4, block_b=8, store_lt=True), "store_lt")]:
         sf = spike_factor(bm, **kwargs)
         path = str(tmp_path / f"f_{name}.npz")
         save_factorization(path, sf)
@@ -120,6 +121,19 @@ def test_factorization_checkpoint_cr_variants(tmp_path):
         np.testing.assert_allclose(np.asarray(spike_solve(sf, rhs)),
                                    np.asarray(spike_solve(sf2, rhs)),
                                    rtol=1e-14)
+        if kwargs.get("store_lt"):
+            # the stored L blocks survive the round-trip (transpose builds
+            # the regular form from the RELOADED factor, no band needed)
+            from spike_petsc_tpu.ops.blocktri import BlockTriFactor
+            from spike_petsc_tpu.ops.spike import spike_transpose
+            np.testing.assert_array_equal(np.asarray(sf.Lb),
+                                          np.asarray(sf2.Lb))
+            sft = spike_transpose(sf2)
+            assert isinstance(sft.fact, BlockTriFactor)
+            xt = np.asarray(spike_solve(sft, rhs))
+            np.testing.assert_allclose(
+                xt, np.linalg.solve(a.toarray().T, np.asarray(rhs)),
+                rtol=1e-8, atol=1e-9)
 
 
 def test_pc_bjacobi_cr_method():

@@ -516,7 +516,11 @@ def test_bicg_nonsymmetric_with_transpose_pcs():
     u = rng.standard_normal(n)
     b = jnp.asarray(a @ u)
     for pc_type, extra in (("lu", []),
-                           ("spike", ["-pc_spike_partitions", "8"])):
+                           ("spike", ["-pc_spike_partitions", "8"]),
+                           # store_lt: the regular-form transpose builds
+                           # from the L blocks kept at factor time
+                           ("spike", ["-pc_spike_partitions", "8",
+                                      "-pc_spike_store_lt", "1"])):
         res = solve(bm, b, ksp_type="bicg", pc_type=pc_type,
                     options=Options.from_argv(extra), rtol=1e-12, maxit=50)
         assert int(res.reason) > 0 and int(res.its) <= 3, (pc_type, res)

@@ -229,6 +229,7 @@ def test_chunked_conversion_matches_unchunked(monkeypatch):
     dict(method="cr"),
     dict(truncated=True),
     dict(shift="nonzero"),
+    dict(store_lt=True),
 ])
 def test_spike_factor_grouped_matches(kwargs):
     """Group-wise factorization (the large-N memory path) is equivalent to
@@ -248,6 +249,9 @@ def test_spike_factor_grouped_matches(kwargs):
     x_m = np.asarray(spike_solve(sf_m, rhs))
     x_g = np.asarray(spike_solve(sf_g, rhs))
     np.testing.assert_allclose(x_g, x_m, rtol=1e-12, atol=1e-13)
+    if kwargs.get("store_lt"):
+        np.testing.assert_array_equal(np.asarray(sf_g.Lb),
+                                      np.asarray(sf_m.Lb))
     # bf16 spikes are ~1e-4-grade at this small well-conditioned size
     tol = 1e-3 if kwargs.get("spike_dtype") is not None else 1e-5
     np.testing.assert_allclose(x_g, u, rtol=tol, atol=tol / 10)
@@ -357,3 +361,52 @@ def test_spike_transpose_regular_form_with_band(K):
     # identical answers from the marker form
     lam_m = np.asarray(spike_solve(spike_transpose(sf), jnp.asarray(g)))
     np.testing.assert_allclose(lam, lam_m, rtol=1e-10, atol=1e-11)
+
+
+@pytest.mark.parametrize("K,store_dtype", [(1, None), (4, None),
+                                           (4, jnp.bfloat16)])
+def test_spike_transpose_from_stored_lt(K, store_dtype):
+    """spike_factor(store_lt=True) keeps the L blocks so spike_transpose
+    builds the REGULAR-form transpose factor with NO band and NO
+    band->blocktri reconversion (the blocks were computed at factor time
+    anyway); fast=False still opts into the zero-memory marker form."""
+    from spike_petsc_tpu.ops.blocktri import (BlockTriFactor,
+                                              TransposedBlockTriFactor)
+    from spike_petsc_tpu.ops.spike import spike_transpose
+
+    n = 333
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    bm, kl, ku = banded_of(a)
+    sf = spike_factor(bm, K=K, block_b=8, store_lt=True,
+                      store_dtype=store_dtype)
+    assert sf.Lb is not None
+    if store_dtype is not None:
+        assert sf.Lb.dtype == store_dtype
+    sft = spike_transpose(sf)                 # no band passed — uses sf.Lb
+    assert isinstance(sft.fact, BlockTriFactor)   # regular form, not marker
+    g = np.random.default_rng(96).standard_normal(n)
+    lam = np.asarray(spike_solve(sft, jnp.asarray(g)))
+    tol = 2e-2 if store_dtype is not None else 1e-9
+    np.testing.assert_allclose(lam, np.linalg.solve(a.toarray().T, g),
+                               rtol=tol, atol=tol / 10)
+    if store_dtype is None:
+        # bit-identical to the band-built regular form (same L blocks)
+        sft_b = spike_transpose(
+            spike_factor(bm, K=K, block_b=8), band=bm)
+        np.testing.assert_array_equal(np.asarray(sft.fact.F),
+                                      np.asarray(sft_b.fact.F))
+        np.testing.assert_array_equal(np.asarray(sft.fact.U),
+                                      np.asarray(sft_b.fact.U))
+    # fast=False: marker form even though Lb is stored
+    sft_m = spike_transpose(sf, fast=False)
+    assert isinstance(sft_m.fact, TransposedBlockTriFactor)
+    lam_m = np.asarray(spike_solve(sft_m, jnp.asarray(g)))
+    np.testing.assert_allclose(lam_m, np.linalg.solve(a.toarray().T, g),
+                               rtol=tol, atol=tol / 10)
+
+
+def test_store_lt_rejects_non_inv():
+    a = problems.nonsym_banded(128, 3, 2, seed=7)
+    bm, _, _ = banded_of(a)
+    with pytest.raises(ValueError, match="store_lt"):
+        spike_factor(bm, K=4, block_b=8, method="lu", store_lt=True)
