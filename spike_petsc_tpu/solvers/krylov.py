@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.registry import register_ksp
-from .types import (CONVERGED_ITERATING, CONVERGED_ITS, DIVERGED_BREAKDOWN,
+from .types import (CONVERGED_ITERATING, CONVERGED_ITS,
+                    CONVERGED_RTOL_NORMAL, DIVERGED_BREAKDOWN,
                     DIVERGED_NANORINF, KSPResult, default_convergence_check)
 
 
@@ -953,6 +954,386 @@ def preonly(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                      history=hist)
 
 
+# ---------------------------------------------------------------------------
+# Normal-equations family (PETSc KSPCGNE / KSPLSQR): nonsymmetric and
+# RECTANGULAR least-squares solves riding the transpose stack
+# (banded_transpose matvecs + PC.transpose on stored factors)
+# ---------------------------------------------------------------------------
+
+def cgnr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+         pc_apply: Optional[Callable] = None, *,
+         matvec_transpose: Optional[Callable] = None,
+         pc_apply_transpose: Optional[Callable] = None,
+         rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+         maxit: int = 10000, axis_name: Optional[str] = None,
+         conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """CG on the normal equations in CGLS form (PETSc KSPCGNE role).
+
+    Minimizes ``||M^{-1}(b - A x)||_2`` without ever forming A^H A: the CGLS
+    recurrences carry the least-squares residual ``s = M^{-1}(b - A x)`` and
+    the normal residual ``r = B^H s`` (B = M^{-1} A) separately — numerically
+    superior to running ``cg`` on the squared operator (the squared condition
+    number never touches the stored vectors).  Works for square nonsymmetric
+    systems and for RECTANGULAR least-squares problems (x and b may have
+    different lengths; pass matvec/matvec_transpose callables).
+
+    ``matvec_transpose`` is the PURE transpose A^T; Hermitian forms are
+    derived by conjugation wrapping (free for real scalars), exactly as
+    ``bicg``.  The monitored history is ``||s||``; for inconsistent
+    (rectangular) systems, where ``||s||`` stalls at the least-squares
+    optimum, CONVERGED_RTOL_NORMAL is reported once the normal residual
+    satisfies ``||B^H s|| <= rtol * ||B^H M^{-1} b||`` (PETSc KSPLSQR's
+    normal-equations test).
+    """
+    if matvec_transpose is None:
+        raise ValueError("cgnr/cgne requires matvec_transpose (an explicit "
+                         "operator through ksp.solve provides it; bare "
+                         "callables cannot be transposed)")
+    psolve = pc_apply or _identity_pc
+    psolve_t = pc_apply_transpose or _identity_pc
+    mv_h = lambda v: jnp.conj(matvec_transpose(jnp.conj(v)))
+    ps_h = lambda v: jnp.conj(psolve_t(jnp.conj(v)))
+    bmv = lambda v: psolve(matvec(v))        # B = M^{-1} A
+    bmv_h = lambda v: mv_h(ps_h(v))          # B^H = A^H M^{-H}
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    norm = partial(_norm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    c = psolve(b)
+    bt = bmv_h(c)                            # also fixes x's length (may != m)
+    if x0 is None:
+        x0 = jnp.zeros_like(bt)
+        s0, r0 = c, bt
+    else:
+        s0 = psolve(b - matvec(x0))
+        r0 = bmv_h(s0)
+    bnorm = norm(c)
+    ntnorm0 = norm(bt)
+    gamma0 = jnp.real(_dot(r0, r0, axis_name))
+    rnorm0 = norm(s0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(st):
+        return _keep_iterating(st["reason"], conv_sync_axis)
+
+    def body(st):
+        q = bmv(st["p"])
+        qq = jnp.real(_dot(q, q, axis_name))
+        breakdown = qq < jnp.finfo(rdtype).tiny
+        alpha = st["gamma"] / jnp.where(qq != 0, qq, 1.0)
+        x = st["x"] + alpha.astype(dtype) * st["p"]
+        s = st["s"] - alpha.astype(dtype) * q
+        r = bmv_h(s)
+        # ||r||^2 and ||s||^2 ride one fused psum
+        gamma_new, ss = _dots(((r, r), (s, s)), axis_name)
+        gamma_new, ss = jnp.real(gamma_new), jnp.real(ss)
+        beta = gamma_new / jnp.where(st["gamma"] != 0, st["gamma"], 1.0)
+        p = r + beta.astype(dtype) * st["p"]
+        rn = jnp.sqrt(ss)
+        its = st["its"] + 1
+        hist = st["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(
+            (reason == CONVERGED_ITERATING)
+            & (jnp.sqrt(gamma_new) <= rtol * ntnorm0),
+            CONVERGED_RTOL_NORMAL, reason)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, s=s, p=p, gamma=gamma_new, its=its, reason=reason,
+                    hist=hist)
+
+    init = dict(x=x0, s=s0, p=r0, gamma=gamma0, its=jnp.int32(0),
+                reason=reason0, hist=hist)
+    # already at the normal-equations optimum (e.g. x0 exact for an
+    # inconsistent system)
+    init["reason"] = jnp.where(
+        (reason0 == CONVERGED_ITERATING) & (jnp.sqrt(gamma0) <= rtol * ntnorm0),
+        CONVERGED_RTOL_NORMAL, reason0)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
+
+
+def lsqr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+         pc_apply: Optional[Callable] = None, *,
+         matvec_transpose: Optional[Callable] = None,
+         pc_apply_transpose: Optional[Callable] = None,
+         rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+         maxit: int = 10000, axis_name: Optional[str] = None,
+         conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """LSQR (Paige–Saunders Golub–Kahan bidiagonalization; PETSc KSPLSQR).
+
+    Solves ``min_x ||b - A x||_2`` for square or RECTANGULAR A; analytically
+    equivalent to ``cgnr`` but propagates the bidiagonalization directly, so
+    the residual-norm recurrence (phibar) is monotone and cheap.  Right
+    preconditioning: with M ~ A it solves ``min ||r0 - (A M^{-1}) y||``,
+    x = x0 + M^{-1} y — a nonzero x0 enters through the residual correction
+    (no M apply is ever needed, only M^{-1}/M^{-H} via PC.transpose()).
+
+    Monitored history is the LSQR residual-norm estimate phibar (equals
+    ``||b - A x_k||`` in exact arithmetic); CONVERGED_RTOL_NORMAL fires on
+    the Paige–Saunders normal-equations test
+    ``||B^H r|| <= rtol * ||B||_F-est * ||r||`` — the least-squares optimum
+    for inconsistent systems.
+    """
+    if matvec_transpose is None:
+        raise ValueError("lsqr requires matvec_transpose (an explicit "
+                         "operator through ksp.solve provides it; bare "
+                         "callables cannot be transposed)")
+    psolve = pc_apply or _identity_pc
+    psolve_t = pc_apply_transpose or _identity_pc
+    mv_h = lambda v: jnp.conj(matvec_transpose(jnp.conj(v)))
+    ps_h = lambda v: jnp.conj(psolve_t(jnp.conj(v)))
+    bmv = lambda v: matvec(psolve(v))        # B = A M^{-1}
+    bmv_h = lambda u: ps_h(mv_h(u))          # B^H = M^{-H} A^H
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    norm = partial(_norm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(b)
+    r0 = b if x0 is None else b - matvec(x0)
+    beta0 = norm(r0)
+    u0 = r0 / jnp.where(beta0 != 0, beta0, 1.0).astype(dtype)
+    v_un = bmv_h(u0)
+    alpha0 = norm(v_un)
+    v0 = v_un / jnp.where(alpha0 != 0, alpha0, 1.0).astype(dtype)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(beta0)
+    reason0 = check(beta0, bnorm, jnp.int32(0))
+    reason0 = jnp.where((reason0 == CONVERGED_ITERATING) & (alpha0 <= tiny),
+                        CONVERGED_RTOL_NORMAL, reason0)
+
+    def cond(st):
+        return _keep_iterating(st["reason"], conv_sync_axis)
+
+    def body(st):
+        u_un = bmv(st["v"]) - st["alpha"].astype(dtype) * st["u"]
+        beta = norm(u_un)
+        u = u_un / jnp.where(beta != 0, beta, 1.0).astype(dtype)
+        v_un = bmv_h(u) - beta.astype(dtype) * st["v"]
+        alpha = norm(v_un)
+        v = v_un / jnp.where(alpha != 0, alpha, 1.0).astype(dtype)
+        rho = jnp.sqrt(st["rhobar"] ** 2 + beta ** 2)
+        cs = st["rhobar"] / jnp.where(rho != 0, rho, 1.0)
+        sn = beta / jnp.where(rho != 0, rho, 1.0)
+        theta = sn * alpha
+        rhobar = -cs * alpha
+        phi = cs * st["phibar"]
+        phibar = sn * st["phibar"]
+        y = st["y"] + (phi / jnp.where(rho != 0, rho, 1.0)).astype(dtype) \
+            * st["w"]
+        w = v - (theta / jnp.where(rho != 0, rho, 1.0)).astype(dtype) \
+            * st["w"]
+        anorm2 = st["anorm2"] + alpha ** 2 + beta ** 2
+        rn = phibar
+        its = st["its"] + 1
+        hist = st["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        # Paige–Saunders stopping rule 2: ||B^H r_k|| = phibar*alpha*|cs|
+        # small relative to ||B||*||r_k|| — the normal-equations optimum
+        normal_rn = phibar * alpha * jnp.abs(cs)
+        reason = jnp.where(
+            (reason == CONVERGED_ITERATING)
+            & (normal_rn <= rtol * jnp.sqrt(anorm2) * jnp.maximum(phibar,
+                                                                  tiny)),
+            CONVERGED_RTOL_NORMAL, reason)
+        # alpha == 0 / beta == 0: bidiagonalization terminated — the exact
+        # (least-squares) solution of the Krylov subspace is reached
+        reason = jnp.where(
+            (reason == CONVERGED_ITERATING)
+            & ((alpha <= tiny) | (beta <= tiny)),
+            CONVERGED_RTOL_NORMAL, reason)
+        return dict(y=y, w=w, u=u, v=v, alpha=alpha, rhobar=rhobar,
+                    phibar=phibar, anorm2=anorm2, its=its, reason=reason,
+                    hist=hist)
+
+    init = dict(y=jnp.zeros_like(v0), w=v0, u=u0, v=v0, alpha=alpha0,
+                rhobar=alpha0, phibar=beta0, anorm2=alpha0 ** 2,
+                its=jnp.int32(0), reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    x = psolve(out["y"]) if x0 is None else x0 + psolve(out["y"])
+    return KSPResult(x=x, its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(x)), history=out["hist"])
+
+
+# ---------------------------------------------------------------------------
+# Transpose-free nonsymmetric family (PETSc KSPCGS / KSPTFQMR)
+# ---------------------------------------------------------------------------
+
+def cgs(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+        pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+        atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+        axis_name: Optional[str] = None,
+        conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """Conjugate Gradients Squared (Sonneveld; PETSc KSPCGS).
+
+    Transpose-free BiCG variant: squares the BiCG polynomial, so it needs
+    two matvecs but NO A^T — the option when only a forward operator exists
+    (bare-callable operators, where ``bicg`` raises).  Preconditioning is
+    right-folded (B = A M^{-1}, solved for y with x = x0 + M^{-1} y), so the
+    monitored history is the TRUE residual of the original system.
+    Convergence is irregular (squared polynomial → amplified peaks); prefer
+    bicgstab unless CGS's faster smooth-phase convergence is measured to win.
+    """
+    psolve = pc_apply or _identity_pc
+    bmv = lambda v: matvec(psolve(v))
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    norm = partial(_norm, axis_name=axis_name)
+    dot = partial(_dot, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(b)
+    r0 = b if x0 is None else b - matvec(x0)
+    rt0 = r0
+    rho0 = dot(rt0, r0)
+    rnorm0 = norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+    reason0 = jnp.where(
+        (jnp.abs(rho0) < tiny) & (reason0 == CONVERGED_ITERATING),
+        DIVERGED_BREAKDOWN, reason0)
+
+    def cond(st):
+        return _keep_iterating(st["reason"], conv_sync_axis)
+
+    def body(st):
+        v = bmv(st["p"])
+        sigma = dot(rt0, v)
+        breakdown = jnp.abs(sigma) < tiny
+        alpha = st["rho"] / jnp.where(sigma != 0, sigma, 1.0)
+        q = st["u"] - alpha * v
+        uq = st["u"] + q
+        y = st["y"] + alpha * uq
+        r = st["r"] - alpha * bmv(uq)
+        # <rt,r> and ||r||^2 share one fused psum
+        rho_new, rr = _dots(((rt0, r), (r, r)), axis_name)
+        breakdown |= jnp.abs(rho_new) < tiny
+        beta = rho_new / jnp.where(st["rho"] != 0, st["rho"], 1.0)
+        u = r + beta * q
+        p = u + beta * (q + beta * st["p"])
+        rn = jnp.sqrt(jnp.real(rr))
+        its = st["its"] + 1
+        hist = st["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(y=y, r=r, u=u, p=p, rho=rho_new, its=its, reason=reason,
+                    hist=hist)
+
+    init = dict(y=jnp.zeros_like(b), r=r0, u=r0, p=r0, rho=rho0,
+                its=jnp.int32(0), reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    x = psolve(out["y"]) if x0 is None else x0 + psolve(out["y"])
+    return KSPResult(x=x, its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(x)), history=out["hist"])
+
+
+def tfqmr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+          pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+          atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+          axis_name: Optional[str] = None,
+          conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """Transpose-Free QMR (Freund 1993; PETSc KSPTFQMR).
+
+    CGS's search space with a quasi-minimal-residual smoothing — the
+    transpose-free method of choice when CGS/BiCGStab stagnate on erratic
+    residuals.  Two matvecs per iteration (two QMR half-steps), one fused
+    reduction round.  Preconditioning is right-folded as in ``cgs``; the
+    monitored history is Freund's residual-norm BOUND tau*sqrt(2k+1)
+    (PETSc's monitor shows the same bound), while the returned ``rnorm`` is
+    the recomputed true residual.
+    """
+    psolve = pc_apply or _identity_pc
+    bmv = lambda v: matvec(psolve(v))
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    norm = partial(_norm, axis_name=axis_name)
+    dot = partial(_dot, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(b)
+    r0 = b if x0 is None else b - matvec(x0)
+    rt0 = r0
+    tau0 = norm(r0)
+    rho0 = dot(rt0, r0)
+    v0 = bmv(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(tau0)
+    reason0 = check(tau0, bnorm, jnp.int32(0))
+    reason0 = jnp.where(
+        (jnp.abs(rho0) < tiny) & (reason0 == CONVERGED_ITERATING),
+        DIVERGED_BREAKDOWN, reason0)
+
+    def cond(st):
+        return _keep_iterating(st["reason"], conv_sync_axis)
+
+    def half(ym, Aym, w, tau, theta, eta, d, yacc, alpha):
+        """One QMR half-step: residual update + smoothing + solution step."""
+        w1 = w - alpha * Aym
+        theta1 = _norm(w1, axis_name) / jnp.maximum(tau, tiny)
+        c1 = 1.0 / jnp.sqrt(1.0 + theta1 ** 2)
+        tau1 = tau * theta1 * c1
+        eta1 = (c1 ** 2) * alpha
+        sa = jnp.where(jnp.abs(alpha) > tiny, alpha, 1.0)
+        d1 = ym + ((theta ** 2) * eta / sa) * d
+        return w1, tau1, theta1, eta1, d1, yacc + eta1 * d1
+
+    def body(st):
+        sigma = dot(rt0, st["v"])
+        breakdown = jnp.abs(sigma) < tiny
+        alpha = st["rho"] / jnp.where(sigma != 0, sigma, 1.0)
+        y2 = st["y1"] - alpha * st["v"]
+        By2 = bmv(y2)
+        # half-step m = 2k-1: the residual recurrence uses B y1 (uhat),
+        # NOT the direction vector v — they differ once beta != 0
+        # (v = B y1 + beta (B y2_prev + beta v_prev))
+        w1, tau1, theta1, eta1, d1, yacc = half(
+            st["y1"], st["uhat"], st["w"], st["tau"], st["theta"],
+            st["eta"], st["d"], st["yacc"], alpha)
+        # half-step m = 2k
+        w2, tau2, theta2, eta2, d2, yacc = half(
+            y2, By2, w1, tau1, theta1, eta1, d1, yacc, alpha)
+        rho_new = dot(rt0, w2)
+        breakdown |= jnp.abs(rho_new) < tiny
+        beta = rho_new / jnp.where(st["rho"] != 0, st["rho"], 1.0)
+        y1 = w2 + beta * y2
+        uhat = bmv(y1)
+        v = uhat + beta * (By2 + beta * st["v"])
+        its = st["its"] + 1
+        # Freund's bound ||r_m|| <= tau_m sqrt(m+1) at m = 2k
+        rn = tau2 * jnp.sqrt(2.0 * its.astype(rdtype) + 1.0)
+        hist = st["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(yacc=yacc, w=w2, y1=y1, v=v, uhat=uhat, d=d2, tau=tau2,
+                    theta=theta2, eta=eta2, rho=rho_new, its=its,
+                    reason=reason, hist=hist)
+
+    zeros = jnp.zeros_like(b)
+    init = dict(yacc=zeros, w=r0, y1=r0, v=v0, uhat=v0, d=zeros,
+                tau=tau0, theta=jnp.zeros((), rdtype),
+                eta=jnp.zeros((), dtype), rho=rho0,
+                its=jnp.int32(0), reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    x = psolve(out["yacc"]) if x0 is None else x0 + psolve(out["yacc"])
+    return KSPResult(x=x, its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(x)), history=out["hist"])
+
+
 register_ksp("chebyshev", chebyshev)
 register_ksp("gmres", gmres)
 register_ksp("fgmres", fgmres)
@@ -964,3 +1345,9 @@ register_ksp("pipecg", pipecg)
 register_ksp("minres", minres)
 register_ksp("richardson", richardson)
 register_ksp("preonly", preonly)
+register_ksp("cgne", cgnr)      # PETSc's name for CG-on-normal-equations
+register_ksp("cgnr", cgnr)
+register_ksp("cgls", cgnr)
+register_ksp("lsqr", lsqr)
+register_ksp("cgs", cgs)
+register_ksp("tfqmr", tfqmr)

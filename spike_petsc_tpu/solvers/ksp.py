@@ -114,8 +114,9 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
                 pc_apply=pc_apply)
             kw["emin"], kw["emax"] = krylov.chebyshev_esteig_bounds(
                 eigs, transform)
-    if ksp_type == "bicg":
-        # the shadow recurrence needs A^T and M^{-T}: transpose the
+    if ksp_type in ("bicg", "cgne", "cgnr", "cgls", "lsqr"):
+        # bicg's shadow recurrence and the normal-equations family
+        # (cgne/cgnr/cgls/lsqr) need A^T and M^{-T}: transpose the
         # operator host-side and reuse the PC's stored factors
         # (PC.transpose -> spike_transpose; no refactorization).  Each
         # entry is wired independently so a user-supplied

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 # PETSc KSPConvergedReason numeric values (petscksp.h)
 CONVERGED_ITERATING = 0
+CONVERGED_RTOL_NORMAL = 1   # normal-equations residual test (KSPLSQR/CGNE)
 CONVERGED_RTOL = 2
 CONVERGED_ATOL = 3
 CONVERGED_ITS = 4
@@ -27,6 +28,7 @@ DIVERGED_NANORINF = -9
 
 _REASON_NAMES = {
     0: "CONVERGED_ITERATING",
+    1: "CONVERGED_RTOL_NORMAL",
     2: "CONVERGED_RTOL",
     3: "CONVERGED_ATOL",
     4: "CONVERGED_ITS",

@@ -595,3 +595,115 @@ def test_gmres_norm_type_unpreconditioned():
     np.testing.assert_allclose(th[int(ru.its)], float(ru.rnorm), rtol=1e-12)
     with pytest.raises(ValueError, match="norm_type"):
         gmres(mv, b, None, pc, norm_type="bogus")
+
+
+# ---------------------------------------------------------------------------
+# Normal-equations family (KSPCGNE/KSPLSQR) and transpose-free family
+# (KSPCGS/KSPTFQMR)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ksp_type", ["cgne", "lsqr", "cgs", "tfqmr"])
+def test_new_ksps_unpreconditioned_nonsymmetric(ksp_type):
+    a = problems.nonsym_banded(120, 2, 2, seed=3)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type=ksp_type, rtol=1e-10,
+                maxit=2000)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    err = np.linalg.norm(np.asarray(res.x) - u)
+    assert err < 1e-6, (ksp_type, err)
+
+
+@pytest.mark.parametrize("ksp_type", ["cgne", "lsqr", "cgs", "tfqmr"])
+def test_new_ksps_spike_pc_one_iteration(ksp_type):
+    """With the exact SPIKE factorization as PC each method converges in
+    one iteration — the PC (and for cgne/lsqr its TRANSPOSE apply on the
+    stored factors) is wired correctly through make_solver."""
+    a = problems.nonsym_banded(150, 3, 3, seed=7)
+    u, b = manufactured(a, seed=2)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type=ksp_type,
+                pc_type="spike", rtol=1e-10, maxit=50)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    assert int(res.its) <= 2, int(res.its)
+    assert np.linalg.norm(np.asarray(res.x) - u) < 1e-8
+
+
+@pytest.mark.parametrize("fn_name", ["cgnr", "lsqr"])
+def test_normal_equations_rectangular_least_squares(fn_name):
+    """Rectangular (tall) least squares: both CGLS and LSQR reach the
+    numpy.linalg.lstsq minimizer and report the normal-equations reason
+    (the residual itself cannot reach rtol for an inconsistent system)."""
+    from spike_petsc_tpu.solvers import krylov
+    from spike_petsc_tpu.solvers.types import CONVERGED_RTOL_NORMAL
+
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((80, 30))
+    b = rng.standard_normal(80)
+    xs = np.linalg.lstsq(M, b, rcond=None)[0]
+    Mj = jnp.asarray(M)
+    fn = getattr(krylov, fn_name)
+    res = fn(lambda x: Mj @ x, jnp.asarray(b),
+             matvec_transpose=lambda y: Mj.T @ y, rtol=1e-12, maxit=500)
+    assert int(res.reason) == CONVERGED_RTOL_NORMAL, reason_str(res.reason)
+    assert np.linalg.norm(np.asarray(res.x) - xs) < 1e-8
+
+
+def test_lsqr_nonzero_initial_guess_correction_form():
+    """x0 enters LSQR through the residual correction (no M apply needed);
+    the solution must be independent of the starting point."""
+    a = problems.nonsym_banded(100, 2, 2, seed=9)
+    u, b = manufactured(a, seed=4)
+    x0 = jnp.asarray(np.random.default_rng(5).uniform(size=100))
+    res = solve(banded_of(a), jnp.asarray(b), x0=x0, ksp_type="lsqr",
+                pc_type="spike", rtol=1e-12, maxit=100)
+    assert int(res.reason) > 0
+    assert np.linalg.norm(np.asarray(res.x) - u) < 1e-8
+
+
+def test_cgnr_complex_system():
+    from spike_petsc_tpu.solvers import krylov
+
+    rng = np.random.default_rng(11)
+    n = 60
+    M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    M += n * np.eye(n)
+    xe = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = M @ xe
+    Mj = jnp.asarray(M)
+    res = krylov.cgnr(lambda x: Mj @ x, jnp.asarray(b),
+                      matvec_transpose=lambda y: Mj.T @ y,
+                      rtol=1e-12, maxit=500)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    assert np.linalg.norm(np.asarray(res.x) - xe) < 1e-8
+
+
+def test_cgs_matches_scipy_solution():
+    a = problems.nonsym_banded(130, 2, 2, seed=13)
+    u, b = manufactured(a, seed=6)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="cgs", rtol=1e-10,
+                maxit=1000)
+    x_sp, info = spla.cgs(a, b, rtol=1e-10, maxiter=1000)
+    assert info == 0 and int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), x_sp, rtol=1e-5, atol=1e-7)
+
+
+def test_tfqmr_history_bounds_true_residual():
+    """TFQMR's monitored history is Freund's tau*sqrt(m+1) residual BOUND:
+    the recomputed true rnorm at exit must not exceed the last history
+    entry (up to roundoff slack)."""
+    a = problems.nonsym_banded(120, 2, 2, seed=3)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="tfqmr", rtol=1e-8,
+                maxit=2000)
+    assert int(res.reason) > 0
+    last = float(np.asarray(res.history)[int(res.its)])
+    assert float(res.rnorm) <= 10 * last + 1e-12
+
+
+def test_cgne_requires_transpose_operator():
+    from spike_petsc_tpu.solvers import krylov
+
+    b = jnp.ones(10)
+    with pytest.raises(ValueError, match="matvec_transpose"):
+        krylov.cgnr(lambda x: x, b)
+    with pytest.raises(ValueError, match="matvec_transpose"):
+        krylov.lsqr(lambda x: x, b)
