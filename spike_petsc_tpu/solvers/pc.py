@@ -404,3 +404,56 @@ def pc_banded(pmat, opts: Options) -> PC:
 
     return PC(name="banded", apply=inner.apply, info=info, inner=inner,
               make_transpose=_mk_transpose)
+
+
+@register_pc("ksp")
+def pc_ksp(pmat, opts: Options) -> PC:
+    """PCKSP: a full inner Krylov solve as the preconditioner apply.
+
+    PETSc's PCKSP — the composition that turns ANY registered KSP+PC pair
+    into a preconditioner for an outer iteration (e.g. a loosely-converged
+    inner GMRES+bjacobi accelerating an outer solve on the full operator).
+    The inner solver is configured under the ``ksp_`` options prefix, PETSc's
+    exact convention: ``-ksp_ksp_type``, ``-ksp_pc_type``, ``-ksp_ksp_rtol``,
+    ``-ksp_ksp_max_it``, ... (nested prefixes compose:
+    ``-ksp_banded_pc_type`` configures a PCBANDED inside the inner KSP).
+
+    The apply runs the inner ``lax.while_loop`` to its own tolerances on
+    every outer iteration, so the preconditioner VARIES between applies —
+    use ``-ksp_type fgmres`` (or richardson) for the outer method, as PETSc
+    advises for PCKSP.  Inner defaults are deliberately PC-shaped: rtol 1e-2,
+    maxit 50 (override via ``-ksp_ksp_rtol`` / ``-ksp_ksp_max_it``; PETSc
+    leaves the inner KSP at solver defaults, which as a PC wastes work).
+
+    PCApplyTranspose solves A^T z = r with the same inner configuration
+    (operator transposed host-side, inner PC reusing stored factors via
+    PC.transpose) — exact adjoint when the inner solve is run to
+    convergence, the standard PCKSP approximation otherwise.
+    """
+    from . import ksp as _ksp
+    inner_opts = opts.scoped("ksp_")
+    inner_ksp = inner_opts.get_string("ksp_type", "gmres")
+    inner_pc_name = inner_opts.get_string("pc_type", "none")
+    rtol = inner_opts.get_real("ksp_rtol", 1e-2)
+    maxit = inner_opts.get_int("ksp_max_it", 50)
+    inner_pc = PRECONDITIONERS.get(inner_pc_name)(pmat, inner_opts)
+    solver = _ksp.make_solver(pmat, options=inner_opts, ksp_type=inner_ksp,
+                              pc=inner_pc, jit=False, rtol=rtol, maxit=maxit)
+    info = dict(ksp=inner_ksp, rtol=rtol, maxit=maxit)
+
+    def _apply(r):
+        return solver(r).x
+
+    def _mk_transpose(_info=info):
+        solver_t = _ksp.make_solver(pmat, options=inner_opts,
+                                    ksp_type=inner_ksp, pc=inner_pc,
+                                    jit=False, transpose=True,
+                                    rtol=rtol, maxit=maxit)
+        return PC(name="ksp_transpose", apply=lambda r: solver_t(r).x,
+                  info=_info,
+                  inner=(inner_pc.transpose()
+                         if inner_pc.name != "none" else inner_pc))
+
+    return PC(name="ksp", apply=_apply, info=info,
+              inner=inner_pc if inner_pc.name != "none" else None,
+              make_transpose=_mk_transpose)
