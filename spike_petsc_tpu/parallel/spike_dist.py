@@ -1226,6 +1226,12 @@ def _multislice_specs(dsf: DistSpikeFactor, axis_slice: str, axis_p: str):
         ppd=dsf.ppd, truncated=dsf.truncated)
 
 
+
+# KSP types whose recurrences iterate on A^T / M^{-T} and therefore need the
+# transposed distributed factorization threaded in (bicg's shadow
+# recurrence; the normal-equations family cgne/cgnr/cgls/lsqr)
+TRANSPOSE_KSP_TYPES = ("bicg", "cgne", "cgnr", "cgls", "lsqr")
+
 def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
                                 axis_slice: str = "slice", axis_p: str = "p",
                                 ksp_type: str = "gmres", use_pc: bool = True,
@@ -1242,9 +1248,9 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
     ppd, m = dsf.ppd, dsf.m
     n_slices = mesh.shape[axis_slice]
     ndev_p = mesh.shape[axis_p]
-    if ksp_type == "bicg" and dsf_transpose is None:
+    if ksp_type in TRANSPOSE_KSP_TYPES and dsf_transpose is None:
         raise ValueError(
-            "distributed bicg needs the A^T factorization: pass "
+            f"distributed {ksp_type} needs the A^T factorization: pass "
             "dsf_transpose=dist_spike_transpose_multislice(dsf, mesh, ...)")
 
     def local_fn(dsf_in, dsft_in, r_local, x0_local):
@@ -1253,7 +1259,7 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
         pc_apply = (lambda v: local_spike_solve_multislice(
             dsf_in, v, axis_slice, axis_p, ndev_p)) if use_pc else None
         kw = dict(params)
-        if ksp_type == "bicg":
+        if ksp_type in TRANSPOSE_KSP_TYPES:
             kw["matvec_transpose"] = lambda v: local_matvec_multislice(
                 dsft_in, v, axis_slice, axis_p, n_slices, ndev_p)
             if use_pc:
@@ -1505,9 +1511,9 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     """
     method = SOLVERS.get(ksp_type)
     ppd, m = dsf.ppd, dsf.m
-    if ksp_type == "bicg" and dsf_transpose is None:
+    if ksp_type in TRANSPOSE_KSP_TYPES and dsf_transpose is None:
         raise ValueError(
-            "distributed bicg needs the A^T factorization: pass "
+            f"distributed {ksp_type} needs the A^T factorization: pass "
             "dsf_transpose=dist_spike_transpose(dsf, mesh, axis)")
 
     def local_fn(dsf_in, dsft_in, r_local, x0_local):
@@ -1515,7 +1521,7 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
             if use_pc else None
         kw = dict(params)
-        if ksp_type == "bicg":
+        if ksp_type in TRANSPOSE_KSP_TYPES:
             kw["matvec_transpose"] = lambda v: local_matvec(dsft_in, v, axis)
             if use_pc:
                 kw["pc_apply_transpose"] = \

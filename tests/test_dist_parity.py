@@ -470,3 +470,32 @@ def test_multislice_batched_krylov_per_rhs():
     B = jnp.asarray(a @ U)
     X = np.asarray(solver(B))
     np.testing.assert_allclose(X, U, rtol=1e-6, atol=1e-7)
+
+
+def test_dist_normal_equations_and_transpose_free_ksps(mesh):
+    """The new KSP families on the mesh: cgne/lsqr ride the transposed
+    distributed factorization (same threading as bicg); cgs/tfqmr are
+    transpose-free and need only the forward halo matvec."""
+    from spike_petsc_tpu.parallel import dist_spike_transpose
+    n = 640
+    a = problems.nonsym_banded(n, 3, 2, seed=7)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh, block_b=8, parts_per_device=2,
+                            store_spikes=True)
+    dsft = dist_spike_transpose(dsf, mesh)
+    u = np.random.default_rng(53).standard_normal(n)
+    b = jnp.asarray(a @ u)
+    for kt in ("cgne", "lsqr"):
+        res = make_dist_solver(dsf, mesh, ksp_type=kt, dsf_transpose=dsft,
+                               rtol=1e-12, maxit=60)(b)
+        assert int(res.reason) > 0, (kt, int(res.reason))
+        np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7,
+                                   atol=1e-8, err_msg=kt)
+        with pytest.raises(ValueError, match="dist_spike_transpose"):
+            make_dist_solver(dsf, mesh, ksp_type=kt)
+    for kt in ("cgs", "tfqmr"):
+        res = make_dist_solver(dsf, mesh, ksp_type=kt, rtol=1e-12,
+                               maxit=60)(b)
+        assert int(res.reason) > 0, (kt, int(res.reason))
+        np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7,
+                                   atol=1e-8, err_msg=kt)
