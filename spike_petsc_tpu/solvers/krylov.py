@@ -184,6 +184,92 @@ def estimate_extreme_eigs(matvec: Callable, n: int, dtype=jnp.float32, *,
     return np.linalg.eigvals(Hk)
 
 
+def golub_kahan_bidiag(matvec: Callable, matvec_transpose: Callable,
+                       v0: jax.Array, m: int,
+                       pc_apply: Optional[Callable] = None,
+                       pc_apply_transpose: Optional[Callable] = None,
+                       axis_name: Optional[str] = None):
+    """m-step Golub–Kahan bidiagonalization of the left-preconditioned
+    operator B = M⁻¹A started from ``v0``; returns ``(alphas, betas, k)``
+    with B_m = bidiag(alphas, betas) the (k+1, k) lower-bidiagonal factor
+    and ``k`` the number of completed steps (< m on exact breakdown).
+
+    Jittable.  The singular values of B_m estimate the extreme singular
+    values of M⁻¹A — the engine behind PETSc's
+    ``KSPComputeExtremeSingularValues`` / ``-ksp_compute_singularvalues``
+    diagnostics (condition-number estimation of the preconditioned system).
+    The transposes come from the framework's transpose stack
+    (``banded_transpose`` matvecs, ``PC.transpose`` on stored factors).
+    """
+    psolve = pc_apply or _identity_pc
+    psolve_t = pc_apply_transpose or _identity_pc
+    mv_h = lambda v: jnp.conj(matvec_transpose(jnp.conj(v)))
+    ps_h = lambda v: jnp.conj(psolve_t(jnp.conj(v)))
+    bmv = lambda v: psolve(matvec(v))
+    bmv_h = lambda v: mv_h(ps_h(v))
+    dtype = v0.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    norm = partial(_norm, axis_name=axis_name)
+
+    n0 = norm(v0)
+    u = v0 / jnp.where(n0 != 0, n0, 1.0).astype(rdtype)
+    v_un = bmv_h(u)
+    alpha0 = norm(v_un)
+    v = v_un / jnp.where(alpha0 != 0, alpha0, 1.0).astype(rdtype)
+    alphas = jnp.zeros((m,), rdtype).at[0].set(alpha0)
+    betas = jnp.zeros((m,), rdtype)   # betas[j] couples step j to j+1
+
+    def body(j, c):
+        alphas, betas, u, v, k, alive = c
+        u_un = bmv(v) - alphas[j].astype(dtype) * u
+        beta = norm(u_un)
+        u = u_un / jnp.where(beta != 0, beta, 1.0).astype(rdtype)
+        v_un = bmv_h(u) - beta.astype(dtype) * v
+        alpha = norm(v_un)
+        v = v_un / jnp.where(alpha != 0, alpha, 1.0).astype(rdtype)
+        ok = (beta > 1e3 * tiny) & (alpha > 1e3 * tiny)
+        betas = betas.at[j].set(jnp.where(alive, beta, 0))
+        alphas = alphas.at[j + 1].set(jnp.where(alive & ok, alpha, 0))
+        k = k + jnp.where(alive, 1, 0)
+        return alphas, betas, u, v, k, alive & ok
+
+    alphas, betas, _, _, k, _ = jax.lax.fori_loop(
+        0, m - 1, body, (alphas, betas, u, v, jnp.int32(1),
+                         alpha0 > 1e3 * tiny))
+    return alphas, betas, k
+
+
+def estimate_extreme_singular_values(matvec: Callable,
+                                     matvec_transpose: Callable, n: int,
+                                     dtype=jnp.float32, *, m: int = 30,
+                                     pc_apply: Optional[Callable] = None,
+                                     pc_apply_transpose: Optional[Callable]
+                                     = None, seed: int = 0, v0=None):
+    """Host-side extreme-singular-value estimation of M⁻¹A: ``m``
+    Golub–Kahan steps on device, SVD of the tiny bidiagonal on host.
+    Returns ``(smax, smin)`` — PETSc KSPComputeExtremeSingularValues's
+    outputs (smax converges fast; smin is a Lanczos-style estimate that
+    needs m near the spectrum's effective size to tighten)."""
+    import numpy as np
+    m = max(2, min(int(m), int(n)))
+    if v0 is None:
+        v0 = jnp.asarray(
+            np.random.default_rng(seed).standard_normal(n), dtype)
+    alphas, betas, k = jax.jit(lambda v: golub_kahan_bidiag(
+        matvec, matvec_transpose, v, m, pc_apply, pc_apply_transpose))(v0)
+    k = int(k)
+    if k == 0:
+        return 0.0, 0.0
+    a = np.asarray(alphas)[:k]
+    b = np.asarray(betas)[:k]
+    B = np.zeros((k + 1, k))
+    B[np.arange(k), np.arange(k)] = a
+    B[np.arange(1, k + 1), np.arange(k)] = b
+    s = np.linalg.svd(B, compute_uv=False)
+    return float(s.max()), float(s.min())
+
+
 #: PETSc's default -ksp_chebyshev_esteig transform: bounds from the Ritz
 #: extremes as (a·λmin + b·λmax, c·λmin + d·λmax).  The 0.1 floor keeps the
 #: smoother robust when the smallest eigenvalues are underestimated by a

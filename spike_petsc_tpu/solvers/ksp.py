@@ -191,6 +191,30 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
         print("Iteratively computed eigenvalues")
         for e in eigs[order]:
             print(f"{e.real:g} + {e.imag:g}i")
+    if opts.get_bool("ksp_compute_singularvalues", False):
+        # PETSc -ksp_compute_singularvalues / KSPComputeExtremeSingular-
+        # Values: extreme singular values (condition estimate) of the
+        # preconditioned operator, here from a post-solve Golub–Kahan run
+        # riding the transpose stack (A^T matvec + PC.transpose on stored
+        # factors)
+        from .operator import transpose_operator
+        op = A
+        if transpose:
+            op = transpose_operator(A)
+        impl = opts.get_string("mat_matvec_impl", "auto")
+        mv, n, dt = as_matvec(op, n_hint=b.shape[0], impl=impl)
+        mvt, _, _ = as_matvec(transpose_operator(op), n_hint=b.shape[0],
+                              impl=impl)
+        pcx = pc.transpose() if transpose and pc.name != "none" else pc
+        pc_fwd = pcx.apply if pcx.name != "none" else None
+        pc_tr = pcx.transpose().apply if pcx.name != "none" else None
+        smax, smin = krylov.estimate_extreme_singular_values(
+            mv, mvt, n, dt,
+            m=min(n, max(2 * max(int(res.its), 2), 10), 60),
+            pc_apply=pc_fwd, pc_apply_transpose=pc_tr, v0=b.astype(dt))
+        cond = smax / smin if smin > 0 else float("inf")
+        print(f"Iteratively computed extreme singular values: "
+              f"max {smax:g} min {smin:g} max/min {cond:g}")
     return res
 
 
