@@ -46,6 +46,7 @@ from ..ops.blocktri import (BlockTridiagonal, BlockTriFactor, band_to_blocktri,
 from ..ops.spike import (_batched_tri_solve, _partition_geometry,
                          _rhs_itemsize)
 from ..solvers import krylov
+from ..solvers.krylov_many import MANY_SOLVERS
 from ..utils.registry import SOLVERS
 
 
@@ -791,6 +792,26 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
             X, _, _, _ = jax.lax.while_loop(
                 cond, body, (X0, R0, rel0, jnp.int32(1)))
             return jnp.moveaxis(X.reshape(ppd, m, rloc), -1, 0)
+    elif ksp_type in MANY_SOLVERS:
+        # TRUE batched Krylov: one iteration loop for the whole local RHS
+        # batch — multi-RHS matvec + PCApply (factor blocks stream once per
+        # iteration for ALL columns), per-column convergence, stacked
+        # per-column reductions in one psum (solvers/krylov_many.py)
+        method_many = MANY_SOLVERS[ksp_type]
+
+        def local_fn(dsf_in, r_local):                # [Rloc, ppd, m]
+            rloc = r_local.shape[0]
+            rblk = jnp.moveaxis(r_local, 0, -1).reshape(ppd, nb, b, rloc)
+            mvm = lambda X: local_matvec_many(
+                dsf_in, X.reshape(ppd, nb, b, rloc), axis_p).reshape(
+                    ppd * m, rloc)
+            pcm = (lambda X: local_spike_solve_many(
+                dsf_in, X.reshape(ppd, nb, b, rloc), axis_p).reshape(
+                    ppd * m, rloc)) if use_pc else None
+            res = method_many(mvm, rblk.reshape(ppd * m, rloc), None, pcm,
+                              axis_name=axis_p, conv_sync_axis=axis_rhs,
+                              **params)
+            return jnp.moveaxis(res.x.reshape(ppd, m, rloc), -1, 0)
     else:
         method = SOLVERS.get(ksp_type)
 
@@ -1362,6 +1383,23 @@ def _multislice_many_local_fn(dsf: DistSpikeFactor, ksp_type: str,
             X, _, _, _ = jax.lax.while_loop(
                 cond, body, (X0, R0, rel0, jnp.int32(1)))
             return X.reshape(ppd, m, -1)
+    elif ksp_type in MANY_SOLVERS:
+        # batched Krylov over the whole RHS block: per-slice SPIKE PC many-
+        # apply (ICI-only) + exact cross-slice multi-RHS matvec; per-column
+        # convergence, ONE stacked psum per reduction family
+        method_many = MANY_SOLVERS[ksp_type]
+
+        def local_fn(dsf_in, r_local):                # [ppd, m, r]
+            r = r_local.shape[-1]
+            mvm = lambda X: local_matvec_many(
+                dsf_in, X.reshape(ppd, nb, b, r), axes).reshape(ppd * m, r)
+            pcm = lambda X: local_spike_solve_multislice_many(
+                dsf_in, X.reshape(ppd, nb, b, r), axis_slice, axis_p,
+                ndev_p).reshape(ppd * m, r)
+            res = method_many(mvm, r_local.reshape(ppd * m, r), None, pcm,
+                              axis_name=axes, conv_sync_axis=sync_axis,
+                              **params)
+            return res.x.reshape(ppd, m, r)
     else:
         method = SOLVERS.get(ksp_type)
 

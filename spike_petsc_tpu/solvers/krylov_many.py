@@ -1,0 +1,221 @@
+"""Batched multi-RHS Krylov engines: one iteration loop for ALL columns.
+
+The serving-economics completion of the multi-RHS story (BASELINE config 2's
+"batched solves"): ``spike_solve_many`` already streams the factorization
+once for r right-hand sides inside a direct solve, but a *Krylov* solve over
+r right-hand sides previously ran ``lax.map`` of one-RHS solves — factors
+and operator re-streamed r times per iteration sweep.  These engines carry
+X as an [n, r] block instead:
+
+  * every matvec / PCApply is a TRUE multi-RHS call (factor blocks and band
+    entries stream once per iteration for all columns — the dominant cost of
+    the factor-read-bound SPIKE apply);
+  * all per-column inner products of one algorithmic step stack into ONE
+    reduction (a single [k, r] psum on a mesh instead of r separate scalar
+    rounds — the latency shape PETSc reaches for with batched VecMDot);
+  * convergence is PER COLUMN: a converged column's state freezes (the
+    column-wise analogue of ``_freeze_when_done``) while the loop runs until
+    every column is terminal, so columns with different difficulty don't
+    perturb each other's iterates.
+
+Results are column-batched ``KSPResult`` pytrees: x [n, r], its/reason/rnorm
+[r], history [maxit+1, r] (entries beyond a column's ``its`` are frozen at
+its final residual rather than NaN — the loop keeps writing the frozen
+value; consumers slice by ``its[j]``).
+
+The role mirrors PETSc's MatMatSolve / KSPMatSolve batched interfaces
+(the reference reaches multi-RHS solves through PETSc's Mat-level API; cf.
+/root/reference/src/matbanded.c:184-192 PCApply forwarding, which PETSc
+calls once per rhs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .types import (CONVERGED_ITERATING, DIVERGED_BREAKDOWN, KSPResult,
+                    default_convergence_check)
+
+
+def _cdot(a, b, axis_name=None):
+    """Per-column inner products <a_j, b_j>: [n, r] x [n, r] -> [r]."""
+    d = jnp.sum(jnp.conj(a) * b, axis=0)
+    if axis_name is not None:
+        d = jax.lax.psum(d, axis_name)
+    return d
+
+
+def _cdots(pairs, axis_name=None):
+    """Fused per-column inner products: one stacked [k, r] psum for several
+    column-wise <a_j, b_j> families (one ICI round instead of k)."""
+    d = jnp.stack([jnp.sum(jnp.conj(a) * b, axis=0) for a, b in pairs])
+    if axis_name is not None:
+        d = jax.lax.psum(d, axis_name)
+    return tuple(d[i] for i in range(len(pairs)))
+
+
+def _cnorm(x, axis_name=None):
+    return jnp.sqrt(jnp.real(_cdot(x, x, axis_name)))
+
+
+def _any_iterating(reason, conv_sync_axis=None):
+    it = jnp.any(reason == CONVERGED_ITERATING)
+    if conv_sync_axis is None:
+        return it
+    return jax.lax.pmax(it.astype(jnp.int32), conv_sync_axis) == 1
+
+
+def _freeze_cols(body):
+    """Wrap a loop body so columns whose reason is terminal keep executing
+    the body's collectives (alignment across the batch) but discard every
+    per-column state update."""
+
+    def wrapped(s):
+        new_s = body(s)
+        active = s["reason"] == CONVERGED_ITERATING          # [r]
+
+        def merge(n, o):
+            if o.ndim == 0:                                   # loop-global
+                return n
+            if n.ndim == active.ndim:                         # [r] scalars
+                return jnp.where(active, n, o)
+            return jnp.where(active[None, :], n, o)           # [*, r]
+
+        return {k: merge(new_s[k], s[k]) for k in s}
+    return wrapped
+
+
+def bicgstab_many(matvec: Callable, B: jax.Array,
+                  X0: Optional[jax.Array] = None,
+                  pc_apply: Optional[Callable] = None, *,
+                  rtol: float = 1e-5, atol: float = 1e-50,
+                  divtol: float = 1e4, maxit: int = 10000,
+                  axis_name=None, conv_sync_axis=None, **_) -> KSPResult:
+    """Column-batched preconditioned BiCGStab; B: [n, r].
+
+    ``matvec`` / ``pc_apply`` must accept [n, r] blocks (multi-RHS
+    operators: ``spike_solve_many``, ``local_matvec_many``, or a vmapped
+    single-RHS closure).  Each column runs exactly the one-RHS ``bicgstab``
+    recurrence (same shadow vector = its own initial residual); per-column
+    breakdown/convergence freezes that column only.
+    """
+    psolve = pc_apply or (lambda x: x)
+    X0 = jnp.zeros_like(B) if X0 is None else X0
+    dtype = B.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(dtype).tiny
+    r = B.shape[1]
+    norm = partial(_cnorm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(B)
+    R0 = B - matvec(X0)
+    Rt = R0
+    rnorm0 = norm(R0)
+    hist = jnp.zeros((maxit + 1, r), rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return _any_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        rho_new = _cdot(Rt, s["R"], axis_name)
+        breakdown = jnp.abs(rho_new) < tiny
+        beta = (rho_new / jnp.where(s["rho"] != 0, s["rho"], 1.0)) \
+            * (s["alpha"] / jnp.where(s["omega"] != 0, s["omega"], 1.0))
+        P = s["R"] + beta[None, :] * (s["P"] - s["omega"][None, :] * s["V"])
+        Phat = psolve(P)
+        V = matvec(Phat)
+        denom = _cdot(Rt, V, axis_name)
+        alpha = rho_new / jnp.where(denom != 0, denom, 1.0)
+        Sr = s["R"] - alpha[None, :] * V
+        Shat = psolve(Sr)
+        T = matvec(Shat)
+        # <t,t>, <t,s> for every column in ONE stacked psum
+        tt, ts = _cdots(((T, T), (T, Sr)), axis_name)
+        omega = ts / jnp.where(tt != 0, tt, 1.0)
+        X = s["X"] + alpha[None, :] * Phat + omega[None, :] * Shat
+        R = Sr - omega[None, :] * T
+        rn = norm(R)
+        its = s["its"] + 1
+        hist = s["hist"].at[s["trip"] + 1].set(rn)
+        reason = check(rn, bnorm, s["trip"] + 1)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(X=X, R=R, P=P, V=V, rho=rho_new, alpha=alpha,
+                    omega=omega, its=its, reason=reason, hist=hist,
+                    trip=s["trip"] + 1)
+
+    ones = jnp.ones((r,), dtype)
+    init = dict(X=X0, R=R0, P=jnp.zeros_like(B), V=jnp.zeros_like(B),
+                rho=ones, alpha=ones, omega=ones,
+                its=jnp.zeros((r,), jnp.int32), reason=reason0, hist=hist,
+                trip=jnp.int32(0))
+
+    out = jax.lax.while_loop(cond, _freeze_cols(body), init)
+    rn = norm(B - matvec(out["X"]))
+    return KSPResult(x=out["X"], its=out["its"], reason=out["reason"],
+                     rnorm=rn, history=out["hist"])
+
+
+def cg_many(matvec: Callable, B: jax.Array, X0: Optional[jax.Array] = None,
+            pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+            atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+            axis_name=None, conv_sync_axis=None, **_) -> KSPResult:
+    """Column-batched preconditioned CG (SPD operator/PC); B: [n, r]."""
+    psolve = pc_apply or (lambda x: x)
+    X0 = jnp.zeros_like(B) if X0 is None else X0
+    dtype = B.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    r = B.shape[1]
+    norm = partial(_cnorm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(B)
+    R0 = B - matvec(X0)
+    Z0 = psolve(R0)
+    rnorm0 = norm(R0)
+    hist = jnp.zeros((maxit + 1, r), rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return _any_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        W = matvec(s["P"])
+        pw = _cdot(s["P"], W, axis_name)
+        alpha = s["rz"] / jnp.where(pw != 0, pw, 1.0)
+        X = s["X"] + alpha[None, :] * s["P"]
+        R = s["R"] - alpha[None, :] * W
+        Z = psolve(R)
+        rz_new, rr = _cdots(((R, Z), (R, R)), axis_name)
+        beta = rz_new / jnp.where(s["rz"] != 0, s["rz"], 1.0)
+        P = Z + beta[None, :] * s["P"]
+        rn = jnp.sqrt(jnp.real(rr))
+        its = s["its"] + 1
+        hist = s["hist"].at[s["trip"] + 1].set(rn)
+        reason = check(rn, bnorm, s["trip"] + 1)
+        return dict(X=X, R=R, P=P, rz=rz_new, its=its, reason=reason,
+                    hist=hist, trip=s["trip"] + 1)
+
+    init = dict(X=X0, R=R0, P=Z0, rz=_cdot(R0, Z0, axis_name),
+                its=jnp.zeros((r,), jnp.int32), reason=reason0, hist=hist,
+                trip=jnp.int32(0))
+
+    out = jax.lax.while_loop(cond, _freeze_cols(body), init)
+    return KSPResult(x=out["X"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(B - matvec(out["X"])), history=out["hist"])
+
+
+#: batched engines by the single-RHS name they correspond to
+MANY_SOLVERS = {
+    "bcgs": bicgstab_many,
+    "bicgstab": bicgstab_many,
+    "cg": cg_many,
+}

@@ -137,6 +137,54 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
     return jax.jit(_solve) if jit else _solve
 
 
+def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
+                     ksp_type: Optional[str] = None,
+                     pc_type: Optional[str] = None, pc: Optional[PC] = None,
+                     n_hint: Optional[int] = None, jit: bool = True,
+                     **params) -> Callable:
+    """Compose a BATCHED multi-RHS solver: solve(B[n, r], X0=None) returns a
+    column-batched KSPResult (x [n, r]; its/reason/rnorm per column).
+
+    One iteration loop drives ALL columns (solvers/krylov_many.py): the
+    operator is applied as a true [n, r] block and the PC uses its native
+    multi-RHS apply when it has one (``PC.apply_many`` — spike-family
+    factors stream ONCE per iteration for all r columns), else a vmap of
+    the single-RHS apply.  Per-column convergence freezes finished columns.
+
+    ``ksp_type``: one of krylov_many.MANY_SOLVERS ("bcgs"/"bicgstab",
+    "cg").  For per-column control with other methods, map a
+    ``make_solver`` closure over columns instead.
+    """
+    from .krylov_many import MANY_SOLVERS
+    opts = options or Options()
+    ksp_type = ksp_type or opts.get_string("ksp_type", "bcgs")
+    if ksp_type not in MANY_SOLVERS:
+        raise ValueError(
+            f"no batched engine for ksp_type {ksp_type!r}: available "
+            f"{sorted(set(MANY_SOLVERS))} (other methods: lax.map a "
+            "make_solver closure over columns)")
+    method = MANY_SOLVERS[ksp_type]
+    if pc is None:
+        name = pc_type or opts.get_string("pc_type", "none")
+        pc = make_pc(name, A if pmat is None else pmat, opts)
+    matvec, n, op_dtype = as_matvec(
+        A, n_hint=n_hint, impl=opts.get_string("mat_matvec_impl", "auto"))
+    matvec_many = jax.vmap(matvec, in_axes=1, out_axes=1)
+    if pc.name == "none":
+        pc_apply_many = None
+    else:
+        pc_apply_many = pc.apply_many or jax.vmap(pc.apply, in_axes=1,
+                                                  out_axes=1)
+    kw = _params_from_options(opts, params)
+    for extra in ("restart", "side", "norm_type", "monitor_true"):
+        kw.pop(extra, None)
+
+    def _solve(B, X0=None):
+        return method(matvec_many, B, X0, pc_apply_many, **kw)
+
+    return jax.jit(_solve) if jit else _solve
+
+
 def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
           ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
           pc: Optional[PC] = None, monitor: bool = False,

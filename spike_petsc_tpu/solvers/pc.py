@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from .. import sparse as hsp
 from ..ops.band import BandedMatrix, banded_diagonal
 from ..ops.blocktri import blocktri_solve
-from ..ops.spike import spike_factor, spike_solve
+from ..ops.spike import spike_factor, spike_solve, spike_solve_many
 from ..utils.options import Options
 from ..utils.registry import PRECONDITIONERS, register_pc
 
@@ -42,6 +42,12 @@ class PC:
     apply: Callable
     info: dict = dfield(default_factory=dict)
     inner: Optional["PC"] = None
+    # native multi-RHS apply ([n, r] -> [n, r]) when the PC type has one
+    # (factorization PCs via spike_solve_many: factors stream ONCE for all
+    # r columns); None = callers vmap ``apply`` (correct, not bandwidth-
+    # optimal).  Consumed by ksp.make_solver_many / the batched Krylov
+    # engines.
+    apply_many: Optional[Callable] = dfield(default=None, repr=False)
     # host-side builder for the M^{-T} apply (PCApplyTranspose analogue);
     # None = this PC type has no transpose (composite/fieldsplit)
     make_transpose: Optional[Callable] = dfield(default=None, repr=False)
@@ -108,7 +114,8 @@ def pc_jacobi(pmat, opts: Options) -> PC:
     else:
         d = jnp.asarray(hsp.as_csr(pmat).diagonal())
     dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
-    pc = PC(name="jacobi", apply=lambda x: dinv * x)
+    pc = PC(name="jacobi", apply=lambda x: dinv * x,
+            apply_many=lambda X: dinv[:, None] * X)
     pc.make_transpose = lambda: pc                  # diagonal is symmetric
     return pc
 
@@ -280,9 +287,22 @@ def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
             return PC(name=_name + "_transpose",
                       apply=_cast_apply(sft), info=_info)
 
+        def _cast_apply_many(_sf, _fd=factor_dtype, _od=orig_dtype):
+            def apply_many(R):
+                r_lo = R.astype(_fd)
+                if jnp.dtype(_od).itemsize > 4 >= jnp.dtype(_fd).itemsize:
+                    with jax.enable_x64(False):
+                        y = spike_solve_many(_sf, r_lo)
+                else:
+                    y = spike_solve_many(_sf, r_lo)
+                return y.astype(_od)
+            return apply_many
+
         return PC(name=name, apply=_cast_apply(sf), info=info,
+                  apply_many=_cast_apply_many(sf),
                   make_transpose=_mk_transpose_cast)
     return PC(name=name, apply=partial(spike_solve, sf), info=info,
+              apply_many=partial(spike_solve_many, sf),
               make_transpose=_mk_transpose)
 
 
@@ -325,6 +345,7 @@ def pc_lu(pmat, opts: Options) -> PC:
                   apply=partial(spike_solve, sft), info=_info)
 
     return PC(name="lu", apply=partial(spike_solve, sf), info=info,
+              apply_many=partial(spike_solve_many, sf),
               make_transpose=_mk_transpose)
 
 
@@ -403,7 +424,7 @@ def pc_banded(pmat, opts: Options) -> PC:
                   inner=it)
 
     return PC(name="banded", apply=inner.apply, info=info, inner=inner,
-              make_transpose=_mk_transpose)
+              apply_many=inner.apply_many, make_transpose=_mk_transpose)
 
 
 @register_pc("ksp")

@@ -499,3 +499,48 @@ def test_dist_normal_equations_and_transpose_free_ksps(mesh):
         assert int(res.reason) > 0, (kt, int(res.reason))
         np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7,
                                    atol=1e-8, err_msg=kt)
+
+
+def test_dist_batched_serving_batched_krylov():
+    """ksp_type='bcgs' on the (rhs x p) serving mesh now runs the BATCHED
+    Krylov engine (one iteration loop, multi-RHS matvec/PCApply, per-column
+    convergence) instead of lax.map of one-RHS solves."""
+    from spike_petsc_tpu.parallel import make_mesh_2d
+    mesh2 = make_mesh_2d((2, 4), axes=("rhs", "p"))
+    n = 512
+    a = problems.nonsym_banded(n, 3, 3, seed=61)
+    bm = banded_of(a)
+    dsf = dist_spike_factor(bm, mesh2, axis="p", block_b=8,
+                            parts_per_device=2, store_spikes=True)
+    solver = make_dist_solver_batched(dsf, mesh2, ksp_type="bcgs",
+                                      rtol=1e-11, maxit=30)
+    rng = np.random.default_rng(13)
+    U = rng.standard_normal((6, n))
+    B = np.stack([a @ U[i] for i in range(6)])
+    X = np.asarray(solver(jnp.asarray(B)))
+    np.testing.assert_allclose(X, U, rtol=1e-7, atol=1e-8)
+
+
+def test_multislice_batched_krylov_serving():
+    """Batched BiCGStab on the multislice (slice, p) serving surface: the
+    per-slice SPIKE PC's multi-RHS apply + the exact cross-slice multi-RHS
+    matvec drive all columns in one loop; block-Jacobi-across-slices PC is
+    inexact, so the Krylov iteration must still converge to the TRUE
+    solution."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_multislice_batched,
+                                          make_mesh_multislice)
+    n = 512
+    a = problems.nonsym_banded(n, 3, 2, seed=63)
+    bm = banded_of(a)
+    mesh = make_mesh_multislice((2, 4))
+    dsf = dist_spike_factor_multislice(bm, mesh, block_b=8,
+                                       parts_per_device=2,
+                                       store_spikes=True)
+    solver = make_dist_solver_multislice_batched(dsf, mesh, ksp_type="bcgs",
+                                                 rtol=1e-11, maxit=40)
+    rng = np.random.default_rng(17)
+    U = rng.standard_normal((n, 5))
+    B = a @ U
+    X = np.asarray(solver(jnp.asarray(B)))
+    np.testing.assert_allclose(X, U, rtol=1e-7, atol=1e-8)
