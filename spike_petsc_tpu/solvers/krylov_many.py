@@ -213,9 +213,80 @@ def cg_many(matvec: Callable, B: jax.Array, X0: Optional[jax.Array] = None,
                      rnorm=norm(B - matvec(out["X"])), history=out["hist"])
 
 
+def richardson_many(matvec: Callable, B: jax.Array,
+                    X0: Optional[jax.Array] = None,
+                    pc_apply: Optional[Callable] = None, *,
+                    rtol: float = 1e-5, atol: float = 1e-50,
+                    divtol: float = 1e4, maxit: int = 10000,
+                    scale: float = 1.0, axis_name=None,
+                    conv_sync_axis=None, **_) -> KSPResult:
+    """Column-batched preconditioned Richardson iteration
+    X += scale * M^{-1}(B - A X); B: [n, r].
+
+    With a factorization PC this is multi-RHS iterative refinement — the
+    serving mode that recovers full accuracy from reduced-precision factor
+    storage (one multi-RHS PCApply + one multi-RHS matvec per iteration,
+    factor blocks streamed once for all columns)."""
+    psolve = pc_apply or (lambda x: x)
+    X0 = jnp.zeros_like(B) if X0 is None else X0
+    rdtype = jnp.zeros((), B.dtype).real.dtype
+    r = B.shape[1]
+    norm = partial(_cnorm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(B)
+    R0 = B - matvec(X0)
+    rnorm0 = norm(R0)
+    hist = jnp.zeros((maxit + 1, r), rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return _any_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        X = s["X"] + scale * psolve(s["R"])
+        R = B - matvec(X)
+        rn = norm(R)
+        its = s["its"] + 1
+        hist = s["hist"].at[s["trip"] + 1].set(rn)
+        reason = check(rn, bnorm, s["trip"] + 1)
+        return dict(X=X, R=R, its=its, reason=reason, hist=hist,
+                    trip=s["trip"] + 1)
+
+    init = dict(X=X0, R=R0, its=jnp.zeros((r,), jnp.int32), reason=reason0,
+                hist=hist, trip=jnp.int32(0))
+    out = jax.lax.while_loop(cond, _freeze_cols(body), init)
+    return KSPResult(x=out["X"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(B - matvec(out["X"])), history=out["hist"])
+
+
+def preonly_many(matvec: Callable, B: jax.Array,
+                 X0: Optional[jax.Array] = None,
+                 pc_apply: Optional[Callable] = None, *, maxit: int = 1,
+                 axis_name=None, **_) -> KSPResult:
+    """Single multi-RHS preconditioner application (KSPPREONLY batched):
+    with a direct factorization PC this is ``spike_solve_many`` with the
+    KSPResult bookkeeping."""
+    from .types import CONVERGED_ITS, DIVERGED_NANORINF
+    psolve = pc_apply or (lambda x: x)
+    norm = partial(_cnorm, axis_name=axis_name)
+    X = psolve(B) if X0 is None else X0 + psolve(B - matvec(X0))
+    rn = norm(B - matvec(X))
+    rdtype = jnp.zeros((), B.dtype).real.dtype
+    hist = jnp.zeros((max(maxit, 1) + 1, B.shape[1]), rdtype)
+    hist = hist.at[0].set(norm(B)).at[1].set(rn)
+    reason = jnp.where(jnp.isfinite(rn), jnp.int32(CONVERGED_ITS),
+                       jnp.int32(DIVERGED_NANORINF))
+    return KSPResult(x=X, its=jnp.ones((B.shape[1],), jnp.int32),
+                     reason=reason, rnorm=rn, history=hist)
+
+
 #: batched engines by the single-RHS name they correspond to
 MANY_SOLVERS = {
     "bcgs": bicgstab_many,
     "bicgstab": bicgstab_many,
     "cg": cg_many,
+    "richardson": richardson_many,
+    "preonly": preonly_many,
 }

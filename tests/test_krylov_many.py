@@ -118,3 +118,21 @@ def test_bicgstab_many_mixed_precision_pc():
         rel = np.linalg.norm(a @ np.asarray(res.x[:, j]) -
                              np.asarray(B[:, j])) / np.linalg.norm(B[:, j])
         assert rel < 1e-5, (j, rel)
+
+
+def test_richardson_many_refinement_and_preonly_many():
+    """The full single-chip batched serving trio: preonly (one multi-RHS
+    PCApply), richardson (multi-RHS refinement), bcgs (batched Krylov)."""
+    a = problems.spd_banded(200, 2, seed=5)
+    A = banded_of(a)
+    rng = np.random.default_rng(4)
+    U = rng.standard_normal((200, 3))
+    B = jnp.asarray(a @ U)
+    for kt, tol in (("preonly", 1e-8), ("richardson", 1e-9),
+                    ("bcgs", 1e-9)):
+        solver = make_solver_many(A, ksp_type=kt, pc_type="lu",
+                                  rtol=1e-11, maxit=30)
+        res = solver(B)
+        assert all(int(r) > 0 for r in np.asarray(res.reason)), kt
+        np.testing.assert_allclose(np.asarray(res.x), U, rtol=tol,
+                                   atol=tol, err_msg=kt)
