@@ -1040,6 +1040,89 @@ def preonly(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                      history=hist)
 
 
+def gcr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+        pc_apply: Optional[Callable] = None, *, restart: int = 30,
+        rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+        maxit: int = 10000, axis_name: Optional[str] = None,
+        conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """Generalized Conjugate Residuals with restarts (PETSc KSPGCR).
+
+    Like fgmres it tolerates a preconditioner that CHANGES between
+    iterations (an inner iterative solve via ``-pc_type ksp``, adaptive
+    mixed-precision applies), but updates x and the TRUE residual every
+    iteration — so unpreconditioned-norm monitoring and convergence tests
+    are free where fgmres pays an extra matvec (PETSc recommends GCR over
+    fgmres exactly for right-PC + true-residual workflows).  Cost: stores
+    TWO direction buffers [restart, n] (p and A·p), one matvec + one
+    PCApply per iteration, one fused ([restart] + 2 scalars) reduction
+    round.
+
+    At each restart boundary the direction buffers are cleared (PETSc
+    KSPGCR's restart semantics, not a truncated sliding window).
+    """
+    psolve = pc_apply or _identity_pc
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    norm = partial(_norm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(b)
+    r0 = b - matvec(x0)
+    rnorm0 = norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+    m = max(1, int(restart))
+
+    def cond(s):
+        return _keep_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        slot = jnp.mod(s["its"], m)
+        # restart boundary: drop the stored directions
+        P = jnp.where(slot == 0, 0.0, 1.0) * s["P"]
+        AP = jnp.where(slot == 0, 0.0, 1.0) * s["AP"]
+        p = psolve(s["r"])
+        Ap = matvec(p)
+        # classical-GS orthogonalization of A·p against the stored
+        # (normalized) A·p_i: empty slots are zero rows -> coefficient 0.
+        # One gram row; stacking <Ap,Ap-proj> into the same psum would need
+        # the projection first, so GCR pays 2 reduction rounds per
+        # iteration (still fewer than fgmres' per-column MGS sweep).
+        beta = _gram(AP, Ap, axis_name)                     # [m]
+        p = p - jnp.tensordot(beta, P, axes=([0], [0]))
+        Ap = Ap - jnp.tensordot(beta, AP, axes=([0], [0]))
+        # ||Ap||^2 and <Ap, r> ride one fused psum
+        nn, ar = _dots(((Ap, Ap), (Ap, s["r"])), axis_name)
+        nrm = jnp.sqrt(jnp.real(nn))
+        breakdown = nrm <= 1e3 * tiny
+        safe = jnp.where(nrm != 0, nrm, 1.0).astype(rdtype)
+        p = p / safe
+        Ap = Ap / safe
+        alpha = ar / jnp.where(nn != 0, nn, 1.0) * safe     # <Ap/||,r||>
+        x = s["x"] + alpha * p
+        r = s["r"] - alpha * Ap
+        P = P.at[slot].set(p)
+        AP = AP.at[slot].set(Ap)
+        rn = norm(r)
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, r=r, P=P, AP=AP, its=its, reason=reason, hist=hist)
+
+    zeros = jnp.zeros((m,) + b.shape, dtype)
+    init = dict(x=x0, r=r0, P=zeros, AP=zeros, its=jnp.int32(0),
+                reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
+
+
 # ---------------------------------------------------------------------------
 # Normal-equations family (PETSc KSPCGNE / KSPLSQR): nonsymmetric and
 # RECTANGULAR least-squares solves riding the transpose stack
@@ -1431,6 +1514,7 @@ register_ksp("pipecg", pipecg)
 register_ksp("minres", minres)
 register_ksp("richardson", richardson)
 register_ksp("preonly", preonly)
+register_ksp("gcr", gcr)
 register_ksp("cgne", cgnr)      # PETSc's name for CG-on-normal-equations
 register_ksp("cgnr", cgnr)
 register_ksp("cgls", cgnr)

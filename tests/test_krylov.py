@@ -743,3 +743,40 @@ def test_compute_singularvalues_option_prints(capsys):
     # bjacobi on a dominant band: preconditioned operator is well-
     # conditioned; the estimate must reflect that (cond < 10)
     assert smax / smin < 10
+
+
+def test_gcr_nonsymmetric_and_restart():
+    a = problems.nonsym_banded(200, 3, 3, seed=5, dominance=0.3)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gcr", rtol=1e-10,
+                restart=25, maxit=600)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    assert int(res.its) > 25          # exercises the restart boundary
+    assert np.linalg.norm(np.asarray(res.x) - u) < 1e-6
+
+
+def test_gcr_with_variable_pcksp():
+    """GCR tolerates a between-iterations-varying PC (inner iterative
+    solve), like fgmres — the PETSc-recommended pairing for PCKSP."""
+    from spike_petsc_tpu import Options
+
+    a = problems.nonsym_banded(200, 3, 3, seed=5, dominance=0.3)
+    u, b = manufactured(a)
+    opts = Options.from_argv(
+        "-ksp_ksp_type gmres -ksp_pc_type bjacobi -ksp_ksp_rtol 1e-3".split())
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gcr", pc_type="ksp",
+                options=opts, rtol=1e-10, maxit=100)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    assert int(res.its) <= 10
+    assert np.linalg.norm(np.asarray(res.x) - u) < 1e-7
+
+
+def test_gcr_monitors_true_residual():
+    """GCR's history IS the true residual (no Hessenberg estimate): each
+    entry must equal ||b - A x_k|| of the returned final iterate at exit."""
+    a = problems.nonsym_banded(150, 2, 2, seed=3)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gcr", rtol=1e-9,
+                maxit=400)
+    last = float(np.asarray(res.history)[int(res.its)])
+    np.testing.assert_allclose(float(res.rnorm), last, rtol=1e-5, atol=1e-12)
