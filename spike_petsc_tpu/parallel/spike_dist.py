@@ -740,8 +740,11 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
                        until every column meets rtol (multi-RHS matvec +
                        PCApply; the serving mode for reduced-precision
                        factor storage);
-      * any Krylov name — per-RHS solves under lax.map (per-column
-                       convergence control; factors re-streamed per RHS).
+      * "bcgs"/"cg"  — BATCHED Krylov (solvers/krylov_many.py): one
+                       iteration loop for the whole local batch, multi-RHS
+                       matvec/PCApply, per-column convergence;
+      * other Krylov names — per-RHS solves under lax.map (factors
+                       re-streamed per RHS).
     """
     ppd, m, nb, b = dsf.ppd, dsf.m, dsf.nb, dsf.b
 
@@ -1435,8 +1438,10 @@ def make_dist_solver_multislice_batched(
       * "preonly"    — ONE multislice PCApply: block-Jacobi across slices,
         i.e. PC-grade accuracy (exact only when cross-slice coupling is
         zero); the cheapest mode when slices are weakly coupled;
-      * any Krylov name — per-RHS solves under lax.map with per-column
-        convergence control.
+      * "bcgs"/"cg"  — BATCHED Krylov: one iteration loop for the whole
+        RHS block (multi-RHS per-slice PCApply + exact cross-slice
+        multi-RHS matvec, per-column convergence);
+      * other Krylov names — per-RHS solves under lax.map.
     """
     local_fn = _multislice_many_local_fn(dsf, ksp_type, axis_slice, axis_p,
                                          mesh.shape[axis_slice],

@@ -231,7 +231,11 @@ def golub_kahan_bidiag(matvec: Callable, matvec_transpose: Callable,
         ok = (beta > 1e3 * tiny) & (alpha > 1e3 * tiny)
         betas = betas.at[j].set(jnp.where(alive, beta, 0))
         alphas = alphas.at[j + 1].set(jnp.where(alive & ok, alpha, 0))
-        k = k + jnp.where(alive, 1, 0)
+        # k counts COMPLETED columns: a breakdown step (e.g. M^{-1}A = I
+        # terminating immediately) must not append its zero column — that
+        # would report smin = 0 / cond = inf for a perfectly conditioned
+        # operator (code-review r3)
+        k = k + jnp.where(alive & ok, 1, 0)
         return alphas, betas, u, v, k, alive & ok
 
     alphas, betas, _, _, k, _ = jax.lax.fori_loop(
@@ -1032,7 +1036,9 @@ def preonly(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     r = b - matvec(x)
     rn = norm(r)
     rdtype = jnp.zeros((), b.dtype).real.dtype
-    hist = jnp.full((max(maxit, 1) + 1,), jnp.nan, rdtype)
+    # exactly one application: a [2] history regardless of the caller's
+    # maxit (which _params_from_options defaults to 10000)
+    hist = jnp.full((2,), jnp.nan, rdtype)
     hist = hist.at[0].set(norm(b)).at[1].set(rn)
     reason = jnp.where(jnp.isfinite(rn), jnp.int32(CONVERGED_ITS),
                        jnp.int32(DIVERGED_NANORINF))
@@ -1054,8 +1060,11 @@ def gcr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     are free where fgmres pays an extra matvec (PETSc recommends GCR over
     fgmres exactly for right-PC + true-residual workflows).  Cost: stores
     TWO direction buffers [restart, n] (p and A·p), one matvec + one
-    PCApply per iteration, one fused ([restart] + 2 scalars) reduction
-    round.
+    PCApply per iteration, and exactly TWO reduction rounds: the [restart]
+    Gram row, then (<Ap,Ap>, <Ap,r>, <r,r>) fused — the post-step residual
+    norm comes from the minimization identity
+    ||r'||² = ||r||² − |<Ap,r>|²/||Ap||² with ||r||² measured fresh each
+    iteration (no third psum, no cumulative drift).
 
     At each restart boundary the direction buffers are cleared (PETSc
     KSPGCR's restart semantics, not a truncated sliding window).
@@ -1089,13 +1098,19 @@ def gcr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         # classical-GS orthogonalization of A·p against the stored
         # (normalized) A·p_i: empty slots are zero rows -> coefficient 0.
         # One gram row; stacking <Ap,Ap-proj> into the same psum would need
-        # the projection first, so GCR pays 2 reduction rounds per
-        # iteration (still fewer than fgmres' per-column MGS sweep).
+        # the projection first, so GCR pays exactly 2 reduction rounds per
+        # iteration (the residual norm below uses the minimization identity
+        # instead of a third psum).
         beta = _gram(AP, Ap, axis_name)                     # [m]
         p = p - jnp.tensordot(beta, P, axes=([0], [0]))
         Ap = Ap - jnp.tensordot(beta, AP, axes=([0], [0]))
-        # ||Ap||^2 and <Ap, r> ride one fused psum
-        nn, ar = _dots(((Ap, Ap), (Ap, s["r"])), axis_name)
+        # ||Ap||^2, <Ap, r>, and ||r||^2 ride one fused psum; the residual
+        # norm after the minimizing step then needs NO third round:
+        # r' ⊥ Ap  =>  ||r'||² = ||r||² − |<Ap,r>|²/||Ap||².  ||r||² is
+        # measured FRESH each iteration (not carried), so the cancellation
+        # error is single-step, never cumulative.
+        nn, ar, rr = _dots(((Ap, Ap), (Ap, s["r"]), (s["r"], s["r"])),
+                           axis_name)
         nrm = jnp.sqrt(jnp.real(nn))
         breakdown = nrm <= 1e3 * tiny
         safe = jnp.where(nrm != 0, nrm, 1.0).astype(rdtype)
@@ -1106,13 +1121,16 @@ def gcr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         r = s["r"] - alpha * Ap
         P = P.at[slot].set(p)
         AP = AP.at[slot].set(Ap)
-        rn = norm(r)
+        rn = jnp.sqrt(jnp.maximum(
+            jnp.real(rr) - jnp.abs(ar) ** 2
+            / jnp.real(jnp.where(nn != 0, nn, 1.0)), 0.0))
         its = s["its"] + 1
         hist = s["hist"].at[its].set(rn)
         reason = check(rn, bnorm, its)
         reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
                            DIVERGED_BREAKDOWN, reason)
-        return dict(x=x, r=r, P=P, AP=AP, its=its, reason=reason, hist=hist)
+        return dict(x=x, r=r, P=P, AP=AP, its=its, reason=reason,
+                    hist=hist)
 
     zeros = jnp.zeros((m,) + b.shape, dtype)
     init = dict(x=x0, r=r0, P=zeros, AP=zeros, its=jnp.int32(0),

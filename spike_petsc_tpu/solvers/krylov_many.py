@@ -19,9 +19,8 @@ X as an [n, r] block instead:
     perturb each other's iterates.
 
 Results are column-batched ``KSPResult`` pytrees: x [n, r], its/reason/rnorm
-[r], history [maxit+1, r] (entries beyond a column's ``its`` are frozen at
-its final residual rather than NaN — the loop keeps writing the frozen
-value; consumers slice by ``its[j]``).
+[r], history [maxit+1, r] with entries beyond a column's ``its`` left NaN
+(the single-RHS contract: a frozen column stops writing its history).
 
 The role mirrors PETSc's MatMatSolve / KSPMatSolve batched interfaces
 (the reference reaches multi-RHS solves through PETSc's Mat-level API; cf.
@@ -117,7 +116,7 @@ def bicgstab_many(matvec: Callable, B: jax.Array,
     R0 = B - matvec(X0)
     Rt = R0
     rnorm0 = norm(R0)
-    hist = jnp.zeros((maxit + 1, r), rdtype).at[0].set(rnorm0)
+    hist = jnp.full((maxit + 1, r), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
@@ -181,7 +180,7 @@ def cg_many(matvec: Callable, B: jax.Array, X0: Optional[jax.Array] = None,
     R0 = B - matvec(X0)
     Z0 = psolve(R0)
     rnorm0 = norm(R0)
-    hist = jnp.zeros((maxit + 1, r), rdtype).at[0].set(rnorm0)
+    hist = jnp.full((maxit + 1, r), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
@@ -238,7 +237,7 @@ def richardson_many(matvec: Callable, B: jax.Array,
     bnorm = norm(B)
     R0 = B - matvec(X0)
     rnorm0 = norm(R0)
-    hist = jnp.zeros((maxit + 1, r), rdtype).at[0].set(rnorm0)
+    hist = jnp.full((maxit + 1, r), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
 
     def cond(s):
@@ -274,7 +273,10 @@ def preonly_many(matvec: Callable, B: jax.Array,
     X = psolve(B) if X0 is None else X0 + psolve(B - matvec(X0))
     rn = norm(B - matvec(X))
     rdtype = jnp.zeros((), B.dtype).real.dtype
-    hist = jnp.zeros((max(maxit, 1) + 1, B.shape[1]), rdtype)
+    # exactly one application happens: a [2, r] history, NOT [maxit+1, r] —
+    # _params_from_options defaults maxit to 10000 and a [10001, r] dead
+    # array per serving batch is real memory (code-review r3)
+    hist = jnp.full((2, B.shape[1]), jnp.nan, rdtype)
     hist = hist.at[0].set(norm(B)).at[1].set(rn)
     reason = jnp.where(jnp.isfinite(rn), jnp.int32(CONVERGED_ITS),
                        jnp.int32(DIVERGED_NANORINF))

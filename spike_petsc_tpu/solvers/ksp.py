@@ -178,6 +178,10 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
     kw = _params_from_options(opts, params)
     for extra in ("restart", "side", "norm_type", "monitor_true"):
         kw.pop(extra, None)
+    if ksp_type == "richardson":
+        sc = opts.get_real("ksp_richardson_scale", None)
+        if sc is not None:
+            kw.setdefault("scale", sc)
 
     def _solve(B, X0=None):
         return method(matvec_many, B, X0, pc_apply_many, **kw)

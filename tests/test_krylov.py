@@ -780,3 +780,17 @@ def test_gcr_monitors_true_residual():
                 maxit=400)
     last = float(np.asarray(res.history)[int(res.its)])
     np.testing.assert_allclose(float(res.rnorm), last, rtol=1e-5, atol=1e-12)
+
+
+def test_extreme_singular_values_exact_pc_breakdown():
+    """M^{-1}A = I terminates the bidiagonalization at step 1; the broken-
+    down step must NOT append a zero column (which would report smin=0 /
+    cond=inf for a perfectly conditioned operator)."""
+    from spike_petsc_tpu.solvers import krylov
+
+    n = 50
+    ident = lambda x: x
+    smax, smin = krylov.estimate_extreme_singular_values(
+        ident, ident, n, jnp.float64, m=20)
+    np.testing.assert_allclose(smax, 1.0, rtol=1e-12)
+    np.testing.assert_allclose(smin, 1.0, rtol=1e-12)
