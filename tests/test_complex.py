@@ -131,3 +131,45 @@ def test_complex_distributed_solve():
                            maxit=20)(rhs)
     assert int(res.reason) > 0
     np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-8, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ["cgnr", "lsqr", "cgs", "tfqmr", "gcr"])
+def test_complex_new_ksps(name):
+    """The new KSP families on complex operators: conjugation wrapping in
+    the normal-equations methods (A^H from the pure transpose), complex
+    rho/omega algebra in the transpose-free ones, conjugated Gram row in
+    GCR."""
+    from spike_petsc_tpu.solvers import krylov
+
+    n, k = 60, 2
+    a = _complex_banded(n, k, seed=7)
+    A = _band_of(a, k)
+    xe = (np.random.default_rng(3).standard_normal(n)
+          + 1j * np.random.default_rng(4).standard_normal(n))
+    b = jnp.asarray(a @ xe)
+    AT = _band_of(a.T, k)
+    mv = lambda x: banded_matvec(A, x)
+    mvt = lambda y: banded_matvec(AT, y)
+    fn = getattr(krylov, name)
+    kw = {}
+    if name in ("cgnr", "lsqr"):
+        kw["matvec_transpose"] = mvt
+    res = fn(mv, b, rtol=1e-11, maxit=800, **kw)
+    assert int(res.reason) > 0, (name, int(res.reason))
+    assert np.linalg.norm(np.asarray(res.x) - xe) < 1e-6, name
+
+
+def test_complex_batched_bicgstab_many():
+    from spike_petsc_tpu.solvers import krylov_many
+    import jax
+
+    n, k = 64, 2
+    a = _complex_banded(n, k, seed=9)
+    A = _band_of(a, k)
+    rng = np.random.default_rng(5)
+    U = rng.standard_normal((n, 3)) + 1j * rng.standard_normal((n, 3))
+    B = jnp.asarray(a @ U)
+    mv_many = jax.vmap(lambda x: banded_matvec(A, x), in_axes=1, out_axes=1)
+    res = krylov_many.bicgstab_many(mv_many, B, rtol=1e-11, maxit=400)
+    assert all(int(r) > 0 for r in np.asarray(res.reason))
+    np.testing.assert_allclose(np.asarray(res.x), U, rtol=1e-6, atol=1e-7)
