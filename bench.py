@@ -227,6 +227,49 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
         mv_out = {"band_mv_pallas_error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    # ---- operator-route tuning record ---------------------------------------
+    # time each feasible SpMV route through the library's own dispatch and
+    # record the winner so as_matvec('auto') follows the MEASURED data on
+    # this platform/bandwidth (utils/tuning.py; ROADMAP r4 item 3)
+    try:
+        if os.environ.get("SPIKE_BENCH_TUNE", "1") == "1":
+            from spike_petsc_tpu.solvers.operator import as_matvec
+            from spike_petsc_tpu.utils import tuning
+
+            def _route_ms(impl_name):
+                mv, _, _ = as_matvec(band, impl=impl_name)
+                if getattr(mv, "_route", None) != impl_name:
+                    return None     # dispatch fell back: infeasible here
+
+                @partial(jax.jit, static_argnames=("r",))
+                def loop(x, r):
+                    return jax.lax.fori_loop(
+                        0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), x)
+
+                timed(lambda: loop(rhs, 2))      # compile
+                timed(lambda: loop(rhs, 22))     # compile
+                t1 = min(timed(lambda: loop(rhs, 2)) for _ in range(3))
+                t2 = min(timed(lambda: loop(rhs, 22)) for _ in range(3))
+                sm = max(t2 - t1, 1e-9) / 20.0
+                return t1 / 2.0 if sm < 1e-5 else sm
+
+            routes = {}
+            for nmr in ("xla", "blocktri", "banded_pallas"):
+                ms = _route_ms(nmr)
+                if ms is not None:
+                    routes[nmr] = round(ms * 1e3, 3)
+            if routes:
+                winner = min(routes, key=routes.get)
+                path = tuning.update(platform, "banded_matvec", str(w), {
+                    **{f"{kk}_ms": vv for kk, vv in routes.items()},
+                    "winner": winner, "n": n})
+                mv_out.update(
+                    {f"mv_route_{kk}_ms": vv for kk, vv in routes.items()})
+                mv_out["mv_route_winner"] = winner
+                mv_out["tuning_file"] = path
+    except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
+        mv_out["mv_tune_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # ---- multi-RHS serving (BASELINE config 2's batched mode) --------------
     # factors stream once for all r columns (fused multi-RHS Pallas kernel
     # below its VMEM crossover, the XLA scan beyond it — spike_solve_many

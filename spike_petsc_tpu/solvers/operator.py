@@ -23,6 +23,13 @@ def _use_blocktri_matvec() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _tag(mv, route: str):
+    """Annotate a matvec closure with the route that built it (read by
+    bench/tests to verify 'auto' dispatch decisions)."""
+    mv._route = route
+    return mv
+
+
 def _banded_pallas_route(a: BandedMatrix):
     """(matvec, n, dtype) through the minimal-traffic Pallas banded kernel
     (ops/pallas/band_matvec.py): diagonal-major layout prepared ONCE, exactly
@@ -31,7 +38,8 @@ def _banded_pallas_route(a: BandedMatrix):
     from ..ops.pallas.band_matvec import (banded_matvec_prepared,
                                           prepare_banded_mv)
     prep = prepare_banded_mv(a)
-    return (lambda x: banded_matvec_prepared(prep, x)), a.n, a.dtype
+    return _tag((lambda x: banded_matvec_prepared(prep, x)),
+                "banded_pallas"), a.n, a.dtype
 
 
 def transpose_operator(a):
@@ -86,12 +94,28 @@ def as_matvec(a, n_hint: int = None,
             f"blocktri, or xla (-mat_matvec_impl)")
     if isinstance(a, BandedMatrix):
         if impl == "xla":
-            return (lambda x: banded_matvec(a, x)), a.n, a.dtype
+            return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
         if impl == "banded_pallas":
             from ..ops.pallas.band_matvec import banded_mv_feasible
             if banded_mv_feasible(a):
                 return _banded_pallas_route(a)
-            return (lambda x: banded_matvec(a, x)), a.n, a.dtype
+            return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
+        # 'auto' consults the measured tuning record first (bench.py times
+        # every feasible route on the real chip and records the winner per
+        # platform/bandwidth — utils/tuning.py); the static heuristics
+        # below are the fallback when no measurement exists
+        hint = None
+        if impl == "auto":
+            from ..utils.tuning import matvec_route_hint
+            hint = matvec_route_hint(jax.default_backend(),
+                                     a.kl + a.ku + 1)
+        if hint == "banded_pallas":
+            from ..ops.pallas.band_matvec import banded_mv_feasible
+            if banded_mv_feasible(a):
+                return _banded_pallas_route(a)
+            hint = None
+        if hint == "xla":
+            return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
         # the 128-blocked conversion needs b=128 >= max(kl, ku), a few tiles
         # of rows, and a fixed-width dtype (no emulated f64 pairs on TPU —
         # high-accuracy runs keep an f64 operator for refinement residuals
@@ -104,7 +128,9 @@ def as_matvec(a, n_hint: int = None,
         # win dominates — narrow bands keep the shifted-axpy form (ADVICE
         # r2: a w=32 band would pay 12x memory for little speedup)
         wide = bt_ok and a.kl + a.ku + 1 >= 96
-        if ((wide and impl == "auto") or (bt_ok and impl == "blocktri")) \
+        if ((impl == "auto" and (hint == "blocktri" and bt_ok
+                                 or hint is None and wide))
+                or (bt_ok and impl == "blocktri")) \
                 and _use_blocktri_matvec():
             from ..ops.blocktri import band_to_blocktri
             from ..ops.pallas.matvec import blocktri_matvec_dma, mv_padded_nb
@@ -122,8 +148,8 @@ def as_matvec(a, n_hint: int = None,
             def mv(x):
                 xb = jnp.pad(x, (0, nbp * b - a.n)).reshape(nbp, b)
                 return blocktri_matvec_dma(T, xb).reshape(-1)[:a.n]
-            return mv, a.n, a.dtype
-        return (lambda x: banded_matvec(a, x)), a.n, a.dtype
+            return _tag(mv, "blocktri"), a.n, a.dtype
+        return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
 
     if isinstance(a, BlockTridiagonal):
         nb, b = a.nb, a.b

@@ -10,6 +10,14 @@ x64 is enabled so CPU parity tests can match PETSc f64 residual histories.
 
 import os
 import sys
+import tempfile
+
+# deterministic 'auto' dispatch in tests: a host's measured tuning record
+# (~/.cache/spike_petsc_tpu/tuning.json, written by bench.py) must not leak
+# into route-selection assertions — point the record at an absent file
+# unless a test overrides it
+os.environ.setdefault("SPIKE_TUNING_FILE", os.path.join(
+    tempfile.gettempdir(), "spike-tuning-absent-for-tests.json"))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

@@ -1,0 +1,76 @@
+"""Measured-route tuning records (utils/tuning.py): bench writes winners,
+as_matvec('auto') follows them, heuristics remain the fallback."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from spike_petsc_tpu import BandedMatrix
+from spike_petsc_tpu import sparse as hsp
+from spike_petsc_tpu.models import problems
+from spike_petsc_tpu.solvers.operator import as_matvec
+from spike_petsc_tpu.utils import tuning
+
+
+def banded_of(acsr):
+    data, kl, ku = hsp.csr_to_banded_arrays(acsr)
+    return BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+
+
+def test_route_hint_nearest_bandwidth(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
+    tuning.update("tpu", "banded_matvec", "201",
+                  {"winner": "blocktri", "xla_ms": 39.0, "blocktri_ms": 6.8})
+    tuning.update("tpu", "banded_matvec", "13",
+                  {"winner": "banded_pallas", "banded_pallas_ms": 0.9})
+    assert tuning.matvec_route_hint("tpu", 201) == "blocktri"
+    assert tuning.matvec_route_hint("tpu", 150) == "blocktri"   # within 2x
+    assert tuning.matvec_route_hint("tpu", 17) == "banded_pallas"
+    assert tuning.matvec_route_hint("tpu", 50) is None          # >2x from both
+    assert tuning.matvec_route_hint("cpu", 201) is None         # other platform
+
+
+def test_auto_follows_recorded_winner(tmp_path, monkeypatch):
+    """A recorded winner overrides the static heuristic: a narrow band that
+    'auto' would run as XLA shifted-axpy routes through the banded-Pallas
+    kernel when the record says it wins here."""
+    monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
+    a = problems.nonsym_banded(4096, 3, 3, seed=1)
+    A = banded_of(a)
+    A = BandedMatrix(data=A.data.astype(jnp.float32), kl=A.kl, ku=A.ku)
+    mv, n, _ = as_matvec(A, impl="auto")
+    assert getattr(mv, "_route", None) == "xla"      # heuristic: narrow band
+    import jax
+    tuning.update(jax.default_backend(), "banded_matvec", "7",
+                  {"winner": "banded_pallas", "banded_pallas_ms": 0.1})
+    mv2, _, _ = as_matvec(A, impl="auto")
+    assert getattr(mv2, "_route", None) == "banded_pallas"
+    # both routes compute the same product
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(mv2(x)),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_auto_ignores_infeasible_recorded_winner(tmp_path, monkeypatch):
+    """A record naming a route that is infeasible for this operator falls
+    back to the heuristics instead of crashing or mis-routing."""
+    import jax
+    monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
+    a = problems.nonsym_banded(100, 2, 2, seed=2)     # tiny: pallas infeasible
+    A = banded_of(a)
+    tuning.update(jax.default_backend(), "banded_matvec", "5",
+                  {"winner": "banded_pallas"})
+    mv, _, _ = as_matvec(A, impl="auto")
+    assert getattr(mv, "_route", None) == "xla"
+
+
+def test_update_merges_and_is_atomic(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
+    tuning.update("tpu", "banded_matvec", "201", {"winner": "blocktri"})
+    tuning.update("tpu", "banded_matvec", "13", {"winner": "xla"})
+    tuning.update("cpu", "banded_matvec", "201", {"winner": "xla"})
+    with open(tmp_path / "t.json") as f:
+        data = json.load(f)
+    assert set(data) == {"tpu", "cpu"}
+    assert set(data["tpu"]["banded_matvec"]) == {"201", "13"}
