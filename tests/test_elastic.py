@@ -301,3 +301,22 @@ def test_resilient_serve_default_policy_transient_retry():
     assert res2.failures == 2
     assert res2.meshes_used[-1] == (1, 4)       # forced replica drop
     np.testing.assert_allclose(res2.X, U, rtol=1e-8, atol=1e-9)
+
+
+def test_resilient_serve_batched_krylov_engine():
+    """Elastic serving with the batched bcgs engine (ksp_type='bcgs' now
+    dispatches to bicgstab_many inside make_dist_solver_batched): replica
+    loss still only costs throughput."""
+    from spike_petsc_tpu.parallel.elastic import resilient_serve
+
+    n = 384
+    a = problems.nonsym_banded(n, 3, 3, seed=21)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    band = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    rng = np.random.default_rng(9)
+    U = rng.standard_normal((4, n))
+    B = np.stack([a @ U[i] for i in range(4)])
+    res = resilient_serve(band, jnp.asarray(B), mesh_shape=(2, 4),
+                          parts_per_device=2, block_b=8, ksp_type="bcgs",
+                          rtol=1e-11, maxit=30)
+    np.testing.assert_allclose(np.asarray(res.X), U, rtol=1e-7, atol=1e-8)
