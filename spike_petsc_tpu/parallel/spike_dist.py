@@ -740,9 +740,11 @@ def make_dist_solver_batched(dsf: DistSpikeFactor, mesh: Mesh,
                        until every column meets rtol (multi-RHS matvec +
                        PCApply; the serving mode for reduced-precision
                        factor storage);
-      * "bcgs"/"cg"  — BATCHED Krylov (solvers/krylov_many.py): one
-                       iteration loop for the whole local batch, multi-RHS
-                       matvec/PCApply, per-column convergence;
+      * "gmres"/"bcgs"/"cg" — BATCHED Krylov (solvers/krylov_many.py):
+                       one iteration loop for the whole local batch,
+                       multi-RHS matvec/PCApply, per-column convergence
+                       (gmres carries a [restart+1, n_local, r] basis —
+                       size restart to the batch);
       * other Krylov names — per-RHS solves under lax.map (factors
                        re-streamed per RHS).
     """
@@ -1438,8 +1440,8 @@ def make_dist_solver_multislice_batched(
       * "preonly"    — ONE multislice PCApply: block-Jacobi across slices,
         i.e. PC-grade accuracy (exact only when cross-slice coupling is
         zero); the cheapest mode when slices are weakly coupled;
-      * "bcgs"/"cg"  — BATCHED Krylov: one iteration loop for the whole
-        RHS block (multi-RHS per-slice PCApply + exact cross-slice
+      * "gmres"/"bcgs"/"cg" — BATCHED Krylov: one iteration loop for the
+        whole RHS block (multi-RHS per-slice PCApply + exact cross-slice
         multi-RHS matvec, per-column convergence);
       * other Krylov names — per-RHS solves under lax.map.
     """

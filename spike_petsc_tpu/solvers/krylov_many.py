@@ -80,9 +80,10 @@ def _freeze_cols(body):
         def merge(n, o):
             if o.ndim == 0:                                   # loop-global
                 return n
-            if n.ndim == active.ndim:                         # [r] scalars
-                return jnp.where(active, n, o)
-            return jnp.where(active[None, :], n, o)           # [*, r]
+            # per-column state carries the column axis LAST ([r], [*, r],
+            # [*, *, r], ...) — broadcast the mask there
+            return jnp.where(
+                active.reshape((1,) * (n.ndim - 1) + (-1,)), n, o)
 
         return {k: merge(new_s[k], s[k]) for k in s}
     return wrapped
@@ -212,6 +213,167 @@ def cg_many(matvec: Callable, B: jax.Array, X0: Optional[jax.Array] = None,
                      rnorm=norm(B - matvec(out["X"])), history=out["hist"])
 
 
+def gmres_many(matvec: Callable, B: jax.Array,
+               X0: Optional[jax.Array] = None,
+               pc_apply: Optional[Callable] = None, *, restart: int = 30,
+               rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+               maxit: int = 10000, side: str = "left", axis_name=None,
+               conv_sync_axis=None, **_) -> KSPResult:
+    """Column-batched restarted GMRES; B: [n, r].
+
+    Every column runs the one-RHS ``gmres`` recurrence (classical GS with
+    one reorthogonalization pass, Givens least squares, PETSc defaults) but
+    all columns share each iteration's multi-RHS matvec/PCApply and ONE
+    fused [restart+1, r] Gram reduction.  Memory: the basis is
+    [restart+1, n, r] — size the restart to the serving batch (bcgs_many
+    carries 4 vectors per column where GMRES carries ``restart``).
+
+    Per-column convergence freezes a finished column's basis/Hessenberg in
+    place; its solution update uses exactly the columns it built.
+    """
+    psolve = pc_apply or (lambda x: x)
+    right = side == "right"
+    X0 = jnp.zeros_like(B) if X0 is None else X0
+    n, nc = B.shape
+    dtype = B.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    m = max(1, int(restart))
+    norm = partial(_cnorm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    def gram(V, w):
+        h = jnp.einsum("anr,nr->ar", jnp.conj(V), w)
+        if axis_name is not None:
+            h = jax.lax.psum(h, axis_name)
+        return h
+
+    def residual(X):
+        R = B - matvec(X)
+        return R if right else psolve(R)
+
+    bnorm = norm(B) if right else norm(psolve(B))
+    R0 = residual(X0)
+    rnorm0 = norm(R0)
+    hist0 = jnp.full((maxit + 1, nc), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    idx = jnp.arange(m)
+
+    def back_sub(Hm, gm, used):
+        """Per-column upper-triangular solve of the rotated Hessenberg,
+        masked to each column's own basis size."""
+        Hm = jnp.where(used[:, None, :] & used[None, :, :], Hm[:m],
+                       jnp.eye(m, dtype=dtype)[:, :, None])
+        gm = jnp.where(used, gm[:m], 0.0)
+
+        def step(t, y):
+            i = m - 1 - t
+            s = jnp.einsum("kr,kr->r", Hm[i], y)
+            den = Hm[i, i]
+            yi = (gm[i] - s) / jnp.where(den != 0, den, 1.0)
+            return y.at[i].set(yi)
+
+        y = jax.lax.fori_loop(0, m, step, jnp.zeros((m, nc), dtype))
+        return jnp.where(used, y, 0.0)
+
+    def cycle(s):
+        X, R = s["X"], s["R"]
+        beta = norm(R)                                        # [r]
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((m + 1, n, nc), dtype).at[0].set(
+            R / safe_beta.astype(dtype))
+        H = jnp.zeros((m + 1, m, nc), dtype)
+        g = jnp.zeros((m + 1, nc), dtype).at[0].set(beta.astype(dtype))
+        cs = jnp.ones((m, nc), dtype)
+        sn = jnp.zeros((m, nc), dtype)
+
+        def inner_cond(c):
+            return (c["j"] < m) & _any_iterating(c["reason"],
+                                                 conv_sync_axis)
+
+        def inner_body(c):
+            V, H, g, cs, sn = c["V"], c["H"], c["g"], c["cs"], c["sn"]
+            j = c["j"]
+            vj = V[j]
+            w = psolve(matvec(vj)) if not right else matvec(psolve(vj))
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)[:, None]
+            h = gram(V, w) * mask
+            w = w - jnp.einsum("ar,anr->nr", h, V)
+            # one reorthogonalization pass (as the single-RHS gmres)
+            h2 = gram(V, w) * mask
+            w = w - jnp.einsum("ar,anr->nr", h2, V)
+            h = h + h2
+            hj1 = norm(w)                                     # [r]
+            V = V.at[j + 1].set(
+                w / jnp.where(hj1 > 0, hj1, 1.0).astype(dtype))
+            col = h.at[j + 1].set(hj1.astype(dtype))          # [m+1, r]
+
+            def rot(i, colc):
+                t1 = cs[i] * colc[i] + sn[i] * colc[i + 1]
+                t2 = (-jnp.conj(sn[i]) * colc[i]
+                      + jnp.conj(cs[i]) * colc[i + 1])
+                apply = i < j
+                colc = colc.at[i].set(jnp.where(apply, t1, colc[i]))
+                colc = colc.at[i + 1].set(jnp.where(apply, t2,
+                                                    colc[i + 1]))
+                return colc
+
+            col = jax.lax.fori_loop(0, m, rot, col)
+            denom = jnp.sqrt(jnp.abs(col[j]) ** 2
+                             + jnp.abs(col[j + 1]) ** 2)      # [r]
+            ok = denom > 0
+            safe = jnp.where(ok, denom, 1.0)
+            c_new = jnp.where(ok, jnp.conj(col[j]) / safe,
+                              jnp.ones((nc,), dtype))
+            s_new = jnp.where(ok, jnp.conj(col[j + 1]) / safe,
+                              jnp.zeros((nc,), dtype))
+            col = col.at[j].set(denom.astype(dtype)).at[j + 1].set(0.0)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(
+                -jnp.conj(s_new) * gj)
+            H = H.at[:, j].set(col)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+
+            rn = jnp.abs(g[j + 1]).astype(rdtype)             # [r]
+            trip = c["trip"] + 1
+            hist = c["hist"].at[trip].set(rn)
+            its = c["its"] + 1
+            reason = check(rn, bnorm, trip)
+            return dict(V=V, H=H, g=g, cs=cs, sn=sn, j=j + 1, jcol=c["jcol"]
+                        + 1, its=its, trip=trip, reason=reason, hist=hist)
+
+        # j/trip are loop-global; jcol counts the steps EACH column was
+        # active for (its lsq mask) via the per-column freeze
+        inner0 = dict(V=V, H=H, g=g, cs=cs, sn=sn, j=jnp.int32(0),
+                      jcol=jnp.zeros((nc,), jnp.int32), its=s["its"],
+                      trip=s["trip"], reason=s["reason"], hist=s["hist"])
+        ic = jax.lax.while_loop(inner_cond, _freeze_cols(inner_body),
+                                inner0)
+
+        used = idx[:, None] < ic["jcol"][None, :]             # [m, r]
+        y = back_sub(ic["H"], ic["g"], used)
+        dX = jnp.einsum("ar,anr->nr", y, ic["V"][:m])
+        if right:
+            dX = psolve(dX)
+        X = X + dX
+        R = residual(X)
+        return dict(X=X, R=R, its=ic["its"], trip=ic["trip"],
+                    reason=ic["reason"], hist=ic["hist"])
+
+    init = dict(X=X0, R=R0, its=jnp.zeros((nc,), jnp.int32),
+                trip=jnp.int32(0), reason=reason0, hist=hist0)
+
+    def cond(s):
+        return _any_iterating(s["reason"], conv_sync_axis)
+
+    out = jax.lax.while_loop(cond, _freeze_cols(cycle), init)
+    return KSPResult(x=out["X"], its=out["its"], reason=out["reason"],
+                     rnorm=_cnorm(B - matvec(out["X"]), axis_name),
+                     history=out["hist"])
+
+
 def richardson_many(matvec: Callable, B: jax.Array,
                     X0: Optional[jax.Array] = None,
                     pc_apply: Optional[Callable] = None, *,
@@ -286,6 +448,7 @@ def preonly_many(matvec: Callable, B: jax.Array,
 
 #: batched engines by the single-RHS name they correspond to
 MANY_SOLVERS = {
+    "gmres": gmres_many,
     "bcgs": bicgstab_many,
     "bicgstab": bicgstab_many,
     "cg": cg_many,

@@ -176,8 +176,8 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
         pc_apply_many = pc.apply_many or jax.vmap(pc.apply, in_axes=1,
                                                   out_axes=1)
     kw = _params_from_options(opts, params)
-    for extra in ("restart", "side", "norm_type", "monitor_true"):
-        kw.pop(extra, None)
+    for extra in ("norm_type", "monitor_true"):    # not in the batched
+        kw.pop(extra, None)                        # engines' surface
     if ksp_type == "richardson":
         sc = opts.get_real("ksp_richardson_scale", None)
         if sc is not None:

@@ -91,7 +91,7 @@ def test_make_solver_many_with_spike_pc():
 def test_make_solver_many_rejects_unbatched_method():
     a = problems.nonsym_banded(100, 2, 2, seed=1)
     with pytest.raises(ValueError, match="no batched engine"):
-        make_solver_many(banded_of(a), ksp_type="gmres")
+        make_solver_many(banded_of(a), ksp_type="tfqmr")
 
 
 def test_bicgstab_many_mixed_precision_pc():
@@ -136,3 +136,44 @@ def test_richardson_many_refinement_and_preonly_many():
         assert all(int(r) > 0 for r in np.asarray(res.reason)), kt
         np.testing.assert_allclose(np.asarray(res.x), U, rtol=tol,
                                    atol=tol, err_msg=kt)
+
+
+def test_gmres_many_exact_per_column_parity():
+    """Batched GMRES is algebraically IDENTICAL per column to single-RHS
+    gmres (unlike bcgs, its reductions are per-column separable): same
+    iteration counts, same histories, same solutions — including a column
+    that freezes mid-restart-cycle while others keep iterating."""
+    a = problems.nonsym_banded(256, 3, 3, seed=5, dominance=0.4)
+    A = banded_of(a)
+    rng = np.random.default_rng(0)
+    e = np.zeros(256); e[0] = 1.0              # easy column (converges early)
+    U = np.column_stack([e, rng.standard_normal(256)])
+    B = jnp.asarray(a @ U)
+    mv_many = jax.vmap(lambda x: banded_matvec(A, x), in_axes=1, out_axes=1)
+    res = krylov_many.gmres_many(mv_many, B, rtol=1e-10, maxit=600,
+                                 restart=30)
+    assert all(int(r) > 0 for r in np.asarray(res.reason))
+    mv = lambda x: banded_matvec(A, x)
+    for j in range(2):
+        r1 = krylov.gmres(mv, B[:, j], rtol=1e-10, maxit=600, restart=30)
+        assert int(res.its[j]) == int(r1.its), j
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(r1.x), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(res.history[: int(r1.its) + 1, j]),
+            np.asarray(r1.history[: int(r1.its) + 1]), rtol=1e-5)
+    assert int(res.its[0]) != int(res.its[1])
+
+
+def test_make_solver_many_gmres_with_pc():
+    a = problems.nonsym_banded(300, 3, 3, seed=9)
+    A = banded_of(a)
+    rng = np.random.default_rng(2)
+    U = rng.standard_normal((300, 4))
+    B = jnp.asarray(a @ U)
+    solver = make_solver_many(A, ksp_type="gmres", pc_type="spike",
+                              rtol=1e-11, maxit=60, restart=20)
+    res = solver(B)
+    assert all(int(r) > 0 for r in np.asarray(res.reason))
+    assert int(np.asarray(res.its).max()) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), U, rtol=1e-8, atol=1e-9)
