@@ -141,7 +141,7 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
                      ksp_type: Optional[str] = None,
                      pc_type: Optional[str] = None, pc: Optional[PC] = None,
                      n_hint: Optional[int] = None, jit: bool = True,
-                     **params) -> Callable:
+                     transpose: bool = False, **params) -> Callable:
     """Compose a BATCHED multi-RHS solver: solve(B[n, r], X0=None) returns a
     column-batched KSPResult (x [n, r]; its/reason/rnorm per column).
 
@@ -151,9 +151,13 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
     factors stream ONCE per iteration for all r columns), else a vmap of
     the single-RHS apply.  Per-column convergence freezes finished columns.
 
-    ``ksp_type``: one of krylov_many.MANY_SOLVERS ("bcgs"/"bicgstab",
-    "cg").  For per-column control with other methods, map a
-    ``make_solver`` closure over columns instead.
+    ``ksp_type``: one of krylov_many.MANY_SOLVERS ("gmres", "bcgs"/
+    "bicgstab", "cg", "richardson", "preonly").  For per-column control
+    with other methods, map a ``make_solver`` closure over columns instead.
+
+    ``transpose=True`` serves A^T X = B on the same stored factors
+    (PC.transpose; vmapped apply when the transposed PC has no native
+    multi-RHS form).
     """
     from .krylov_many import MANY_SOLVERS
     opts = options or Options()
@@ -167,6 +171,10 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
     if pc is None:
         name = pc_type or opts.get_string("pc_type", "none")
         pc = make_pc(name, A if pmat is None else pmat, opts)
+    if transpose:
+        from .operator import transpose_operator
+        A = transpose_operator(A)
+        pc = pc.transpose() if pc.name != "none" else pc
     matvec, n, op_dtype = as_matvec(
         A, n_hint=n_hint, impl=opts.get_string("mat_matvec_impl", "auto"))
     matvec_many = jax.vmap(matvec, in_axes=1, out_axes=1)

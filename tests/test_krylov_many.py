@@ -177,3 +177,18 @@ def test_make_solver_many_gmres_with_pc():
     assert all(int(r) > 0 for r in np.asarray(res.reason))
     assert int(np.asarray(res.its).max()) <= 2
     np.testing.assert_allclose(np.asarray(res.x), U, rtol=1e-8, atol=1e-9)
+
+
+def test_make_solver_many_transpose():
+    """Batched A^T serving on the same stored factors (KSPSolveTranspose
+    composed with the multi-RHS engines)."""
+    a = problems.nonsym_banded(200, 3, 2, seed=11)
+    A = banded_of(a)
+    rng = np.random.default_rng(6)
+    U = rng.standard_normal((200, 3))
+    B = jnp.asarray(a.T @ U)
+    solver = make_solver_many(A, ksp_type="bcgs", pc_type="spike",
+                              rtol=1e-11, maxit=40, transpose=True)
+    res = solver(B)
+    assert all(int(r) > 0 for r in np.asarray(res.reason))
+    np.testing.assert_allclose(np.asarray(res.x), U, rtol=1e-7, atol=1e-8)
