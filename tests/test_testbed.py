@@ -195,3 +195,31 @@ def test_testbed_log_view(capsys):
     assert rc == 0
     assert "KSPSolve" in out and "MatOrdering:rcm" in out
     assert "total_ms" in out
+
+
+@pytest.mark.parametrize("flags", [
+    "-ksp_type lsqr -pc_type spike",
+    "-ksp_type cgne -pc_type lu",
+    "-ksp_type cgs -pc_type lu",
+    "-ksp_type tfqmr -pc_type spike",
+    "-ksp_type gcr -pc_type lu",
+    "-ksp_type fgmres -pc_type ksp -ksp_ksp_type gmres -ksp_pc_type "
+    "bjacobi -ksp_ksp_rtol 1e-3",
+])
+def test_testbed_new_ksp_types(capsys, flags):
+    """The whole new KSP/PC surface is reachable from the options database
+    through the CLI (registry-driven, like PETSc's -ksp_type)."""
+    rc = run_testbed((f"-problem nonsym:300:3:3 {flags} "
+                      "-ksp_rtol 1e-9").split())
+    out = capsys.readouterr().out
+    assert rc == 0
+    err = float(out.split("Error in solution:")[1].split()[0])
+    assert err < 1e-4
+
+
+def test_testbed_compute_singularvalues(capsys):
+    rc = run_testbed("-problem nonsym:200:2:2 -ksp_type gmres -pc_type "
+                     "bjacobi -ksp_compute_singularvalues".split())
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "extreme singular values" in out
