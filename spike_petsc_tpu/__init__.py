@@ -18,7 +18,8 @@ from .ops.blocktri import (BlockTridiagonal, band_to_blocktri,
 from .ops.spike import (SpikeFactor, spike_factor, spike_factor_grouped,
                         spike_solve, spike_solve_many, spike_transpose)
 from .ops.autodiff import solve_banded_diff
-from .solvers.ksp import solve, make_solver, make_solver_many
+from .solvers.ksp import (solve, solve_many, make_solver,
+                          make_solver_many)
 from .solvers.pc import PC, make_pc
 from .solvers.types import KSPResult, reason_str
 from .utils.options import Options
@@ -34,7 +35,8 @@ __all__ = [
     "SpikeFactor", "spike_factor", "spike_factor_grouped", "spike_solve",
     "spike_solve_many", "spike_transpose",
     "solve_banded_diff",
-    "solve", "make_solver", "make_solver_many", "PC", "make_pc",
+    "solve", "solve_many", "make_solver", "make_solver_many",
+    "PC", "make_pc",
     "KSPResult", "reason_str",
     "Options", "ORDERINGS", "PRECONDITIONERS", "SOLVERS",
     "register_ksp", "register_ordering", "register_pc", "sparse",

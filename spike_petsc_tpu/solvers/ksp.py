@@ -197,6 +197,24 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
     return jax.jit(_solve) if jit else _solve
 
 
+def solve_many(A, B, X0=None, *, pmat=None,
+               options: Optional[Options] = None,
+               ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
+               pc: Optional[PC] = None, transpose: bool = False,
+               **params) -> KSPResult:
+    """One-shot batched multi-RHS solve (PETSc KSPMatSolve role):
+    ``solve_many(A, B[n, r])`` -> column-batched KSPResult.  Options-driven
+    like ``solve``; composes ``make_solver_many`` (one iteration loop for
+    all columns, native multi-RHS PCApply)."""
+    solver = make_solver_many(A, pmat=pmat, options=options,
+                              ksp_type=ksp_type, pc_type=pc_type, pc=pc,
+                              n_hint=B.shape[0] if hasattr(B, "shape")
+                              else None,
+                              jit=False, transpose=transpose, **params)
+    B = jnp.asarray(B)
+    return solver(B, None if X0 is None else jnp.asarray(X0))
+
+
 def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
           ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
           pc: Optional[PC] = None, monitor: bool = False,
