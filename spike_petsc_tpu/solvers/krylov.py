@@ -598,6 +598,160 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                      rnorm=rn, history=out["hist"])
 
 
+def bcgsl(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+          pc_apply: Optional[Callable] = None, *, ell: int = 2,
+          rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
+          maxit: int = 10000, axis_name: Optional[str] = None,
+          conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """BiCGStab(ell) (Sleijpen–Fokkema 1993; PETSc KSPBCGSL, default ell=2).
+
+    Generalizes BiCGStab's degree-1 minimal-residual polynomial to degree
+    ``ell``: each cycle runs ell BiCG steps followed by an ell-dimensional
+    residual minimization, which restores convergence on operators with
+    large IMAGINARY spectral parts where plain bicgstab's real 1-step MR
+    polynomial stagnates (the classic failure on convection-dominated /
+    strongly nonsymmetric systems).  Cost per cycle: 2*ell matvecs+PCapplies
+    (same per-matvec budget as bicgstab) plus an ell x ell Gram solve of
+    axpys.
+
+    Preconditioning is right-folded (B = A M^{-1}, x = x0 + M^{-1} y) so
+    the monitored history is the TRUE residual, recorded once per cycle at
+    index ``its`` (its advances by ell per cycle, PETSc's counting).
+    ``ell`` is a static unroll parameter — keep it small (2..4).
+    """
+    if ell < 1:
+        raise ValueError(f"bcgsl requires ell >= 1, got {ell}")
+    L = int(ell)
+    psolve = pc_apply or _identity_pc
+    bmv = lambda v: matvec(psolve(v))
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    norm = partial(_norm, axis_name=axis_name)
+    dot = partial(_dot, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    bnorm = norm(b)
+    r0 = b if x0 is None else b - matvec(x0)
+    rt = r0
+    rnorm0 = norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return _keep_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        # R[i]/U[i] rows are the hat-vectors r̂_i / û_i; y accumulates the
+        # solution of the folded system B y = r0.  Every sub-step is GATED
+        # by ``live``: with a strong preconditioner the residual can hit
+        # the tolerance in the middle of a cycle (exact PC: after the very
+        # first BiCG step), after which rho/gamma are rounding noise and
+        # the remaining steps would amplify it — the gate freezes the
+        # converged state instead (the in-cycle analogue of PETSc's per-
+        # iteration convergence test in KSPBCGSL).
+        R, U, y = s["R"], s["U"], s["y"]
+        rho0 = -s["omega"] * s["rho0"]
+        alpha = s["alpha"]
+        its = s["its"]
+        reason = s["reason"]
+        live = reason == CONVERGED_ITERATING
+
+        def sel(new, old):
+            return jnp.where(live, new, old)
+
+        # ---- BiCG part: ell shadow steps, each gated ---------------------
+        for j in range(L):
+            rho1 = dot(rt, R[j])
+            brk = jnp.abs(rho0) < tiny
+            beta = alpha * rho1 / jnp.where(rho0 != 0, rho0, 1.0)
+            Un = U
+            for i in range(j + 1):
+                Un = Un.at[i].set(R[i] - beta * Un[i])
+            Un = Un.at[j + 1].set(bmv(Un[j]))
+            gamma = dot(rt, Un[j + 1])
+            brk |= jnp.abs(gamma) < tiny
+            alpha_n = rho1 / jnp.where(gamma != 0, gamma, 1.0)
+            Rn = R
+            for i in range(j + 1):
+                Rn = Rn.at[i].set(Rn[i] - alpha_n * Un[i + 1])
+            Rn = Rn.at[j + 1].set(bmv(Rn[j]))
+            yn = y + alpha_n * Un[0]
+            rn_j = norm(Rn[0])
+            reason_j = check(rn_j, bnorm, its + 1)
+            reason_j = jnp.where(brk & (reason_j == CONVERGED_ITERATING),
+                                 DIVERGED_BREAKDOWN, reason_j)
+            U, R, y = sel(Un, U), sel(Rn, R), sel(yn, y)
+            alpha = sel(alpha_n, alpha)
+            rho0 = sel(rho1, rho0)
+            its = jnp.where(live, its + 1, its)
+            reason = jnp.where(live, reason_j, reason)
+            live = live & (reason_j == CONVERGED_ITERATING)
+
+        # ---- MR part: minimize ||r̂_0 - sum gamma_j r̂_j|| by modified
+        # Gram-Schmidt on r̂_1..r̂_ell (all scalars; ell is tiny) ----------
+        brk = jnp.zeros((), bool)
+        Rm = R
+        tau = [[None] * (L + 1) for _ in range(L + 1)]
+        sigma = [None] * (L + 1)
+        gp = [None] * (L + 1)       # gamma'
+        for j in range(1, L + 1):
+            for i in range(1, j):
+                tij = dot(Rm[i], Rm[j]) / jnp.where(sigma[i] != 0, sigma[i],
+                                                    1.0)
+                tau[i][j] = tij
+                Rm = Rm.at[j].set(Rm[j] - tij * Rm[i])
+            sigma[j] = dot(Rm[j], Rm[j])
+            brk |= jnp.abs(sigma[j]) < tiny
+            gp[j] = dot(Rm[j], Rm[0]) / jnp.where(sigma[j] != 0, sigma[j],
+                                                  1.0)
+        g = [None] * (L + 1)
+        g[L] = gp[L]
+        omega_n = g[L]
+        for j in range(L - 1, 0, -1):
+            g[j] = gp[j] - sum((tau[j][i] * g[i] for i in range(j + 1,
+                                                                L + 1)),
+                               jnp.zeros((), dtype))
+        gpp = [None] * L
+        for j in range(1, L):
+            gpp[j] = g[j + 1] + sum(
+                (tau[j][i] * g[i + 1] for i in range(j + 1, L)),
+                jnp.zeros((), dtype))
+
+        # ---- polynomial update (gated like the BiCG steps) ---------------
+        yn = y + g[1] * Rm[0]
+        Rn = Rm.at[0].set(Rm[0] - gp[L] * Rm[L])
+        Un = U.at[0].set(U[0] - g[L] * U[L])
+        for j in range(1, L):
+            Un = Un.at[0].set(Un[0] - g[j] * Un[j])
+            yn = yn + gpp[j] * Rn[j]
+            Rn = Rn.at[0].set(Rn[0] - gp[j] * Rn[j])
+        rn_mr = norm(Rn[0])
+        reason_mr = check(rn_mr, bnorm, its)
+        reason_mr = jnp.where(brk & (reason_mr == CONVERGED_ITERATING),
+                              DIVERGED_BREAKDOWN, reason_mr)
+        U, R, y = sel(Un, U), sel(Rn, Rm), sel(yn, y)
+        omega = sel(omega_n, s["omega"])
+        reason = jnp.where(live, reason_mr, reason)
+
+        rn = norm(R[0])
+        hist = s["hist"].at[jnp.minimum(its, maxit)].set(rn)
+        return dict(R=R, U=U, y=y, rho0=rho0, alpha=alpha, omega=omega,
+                    its=its, reason=reason, hist=hist)
+
+    zeros = jnp.zeros((L + 1,) + b.shape, dtype)
+    init = dict(R=zeros.at[0].set(r0), U=zeros, y=jnp.zeros_like(b),
+                rho0=jnp.ones((), dtype), alpha=jnp.zeros((), dtype),
+                omega=jnp.ones((), dtype), its=jnp.int32(0),
+                reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    x = psolve(out["y"]) if x0 is None else x0 + psolve(out["y"])
+    return KSPResult(x=x, its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(x)), history=out["hist"])
+
+
 def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
          pc_apply: Optional[Callable] = None, *,
          matvec_transpose: Optional[Callable] = None,
@@ -1527,6 +1681,7 @@ register_ksp("fgmres", fgmres)
 register_ksp("bcgs", bicgstab)
 register_ksp("bicgstab", bicgstab)
 register_ksp("bicg", bicg)
+register_ksp("bcgsl", bcgsl)
 register_ksp("cg", cg)
 register_ksp("pipecg", pipecg)
 register_ksp("minres", minres)

@@ -114,6 +114,9 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
                 pc_apply=pc_apply)
             kw["emin"], kw["emax"] = krylov.chebyshev_esteig_bounds(
                 eigs, transform)
+    if ksp_type == "bcgsl":
+        # -ksp_bcgsl_ell: the MR-polynomial degree (PETSc KSPBCGSLSetEll)
+        kw.setdefault("ell", opts.get_int("ksp_bcgsl_ell", 2))
     if ksp_type in ("bicg", "cgne", "cgnr", "cgls", "lsqr"):
         # bicg's shadow recurrence and the normal-equations family
         # (cgne/cgnr/cgls/lsqr) need A^T and M^{-T}: transpose the

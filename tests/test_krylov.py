@@ -794,3 +794,48 @@ def test_extreme_singular_values_exact_pc_breakdown():
         ident, ident, n, jnp.float64, m=20)
     np.testing.assert_allclose(smax, 1.0, rtol=1e-12)
     np.testing.assert_allclose(smin, 1.0, rtol=1e-12)
+
+
+def test_bcgsl_beats_bcgs_on_skew_spectrum():
+    """BiCGStab(ell): the degree-ell MR polynomial handles the strongly
+    imaginary spectrum (0.6 I + skew) where plain bicgstab's real 1-step
+    polynomial needs ~2x the matvecs (Sleijpen-Fokkema's motivating
+    case)."""
+    import scipy.sparse as sp
+
+    n = 400
+    A = sp.diags([0.6 * np.ones(n), np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1]).tocsr()
+    u = np.ones(n)
+    b = jnp.asarray(A @ u)
+    r_l = solve(banded_of(A), b, ksp_type="bcgsl", rtol=1e-10, maxit=2000)
+    r_1 = solve(banded_of(A), b, ksp_type="bcgs", rtol=1e-10, maxit=2000)
+    assert int(r_l.reason) > 0 and int(r_1.reason) > 0
+    assert int(r_l.its) < int(r_1.its)
+    assert np.linalg.norm(np.asarray(r_l.x) - u) < 1e-6
+
+
+def test_bcgsl_exact_pc_one_step():
+    """Mid-cycle happy breakdown: an exact SPIKE PC converges the solve at
+    the FIRST BiCG sub-step; the in-cycle gate must freeze there instead of
+    amplifying rounding noise through the remaining ell-1 steps."""
+    a = problems.nonsym_banded(200, 3, 3, seed=5)
+    u, b = manufactured(a)
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="bcgsl",
+                pc_type="spike", rtol=1e-10, maxit=50)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    assert int(res.its) <= 2
+    assert np.linalg.norm(np.asarray(res.x) - u) < 1e-8
+
+
+def test_bcgsl_ell_option():
+    from spike_petsc_tpu import Options
+
+    a = problems.nonsym_banded(150, 2, 2, seed=3)
+    u, b = manufactured(a)
+    opts = Options.from_argv(["-ksp_bcgsl_ell", "4"])
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="bcgsl",
+                options=opts, rtol=1e-9, maxit=800)
+    assert int(res.reason) > 0
+    assert int(res.its) % 4 in (0, 1, 2, 3)   # its counts BiCG sub-steps
+    assert np.linalg.norm(np.asarray(res.x) - u) < 1e-5
