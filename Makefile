@@ -37,4 +37,7 @@ wbm:
 spectral:
 	$(PY) -m spike_petsc_tpu.tools.spectral -problem lap2d:20:20 -levels 2
 
-.PHONY: test test-fast test-quick bench native run wbm spectral
+tune:
+	$(PY) -m spike_petsc_tpu.tools.tune -n 1000000 -halfbw 100
+
+.PHONY: test test-fast test-quick bench native run wbm spectral tune

@@ -1,0 +1,102 @@
+"""Operator-route tuner: measure every SpMV route at YOUR shape, record it.
+
+``bench.py`` records the measured matvec-route winner at its flagship config;
+this tool does the same for arbitrary (n, bandwidth, dtype) so production
+deployments can pre-tune the shapes they actually serve:
+
+    python -m spike_petsc_tpu.tools.tune -n 1000000 -halfbw 100
+    python -m spike_petsc_tpu.tools.tune -n 200000 -kl 13 -ku 13 -reps 20
+
+Each run times the XLA shifted-axpy, blocktri-DMA, and banded-Pallas routes
+through the library's own dispatch (``as_matvec(impl=...)``), prints one JSON
+line, and merges the winner into the tuning record (``SPIKE_TUNING_FILE``,
+default ``~/.cache/spike_petsc_tpu/tuning.json``) that
+``as_matvec("auto")`` consults.
+
+Timing methodology: chained ``lax.fori_loop`` repetitions with a tiny digest
+readback, differenced between rep counts — dispatch/tunnel latency cancels
+(the bench.py methodology; single-op timing through the axon tunnel is
+meaningless).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..ops.band import BandedMatrix
+    from ..solvers.operator import as_matvec
+    from ..utils import tuning
+    from ..utils.options import Options
+
+    opts = Options.from_argv(sys.argv[1:] if argv is None else argv)
+    platform_req = opts.get_string("platform")
+    if platform_req:
+        jax.config.update("jax_platforms", platform_req)
+    n = opts.get_int("n", 1_000_000)
+    hb = opts.get_int("halfbw", None)
+    kl = opts.get_int("kl", hb if hb is not None else 100)
+    ku = opts.get_int("ku", hb if hb is not None else 100)
+    reps = opts.get_int("reps", 20)
+    dt = opts.get_string("dtype", "f32")
+    dtype = {"f32": jnp.float32, "f64": jnp.float64,
+             "bf16": jnp.bfloat16}[dt]
+    w = kl + ku + 1
+    platform = jax.devices()[0].platform
+
+    key = jax.random.PRNGKey(0)
+    data = jax.random.uniform(key, (n, w), dtype, minval=-1.0, maxval=1.0)
+    data = data.at[:, kl].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
+    band = BandedMatrix(data=data, kl=kl, ku=ku)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (n,), dtype)
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    def route_ms(impl_name):
+        mv, _, _ = as_matvec(band, impl=impl_name)
+        if getattr(mv, "_route", None) != impl_name:
+            return None                       # infeasible: dispatch fell back
+
+        @partial(jax.jit, static_argnames=("r",))
+        def loop(x, r):
+            return jax.lax.fori_loop(
+                0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), x)
+
+        timed(lambda: loop(x0, 2))            # compile
+        timed(lambda: loop(x0, reps + 2))     # compile
+        t1 = min(timed(lambda: loop(x0, 2)) for _ in range(3))
+        t2 = min(timed(lambda: loop(x0, reps + 2)) for _ in range(3))
+        sm = max(t2 - t1, 1e-9) / reps
+        return t1 / 2.0 if sm < 1e-6 else sm
+
+    routes = {}
+    for name in ("xla", "blocktri", "banded_pallas"):
+        ms = route_ms(name)
+        if ms is not None:
+            routes[name] = round(ms * 1e3, 4)
+    if not routes:
+        print(json.dumps({"error": "no feasible route", "n": n, "w": w}))
+        return 1
+    winner = min(routes, key=routes.get)
+    path = tuning.update(platform, "banded_matvec", str(w), {
+        **{f"{k}_ms": v for k, v in routes.items()},
+        "winner": winner, "n": n})
+    print(json.dumps({"platform": platform, "n": n, "w": w, "dtype": dt,
+                      **{f"{k}_ms": v for k, v in routes.items()},
+                      "winner": winner, "tuning_file": path}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
