@@ -240,29 +240,27 @@ def main() -> None:
                 mv, _, _ = as_matvec(band, impl=impl_name)
                 if getattr(mv, "_route", None) != impl_name:
                     return None     # dispatch fell back: infeasible here
-
-                @partial(jax.jit, static_argnames=("r",))
-                def loop(x, r):
-                    return jax.lax.fori_loop(
-                        0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), x)
-
-                timed(lambda: loop(rhs, 2))      # compile
-                timed(lambda: loop(rhs, 22))     # compile
-                t1 = min(timed(lambda: loop(rhs, 2)) for _ in range(3))
-                t2 = min(timed(lambda: loop(rhs, 22)) for _ in range(3))
-                sm = max(t2 - t1, 1e-9) / 20.0
-                return t1 / 2.0 if sm < 1e-5 else sm
+                return tuning.measure_matvec_ms(mv, rhs, reps=20,
+                                                timed=timed)
 
             routes = {}
             for nmr in ("xla", "blocktri", "banded_pallas"):
+                if nmr == "banded_pallas" and "band_mv_pallas_ms" in mv_out:
+                    # the band-mv microbench above already measured this
+                    # route with the same methodology — don't redo the
+                    # prepare + compile + 6 timings on the chip
+                    routes[nmr] = mv_out["band_mv_pallas_ms"]
+                    continue
                 ms = _route_ms(nmr)
                 if ms is not None:
-                    routes[nmr] = round(ms * 1e3, 3)
+                    routes[nmr] = round(ms, 3)
             if routes:
                 winner = min(routes, key=routes.get)
-                path = tuning.update(platform, "banded_matvec", str(w), {
-                    **{f"{kk}_ms": vv for kk, vv in routes.items()},
-                    "winner": winner, "n": n})
+                path = tuning.update(
+                    platform, "banded_matvec", tuning.matvec_key(w, dtype), {
+                        **{f"{kk}_ms": vv for kk, vv in routes.items()},
+                        "winner": winner, "n": n,
+                        "dtype": str(jnp.dtype(dtype).name)})
                 mv_out.update(
                     {f"mv_route_{kk}_ms": vv for kk, vv in routes.items()})
                 mv_out["mv_route_winner"] = winner

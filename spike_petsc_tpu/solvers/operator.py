@@ -108,7 +108,7 @@ def as_matvec(a, n_hint: int = None,
         if impl == "auto":
             from ..utils.tuning import matvec_route_hint
             hint = matvec_route_hint(jax.default_backend(),
-                                     a.kl + a.ku + 1)
+                                     a.kl + a.ku + 1, dtype=a.dtype, n=a.n)
         if hint == "banded_pallas":
             from ..ops.pallas.band_matvec import banded_mv_feasible
             if banded_mv_feasible(a):

@@ -23,13 +23,11 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 
 def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from ..ops.band import BandedMatrix
     from ..solvers.operator import as_matvec
@@ -46,6 +44,10 @@ def main(argv=None) -> int:
     ku = opts.get_int("ku", hb if hb is not None else 100)
     reps = opts.get_int("reps", 20)
     dt = opts.get_string("dtype", "f32")
+    if dt == "f64":
+        # without x64 the arrays silently downcast to f32 and the record
+        # would mislabel f32 timings as f64 (code-review r3)
+        jax.config.update("jax_enable_x64", True)
     dtype = {"f32": jnp.float32, "f64": jnp.float64,
              "bf16": jnp.bfloat16}[dt]
     w = kl + ku + 1
@@ -57,41 +59,25 @@ def main(argv=None) -> int:
     band = BandedMatrix(data=data, kl=kl, ku=ku)
     x0 = jax.random.normal(jax.random.PRNGKey(1), (n,), dtype)
 
-    def timed(fn):
-        t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0
-
     def route_ms(impl_name):
         mv, _, _ = as_matvec(band, impl=impl_name)
         if getattr(mv, "_route", None) != impl_name:
             return None                       # infeasible: dispatch fell back
-
-        @partial(jax.jit, static_argnames=("r",))
-        def loop(x, r):
-            return jax.lax.fori_loop(
-                0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), x)
-
-        timed(lambda: loop(x0, 2))            # compile
-        timed(lambda: loop(x0, reps + 2))     # compile
-        t1 = min(timed(lambda: loop(x0, 2)) for _ in range(3))
-        t2 = min(timed(lambda: loop(x0, reps + 2)) for _ in range(3))
-        sm = max(t2 - t1, 1e-9) / reps
-        return t1 / 2.0 if sm < 1e-6 else sm
+        return tuning.measure_matvec_ms(mv, x0, reps=reps)
 
     routes = {}
     for name in ("xla", "blocktri", "banded_pallas"):
         ms = route_ms(name)
         if ms is not None:
-            routes[name] = round(ms * 1e3, 4)
+            routes[name] = round(ms, 4)
     if not routes:
         print(json.dumps({"error": "no feasible route", "n": n, "w": w}))
         return 1
     winner = min(routes, key=routes.get)
-    path = tuning.update(platform, "banded_matvec", str(w), {
-        **{f"{k}_ms": v for k, v in routes.items()},
-        "winner": winner, "n": n})
+    path = tuning.update(platform, "banded_matvec",
+                         tuning.matvec_key(w, dtype), {
+                             **{f"{k}_ms": v for k, v in routes.items()},
+                             "winner": winner, "n": n, "dtype": dt})
     print(json.dumps({"platform": platform, "n": n, "w": w, "dtype": dt,
                       **{f"{k}_ms": v for k, v in routes.items()},
                       "winner": winner, "tuning_file": path}))

@@ -21,6 +21,7 @@ benches on different hosts keep separate caches by default).
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import tempfile
@@ -55,16 +56,27 @@ def load() -> dict:
     return data
 
 
+def matvec_key(w: int, dtype) -> str:
+    """Record key for a banded matvec measurement: total width + dtype
+    (route crossovers are dtype properties: itemsize gates feasibility and
+    halves/doubles streamed bytes)."""
+    import numpy as np
+    return f"{int(w)}:{np.dtype(dtype).name}"
+
+
 def update(platform: str, kind: str, key: str, entry: dict) -> str:
     """Merge one measurement into the record (atomic rename write).
 
     Layout: ``{platform: {kind: {key: entry}}}`` — e.g.
-    ``{"tpu": {"banded_matvec": {"201": {"winner": "blocktri", ...}}}}``.
-    Returns the path written.
+    ``{"tpu": {"banded_matvec": {"201:float32": {"winner": "blocktri",
+    "n": 1000000, ...}}}}``.  Returns the path written.
     """
     path = record_path()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    data = load() if os.path.exists(path) else {}
+    # deep-copy: load() returns the shared cache object; mutating it in
+    # place would leave phantom entries in memory if the write below fails
+    # (code-review r3)
+    data = copy.deepcopy(load()) if os.path.exists(path) else {}
     data.setdefault(platform, {}).setdefault(kind, {})[str(key)] = entry
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                prefix=".tuning-")
@@ -82,18 +94,65 @@ def update(platform: str, kind: str, key: str, entry: dict) -> str:
     return path
 
 
-def matvec_route_hint(platform: str, w: int) -> Optional[str]:
+def matvec_route_hint(platform: str, w: int, dtype=None,
+                      n: Optional[int] = None) -> Optional[str]:
     """The measured winner for a banded matvec of total width ``w`` on
-    ``platform``, or None when no measurement within 2x bandwidth exists.
+    ``platform``, or None when no applicable measurement exists.
+
+    A measurement applies when its dtype matches, its width is within 2x,
+    and (when both are known) its problem size is within 8x — a winner
+    measured at n=1e6 says nothing about an n=300 system where one-time
+    conversion overhead dominates.
     """
+    import numpy as np
     rec = load().get(platform, {}).get("banded_matvec", {})
+    dt = np.dtype(dtype).name if dtype is not None else None
     best = None
     for wk, e in rec.items():
         try:
-            wv = float(wk)
+            wpart, _, dpart = wk.partition(":")
+            wv = float(wpart)
         except ValueError:
             continue
+        if dt is not None and dpart and dpart != dt:
+            continue
+        if n is not None and e.get("n"):
+            nratio = max(float(e["n"]), n) / max(min(float(e["n"]), n), 1.0)
+            if nratio > 8.0:
+                continue
         ratio = max(wv, w) / max(min(wv, w), 1.0)
         if ratio <= 2.0 and (best is None or ratio < best[0]):
             best = (ratio, e.get("winner"))
     return best[1] if best else None
+
+
+def measure_matvec_ms(mv, x, reps: int = 20, timed=None) -> float:
+    """Chained ``lax.fori_loop`` differenced matvec timing in ms — the
+    shared methodology of bench.py and tools/tune.py (dispatch/tunnel
+    latency cancels between the 2-rep and (reps+2)-rep loops; single-op
+    timing through the axon tunnel is meaningless).  ``timed`` overrides
+    the wall-clock harness (bench passes its digest-synced version)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    if timed is None:
+        import time as _time
+
+        def timed(fn):
+            t0 = _time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            return _time.perf_counter() - t0
+
+    @partial(jax.jit, static_argnames=("r",))
+    def loop(xx, r):
+        return jax.lax.fori_loop(
+            0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), xx)
+
+    timed(lambda: loop(x, 2))             # compile
+    timed(lambda: loop(x, reps + 2))      # compile
+    t1 = min(timed(lambda: loop(x, 2)) for _ in range(3))
+    t2 = min(timed(lambda: loop(x, reps + 2)) for _ in range(3))
+    sm = max(t2 - t1, 1e-9) / reps
+    return (t1 / 2.0 if sm < 1e-5 else sm) * 1e3

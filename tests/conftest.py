@@ -14,10 +14,12 @@ import tempfile
 
 # deterministic 'auto' dispatch in tests: a host's measured tuning record
 # (~/.cache/spike_petsc_tpu/tuning.json, written by bench.py) must not leak
-# into route-selection assertions — point the record at an absent file
-# unless a test overrides it
+# into route-selection assertions — point the record at a PER-SESSION
+# absent file unless a test overrides it (a fixed shared /tmp name could
+# be left behind by a stray tuning.update and silently re-route every
+# later session)
 os.environ.setdefault("SPIKE_TUNING_FILE", os.path.join(
-    tempfile.gettempdir(), "spike-tuning-absent-for-tests.json"))
+    tempfile.mkdtemp(prefix="spike-tuning-test-"), "absent.json"))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

@@ -837,5 +837,10 @@ def test_bcgsl_ell_option():
     res = solve(banded_of(a), jnp.asarray(b), ksp_type="bcgsl",
                 options=opts, rtol=1e-9, maxit=800)
     assert int(res.reason) > 0
-    assert int(res.its) % 4 in (0, 1, 2, 3)   # its counts BiCG sub-steps
+    # the history is written once per CYCLE at index its (ell sub-steps):
+    # with ell=4 the first written entry sits at index 4 and indices 1..3
+    # stay NaN — this detects the option not reaching the solver (the
+    # default ell=2 would write index 2)
+    h = np.asarray(res.history)
+    assert np.isnan(h[1:4]).all() and np.isfinite(h[4]), h[:6]
     assert np.linalg.norm(np.asarray(res.x) - u) < 1e-5

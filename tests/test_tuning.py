@@ -19,16 +19,26 @@ def banded_of(acsr):
 
 
 def test_route_hint_nearest_bandwidth(tmp_path, monkeypatch):
+    import numpy as np
+
     monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
-    tuning.update("tpu", "banded_matvec", "201",
-                  {"winner": "blocktri", "xla_ms": 39.0, "blocktri_ms": 6.8})
-    tuning.update("tpu", "banded_matvec", "13",
-                  {"winner": "banded_pallas", "banded_pallas_ms": 0.9})
-    assert tuning.matvec_route_hint("tpu", 201) == "blocktri"
-    assert tuning.matvec_route_hint("tpu", 150) == "blocktri"   # within 2x
-    assert tuning.matvec_route_hint("tpu", 17) == "banded_pallas"
-    assert tuning.matvec_route_hint("tpu", 50) is None          # >2x from both
-    assert tuning.matvec_route_hint("cpu", 201) is None         # other platform
+    tuning.update("tpu", "banded_matvec", tuning.matvec_key(201, np.float32),
+                  {"winner": "blocktri", "xla_ms": 39.0, "blocktri_ms": 6.8,
+                   "n": 1_000_000})
+    tuning.update("tpu", "banded_matvec", tuning.matvec_key(13, np.float32),
+                  {"winner": "banded_pallas", "banded_pallas_ms": 0.9,
+                   "n": 1_000_000})
+    f32 = np.float32
+    hint = tuning.matvec_route_hint
+    assert hint("tpu", 201, f32, 1_000_000) == "blocktri"
+    assert hint("tpu", 150, f32, 1_000_000) == "blocktri"       # within 2x
+    assert hint("tpu", 17, f32, 1_000_000) == "banded_pallas"
+    assert hint("tpu", 50, f32, 1_000_000) is None      # >2x from both
+    assert hint("cpu", 201, f32, 1_000_000) is None     # other platform
+    # dtype and problem-size gates: a winner measured at f32/n=1e6 must not
+    # route f64 operators or tiny systems
+    assert hint("tpu", 201, np.float64, 1_000_000) is None
+    assert hint("tpu", 201, f32, 300) is None
 
 
 def test_auto_follows_recorded_winner(tmp_path, monkeypatch):
@@ -42,8 +52,10 @@ def test_auto_follows_recorded_winner(tmp_path, monkeypatch):
     mv, n, _ = as_matvec(A, impl="auto")
     assert getattr(mv, "_route", None) == "xla"      # heuristic: narrow band
     import jax
-    tuning.update(jax.default_backend(), "banded_matvec", "7",
-                  {"winner": "banded_pallas", "banded_pallas_ms": 0.1})
+    tuning.update(jax.default_backend(), "banded_matvec",
+                  tuning.matvec_key(7, jnp.float32),
+                  {"winner": "banded_pallas", "banded_pallas_ms": 0.1,
+                   "n": 4096})
     mv2, _, _ = as_matvec(A, impl="auto")
     assert getattr(mv2, "_route", None) == "banded_pallas"
     # both routes compute the same product
@@ -59,18 +71,21 @@ def test_auto_ignores_infeasible_recorded_winner(tmp_path, monkeypatch):
     monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
     a = problems.nonsym_banded(100, 2, 2, seed=2)     # tiny: pallas infeasible
     A = banded_of(a)
-    tuning.update(jax.default_backend(), "banded_matvec", "5",
-                  {"winner": "banded_pallas"})
+    tuning.update(jax.default_backend(), "banded_matvec",
+                  tuning.matvec_key(5, jnp.float64),
+                  {"winner": "banded_pallas", "n": 100})
     mv, _, _ = as_matvec(A, impl="auto")
     assert getattr(mv, "_route", None) == "xla"
 
 
 def test_update_merges_and_is_atomic(tmp_path, monkeypatch):
     monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
-    tuning.update("tpu", "banded_matvec", "201", {"winner": "blocktri"})
-    tuning.update("tpu", "banded_matvec", "13", {"winner": "xla"})
-    tuning.update("cpu", "banded_matvec", "201", {"winner": "xla"})
+    tuning.update("tpu", "banded_matvec", "201:float32",
+                  {"winner": "blocktri"})
+    tuning.update("tpu", "banded_matvec", "13:float32", {"winner": "xla"})
+    tuning.update("cpu", "banded_matvec", "201:float32", {"winner": "xla"})
     with open(tmp_path / "t.json") as f:
         data = json.load(f)
     assert set(data) == {"tpu", "cpu"}
-    assert set(data["tpu"]["banded_matvec"]) == {"201", "13"}
+    assert set(data["tpu"]["banded_matvec"]) == {"201:float32",
+                                                 "13:float32"}
