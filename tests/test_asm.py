@@ -66,16 +66,18 @@ def test_asm_overlap0_matches_bjacobi_truncation():
 
 @pytest.mark.parametrize("asm_type", ["restrict", "basic"])
 def test_asm_transpose_is_exact_adjoint(asm_type):
+    import jax
+
     n = 80
     a = problems.nonsym_banded(n, 2, 2, seed=2)
     A = banded_of(a)
     pc = make_pc("asm", A, Options.from_argv(
         f"-pc_asm_blocks 4 -pc_asm_type {asm_type}".split()))
-    M = np.column_stack([np.asarray(pc.apply(jnp.asarray(e)))
-                         for e in np.eye(n)])
-    pt = pc.transpose()
-    MT = np.column_stack([np.asarray(pt.apply(jnp.asarray(e)))
-                          for e in np.eye(n)])
+    eye = jnp.eye(n)
+    # one jitted vmap per operator (row i = apply(e_i) => dense op is the
+    # transpose of the stack)
+    M = np.asarray(jax.jit(jax.vmap(pc.apply))(eye)).T
+    MT = np.asarray(jax.jit(jax.vmap(pc.transpose().apply))(eye)).T
     np.testing.assert_allclose(MT, M.T, rtol=1e-12, atol=1e-13)
 
 
