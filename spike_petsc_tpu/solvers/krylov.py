@@ -542,7 +542,13 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
              conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned BiCGStab (van der Vorst), PETSc KSPBCGS equivalent —
     the solver BASELINE config 3 pairs with the MC64 pre-pass.  The monitored
-    residual is already the true (unpreconditioned) residual."""
+    residual is already the true (unpreconditioned) residual.
+
+    The preconditioner is applied FRESH to p and s each iteration and the
+    solution is updated with the preconditioned vectors (phat/shat), i.e.
+    this is the formulation PETSc ships as KSPFBCGS — it tolerates a
+    preconditioner that varies between iterations (registered under both
+    "bcgs" and "fbcgs")."""
     psolve = pc_apply or _identity_pc
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
@@ -1679,6 +1685,7 @@ register_ksp("chebyshev", chebyshev)
 register_ksp("gmres", gmres)
 register_ksp("fgmres", fgmres)
 register_ksp("bcgs", bicgstab)
+register_ksp("fbcgs", bicgstab)   # flexible formulation (see docstring)
 register_ksp("bicgstab", bicgstab)
 register_ksp("bicg", bicg)
 register_ksp("bcgsl", bcgsl)
