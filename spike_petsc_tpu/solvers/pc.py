@@ -525,6 +525,12 @@ def pc_asm(pmat, opts: Options) -> PC:
                          f"got {asm_type!r}")
     method = opts.get_string("pc_asm_method", "inv")
     inverter = opts.get_string("pc_asm_inverter", "auto")
+    # -pc_asm_store_dtype bf16: reduced-precision local factors (the apply
+    # is factor-read-bound like every spike-family PC; pair with richardson
+    # refinement or an outer Krylov to recover accuracy)
+    _dt = {"": None, "none": None, "bf16": jnp.bfloat16,
+           "f32": jnp.float32, "f64": jnp.float64}
+    store_dtype = _dt[opts.get_string("pc_asm_store_dtype", "")]
     bb = opts.get_int("pc_asm_block", None) or k
     m_int = -(-n // K)                       # owned rows per block
     mloc = -(-(m_int + 2 * overlap) // bb) * bb   # window rows (block-mult)
@@ -541,11 +547,13 @@ def pc_asm(pmat, opts: Options) -> PC:
     concat = BandedMatrix(data=windows.reshape(K * mloc, w),
                           kl=band.kl, ku=band.ku)
     sf = spike_factor(concat, K=K, block_b=bb, method=method,
-                      truncated=True, inverter=inverter)
+                      truncated=True, inverter=inverter,
+                      store_dtype=store_dtype)
     sf, _fb = _newton_safety_net(
-        concat, sf, inverter, None, None,
+        concat, sf, inverter, store_dtype, None,
         lambda: spike_factor(concat, K=K, block_b=bb, method=method,
-                             truncated=True, inverter="blocked"),
+                             truncated=True, inverter="blocked",
+                             store_dtype=store_dtype),
         exact=False)
     nb_, b_ = sf.nb, sf.b                    # nb_*b_ == mloc
     assert nb_ * b_ == mloc, (nb_, b_, mloc)
@@ -578,6 +586,8 @@ def pc_asm(pmat, opts: Options) -> PC:
 
     info = dict(blocks=K, overlap=overlap, type=asm_type, block=b_,
                 window=mloc)
+    if store_dtype is not None:
+        info["store_dtype"] = jnp.dtype(store_dtype).name
     if _fb:
         info["inverter_fallback"] = "blocked"
 

@@ -103,3 +103,19 @@ def test_asm_with_bicg_transpose_path():
     res = solve(A, b, ksp_type="bicg", pc_type="asm", rtol=1e-10, maxit=200)
     assert int(res.reason) > 0, reason_str(res.reason)
     assert np.linalg.norm(np.asarray(res.x) - u) < 1e-6
+
+
+def test_asm_bf16_store_dtype_with_outer_krylov():
+    """-pc_asm_store_dtype bf16: reduced-precision local factors still
+    converge the outer Krylov solve to full accuracy (more iterations,
+    PC-grade storage halved)."""
+    a, A, u, b = _system(n=512, dominance=1.0)
+    A32 = BandedMatrix(data=A.data.astype(jnp.float32), kl=A.kl, ku=A.ku)
+    res = solve(A32, jnp.asarray(np.asarray(b), jnp.float32),
+                ksp_type="gmres", pc_type="asm",
+                options=Options.from_argv(
+                    "-pc_asm_store_dtype bf16 -pc_asm_overlap 6".split()),
+                rtol=1e-6, maxit=100)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    rel = np.linalg.norm(np.asarray(res.x) - u) / np.linalg.norm(u)
+    assert rel < 1e-4, rel
