@@ -493,7 +493,7 @@ def test_dist_normal_equations_and_transpose_free_ksps(mesh):
                                    atol=1e-8, err_msg=kt)
         with pytest.raises(ValueError, match="dist_spike_transpose"):
             make_dist_solver(dsf, mesh, ksp_type=kt)
-    for kt in ("cgs", "tfqmr"):
+    for kt in ("cgs", "tfqmr", "gcr", "bcgsl"):
         res = make_dist_solver(dsf, mesh, ksp_type=kt, rtol=1e-12,
                                maxit=60)(b)
         assert int(res.reason) > 0, (kt, int(res.reason))
