@@ -91,6 +91,7 @@ _SLOW_MODULES = {
     "test_parallel", "test_fieldsplit", "test_dist_auction",
     "test_matching_dev", "test_baseline_configs", "test_pallas_sweeps",
     "test_autodiff", "test_elastic", "test_dist_parity",
+    "test_options_matrix",
 }
 
 
