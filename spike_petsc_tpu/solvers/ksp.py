@@ -245,6 +245,14 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
                          jit=False, transpose=transpose, **params)
     b = jnp.asarray(b)
     res = solver(b, None if x0 is None else jnp.asarray(x0))
+    if opts.get_bool("ksp_error_if_not_converged", False) \
+            and int(res.reason) <= 0:
+        # PETSc -ksp_error_if_not_converged: fail fast instead of letting
+        # a diverged solution flow downstream
+        from .types import reason_str
+        raise RuntimeError(
+            f"KSPSolve did not converge: {reason_str(res.reason)} after "
+            f"{int(res.its)} iterations (rnorm {float(res.rnorm):.3e})")
     if monitor:
         import numpy as _np
         print_monitor(res, bnorm=float(_np.linalg.norm(_np.asarray(b))))

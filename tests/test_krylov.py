@@ -844,3 +844,18 @@ def test_bcgsl_ell_option():
     h = np.asarray(res.history)
     assert np.isnan(h[1:4]).all() and np.isfinite(h[4]), h[:6]
     assert np.linalg.norm(np.asarray(res.x) - u) < 1e-5
+
+
+def test_error_if_not_converged_flag():
+    from spike_petsc_tpu import Options
+
+    a = problems.nonsym_banded(150, 2, 2, seed=3, dominance=0.2)
+    u, b = manufactured(a)
+    opts = Options.from_argv(["-ksp_error_if_not_converged"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        solve(banded_of(a), jnp.asarray(b), ksp_type="gmres", options=opts,
+              rtol=1e-12, maxit=3)
+    # converged solves pass through untouched
+    res = solve(banded_of(a), jnp.asarray(b), ksp_type="gmres", options=opts,
+                pc_type="spike", rtol=1e-10, maxit=50)
+    assert int(res.reason) > 0
