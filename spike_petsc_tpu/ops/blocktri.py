@@ -65,6 +65,11 @@ class BlockTriFactor:
     pure batched matmuls (fastest on MXU).
     method == "lu":  Slu/piv hold LAPACK-style LU factors of each S_i; solves
     use pivoted triangular solves (preferred for ill-conditioned f64 runs).
+    method == "spd": symmetric (Hermitian) block-LDL^H — only F and Sinv are
+    stored (U is a zero-size placeholder reconstructed as F^H in the sweeps),
+    so the factorization holds 2 block arrays instead of 3: 2/3 the factor
+    memory of "inv" for SPD/Hermitian matrices (PETSc PCCHOLESKY's storage
+    advantage).  The input's U blocks are IGNORED (assumed L^H).
     """
 
     F: jax.Array            # [nb, b, b], F[0] == 0
@@ -293,6 +298,37 @@ def blocktri_factor(t: BlockTridiagonal, method: str = "inv",
         return BlockTriFactor(F=F, U=t.U, Sinv=Sinv, Slu=z, piv=zp,
                               method="inv", nshift=nsh if shifting else None)
 
+    elif method == "spd":
+        # symmetric/Hermitian block-LDL^H: T = (I+E) S (I+E)^H with E the
+        # block-subdiagonal of F_i = L_i Sinv_{i-1} and S_i Hermitian:
+        #   S_i = D_i - F_i L_i^H   (== D_i - L_i Sinv_{i-1} L_i^H).
+        # Only F and Sinv are stored; the input U blocks are ignored (they
+        # must equal L^H shifted — a symmetric band guarantees it).
+        tH = lambda a: jnp.swapaxes(a, -1, -2).conj()
+
+        def step(carry, blocks):
+            s_prev_inv, nsh = carry
+            d, l = blocks
+            f = l @ s_prev_inv
+            s = d - f @ tH(l)
+            # re-symmetrize: inexact inverters (Newton) leave O(eps)
+            # asymmetry that would otherwise compound down the recursion
+            s = 0.5 * (s + tH(s))
+            s, nbad = guard(s)
+            s_inv = batched_inverse(s[None], inverter)[0]
+            return (s_inv, nsh + nbad), (f, s_inv)
+
+        s0, nsh0 = guard(0.5 * (t.D[0] + tH(t.D[0])))
+        s0_inv = batched_inverse(s0[None], inverter)[0]
+        (_, nsh), (f_rest, sinv_rest) = jax.lax.scan(
+            step, (s0_inv, nsh0), (t.D[1:], t.L[1:]))
+        F = jnp.concatenate([jnp.zeros((1, b, b), dtype), f_rest], axis=0)
+        Sinv = jnp.concatenate([s0_inv[None], sinv_rest], axis=0)
+        z = jnp.zeros((nb, 0, 0), dtype)
+        zp = jnp.zeros((nb, 0), jnp.int32)
+        return BlockTriFactor(F=F, U=z, Sinv=Sinv, Slu=z, piv=zp,
+                              method="spd", nshift=nsh if shifting else None)
+
     elif method == "lu":
         def step(carry, blocks):
             s_prev_lu, s_prev_piv, nsh = carry
@@ -317,7 +353,8 @@ def blocktri_factor(t: BlockTridiagonal, method: str = "inv",
         return BlockTriFactor(F=F, U=t.U, Sinv=z, Slu=Slu, piv=piv,
                               method="lu", nshift=nsh if shifting else None)
 
-    raise ValueError(f"unknown method {method!r} (use 'inv' or 'lu')")
+    raise ValueError(
+        f"unknown method {method!r} (use 'inv', 'lu', or 'spd')")
 
 
 def blocktri_factor_inv_waux(t: BlockTridiagonal, y0: jax.Array,
@@ -562,8 +599,8 @@ def cast_factor(fact: BlockTriFactor, dtype) -> BlockTriFactor:
     f32 carries: F/Sinv/U are read-bandwidth-bound in the sweeps, so halving
     their bytes nearly halves solve time; accuracy is recovered by iterative
     refinement (solvers.krylov.richardson with the factorization as PC)."""
-    if fact.method != "inv":
-        raise ValueError("cast_factor supports method='inv' factors")
+    if fact.method not in ("inv", "spd"):
+        raise ValueError("cast_factor supports method='inv'/'spd' factors")
     return BlockTriFactor(F=fact.F.astype(dtype), U=fact.U.astype(dtype),
                           Sinv=fact.Sinv.astype(dtype), Slu=fact.Slu,
                           piv=fact.piv, method=fact.method,
@@ -605,6 +642,22 @@ def blocktri_solve(fact: BlockTriFactor, rhs: jax.Array,
         _, x_rest = jax.lax.scan(
             bwd, x_last,
             (fact.Sinv[:-1], fact.U[:-1], y[:-1]),
+            reverse=True, unroll=unroll)
+    elif fact.method == "spd":
+        # U_i = L_{i+1}^H and F_{i+1} = L_{i+1} Sinv_i with Sinv Hermitian
+        # give Sinv_i U_i = F_{i+1}^H: the backward sweep reads F (again)
+        # and Sinv instead of a stored U —
+        #   x_i = Sinv_i y_i - F_{i+1}^H x_{i+1}
+        tH = lambda a: jnp.swapaxes(a, -1, -2).conj()
+
+        def bwd(x_next, inputs):
+            sinv, f_next, yi = inputs
+            x = mv(sinv, yi) - mv(tH(f_next), x_next)
+            return x, x
+        x_last = mv(fact.Sinv[-1], y[-1])
+        _, x_rest = jax.lax.scan(
+            bwd, x_last,
+            (fact.Sinv[:-1], fact.F[1:], y[:-1]),
             reverse=True, unroll=unroll)
     else:
         def bwd(x_next, inputs):
@@ -681,6 +734,12 @@ def blocktri_solve_transpose(fact: BlockTriFactor, rhs: jax.Array,
     Pure transpose (no conjugation): for a complex adjoint solve A^H x = g
     use conj(solve_transpose(fact, conj(g))).  rhs: [nb, b] or [nb, b, r].
     """
+    if fact.method == "spd":
+        # Hermitian T factored as (I+E) S (I+E)^H satisfies T^T = conj(T),
+        # so the transpose solve is the conjugated forward solve (for real
+        # dtypes the conj is elided and this IS the forward solve)
+        return jnp.conj(blocktri_solve(fact, jnp.conj(rhs), unroll=unroll))
+
     squeeze = rhs.ndim == 2
     if squeeze:
         rhs = rhs[..., None]

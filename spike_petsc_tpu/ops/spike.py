@@ -569,8 +569,10 @@ def spike_factor(band: BandedMatrix, K: int, block_b: Optional[int] = None,
       block_b: MXU block size (defaults to the tip size; use 128 on TPU).
       method: per-partition factorization — "inv" (block-Thomas with stored
         Schur inverses, MXU-fast solves), "lu" (pivoted LU factors, f64
-        parity), or "cr" (cyclic reduction: log-depth factor latency,
-        ~2x stored blocks).
+        parity), "cr" (cyclic reduction: log-depth factor latency,
+        ~2x stored blocks), or "spd" (symmetric/Hermitian block-LDL^H for
+        SPD matrices: stores only F + Sinv = 2/3 of "inv"'s factor memory,
+        self-transpose; the band must be symmetric — U blocks are ignored).
       truncated: drop the reduced system's inter-interface coupling — exact
         only in the diagonally-dominant limit (the classic truncated SPIKE).
       store_spikes: keep full V, W spikes for 1-sweep solves (memory K*m*k*2).
@@ -652,7 +654,8 @@ def _spike_columns(fact, Btip, Ctip, nb: int, b: int, k: int, dtype):
     """
     from .blocktri import _sweep_matvec as mv
 
-    generic = not (isinstance(fact, BlockTriFactor) and fact.method == "inv")
+    generic = not (isinstance(fact, BlockTriFactor)
+                   and fact.method in ("inv", "spd"))
     if generic:
         K = Btip.shape[0]
         rhsV = jnp.zeros((K, nb, b, k), dtype).at[:, nb - 1, b - k:, :].set(Btip)
@@ -681,6 +684,23 @@ def _spike_bwd_one(f, Bt, yw, b: int, k: int, dtype):
 
     Bb = jnp.zeros((b, k), dtype).at[b - k:, :].set(Bt)
     x_last = mv(f.Sinv[-1], jnp.concatenate([Bb, yw[-1]], axis=-1))
+
+    if f.method == "spd":
+        # symmetric factors store no U: the backward sweep reads F^H
+        # (blocktri_solve's spd branch formula, multi-column form)
+        tH = lambda a: jnp.swapaxes(a, -1, -2).conj()
+
+        def bwd_spd(x_next, inputs):
+            sinv, f_next, ywi = inputs
+            y = jnp.concatenate([jnp.zeros((b, k), x_next.dtype), ywi],
+                                axis=-1)                     # [b, 2k]
+            x = mv(sinv, y) - mv(tH(f_next), x_next)
+            return x, x
+
+        _, x_rest = jax.lax.scan(
+            bwd_spd, x_last, (f.Sinv[:-1], f.F[1:], yw[:-1]), reverse=True)
+        x = jnp.concatenate([x_rest, x_last[None]], axis=0)
+        return x[..., :k], x[..., k:]
 
     def bwd(x_next, inputs):
         sinv, u, ywi = inputs
@@ -753,6 +773,13 @@ def spike_transpose(sf: SpikeFactor, reduced: str = "auto",
             "or 'lu'")
     K, nb, b, k = sf.K, sf.nb, sf.b, sf.k
     dtype = sf.Btip.dtype
+    if (sf.fact.method == "spd"
+            and not jnp.issubdtype(dtype, jnp.complexfloating)):
+        # a real symmetric factorization is its own transpose — zero-cost
+        # PCApplyTranspose/MatSolveTranspose (complex Hermitian factors fall
+        # through to the marker path: A^T = conj(A) needs the conjugated
+        # sweeps of blocktri_solve_transpose's spd branch)
+        return sf
     if fast and sf.Lb is not None and sf.fact.method == "inv":
         from .blocktri import transposed_factor_from_L
         factT = transposed_factor_from_L(sf.fact, sf.Lb)

@@ -169,13 +169,13 @@ def _newton_safety_net(band, sf, inverter, store_dtype, spike_dtype,
 
 
 def _spike_pc(pmat, opts: Options, *, name: str, default_K: int,
-              truncated_default: bool) -> PC:
+              truncated_default: bool, default_method: str = "inv") -> PC:
     band = _as_banded(pmat, opts)
     k = max(band.kl, band.ku, 1)
     K = opts.get_int(f"pc_{name}_partitions", default_K)
     K = max(1, min(K, band.n // (2 * k)))   # partitions must cover 2k rows
     block = opts.get_int(f"pc_{name}_block", None)
-    method = opts.get_string(f"pc_{name}_method", "inv")
+    method = opts.get_string(f"pc_{name}_method", default_method)
     truncated = opts.get_bool(f"pc_{name}_truncated", truncated_default)
     store = opts.get_bool(f"pc_{name}_store_spikes", False)
     # -pc_<name>_store_lt: keep the L blocks at factor time so the
@@ -355,6 +355,25 @@ def pc_lu(pmat, opts: Options) -> PC:
 def pc_spike(pmat, opts: Options) -> PC:
     return _spike_pc(pmat, opts, name="spike", default_K=16,
                      truncated_default=False)
+
+
+@register_pc("cholesky")
+def pc_cholesky(pmat, opts: Options) -> PC:
+    """Symmetric/Hermitian direct factorization — PETSc's ``-pc_type
+    cholesky`` role (the SPD half of the reference's canned LU recipe,
+    /root/reference/src/makefile:17-18).
+
+    Uses method='spd' block-LDL^H factors: only F and Sinv are stored (U is
+    reconstructed as F^H in the sweeps), so the factorization holds 2/3 of
+    LU's block arrays — and it is its own transpose (PCApplyTranspose is
+    free).  The matrix must be symmetric (Hermitian): the factorization
+    reads only the diagonal and subdiagonal blocks.  All ``pc_cholesky_*``
+    options of the spike family apply (partitions for a symmetric SPIKE
+    split, inverter, store_dtype, shift, ...); ``-pc_cholesky_method``
+    can override back to 'inv'/'lu' for experiments.
+    """
+    return _spike_pc(pmat, opts, name="cholesky", default_K=1,
+                     truncated_default=False, default_method="spd")
 
 
 @register_pc("bjacobi")

@@ -48,3 +48,17 @@ def test_dist_krylov_smoke():
     assert int(res.reason) > 0
     np.testing.assert_allclose(np.asarray(res.x), np.ones(n), rtol=1e-7,
                                atol=1e-8)
+
+
+def test_dist_spd_method_smoke():
+    """method='spd' symmetric factors through the distributed path: the
+    2/3-memory Cholesky-role factorization composes with the mesh solve."""
+    n = 128
+    a = problems.spd_banded(n, 2, seed=17)
+    bm = _band(a)
+    mesh = make_mesh(2, axis="p")
+    dsf = dist_spike_factor(bm, mesh, block_b=8, method="spd")
+    assert dsf.fact.method == "spd" and dsf.fact.U.size == 0
+    u = np.random.default_rng(18).standard_normal(n)
+    x = np.asarray(dist_spike_solve(dsf, jnp.asarray(a @ u), mesh))
+    np.testing.assert_allclose(x, u, rtol=1e-8, atol=1e-9)
