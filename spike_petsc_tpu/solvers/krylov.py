@@ -531,6 +531,157 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
                      true_history=thist)
 
 
+def lgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+           pc_apply: Optional[Callable] = None, *, restart: int = 30,
+           aug: int = 2, rtol: float = 1e-5, atol: float = 1e-50,
+           divtol: float = 1e4, maxit: int = 10000,
+           axis_name: Optional[str] = None,
+           conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """LGMRES (Baker–Jessup–Manteuffel "loose" GMRES; PETSc KSPLGMRES).
+
+    Restarted GMRES whose restart cycles alternate between sawtooth
+    convergence phases: plain GMRES(m) discards the whole Krylov space at
+    each restart and tends to re-generate the same directions.  LGMRES
+    appends the ``aug`` most recent APPROXIMATE ERROR vectors z_i = dx of
+    previous cycles to the search space — the cycle approximation space is
+    K_{m-aug}(M⁻¹A, r) + span{z_1..z_aug} — which breaks the alternating
+    pattern and typically converges in fewer total matvecs on problems
+    where GMRES(m) stagnates.  Total directions per cycle stay ``restart``
+    (PETSc counts the augmentation against the restart size too), so
+    memory and per-cycle cost match gmres(restart) plus one extra stored
+    basis ([restart, n] for the operator inputs, as fgmres).
+
+    Left-preconditioned; the first cycle (no history yet) is plain
+    GMRES(restart).  ``aug=0`` reduces exactly to gmres.
+    """
+    psolve = pc_apply or _identity_pc
+    n = b.shape[0]
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    aug = max(0, min(int(aug), restart - 1))
+
+    norm = partial(_norm, axis_name=axis_name)
+    gram = partial(_gram, axis_name=axis_name)
+    bnorm = norm(psolve(b))
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+    hist0 = jnp.full((maxit + 1,), jnp.nan, rdtype)
+
+    def residual(x):
+        return psolve(b - matvec(x))
+
+    def _lsq_update(H, g, j_end):
+        idx = jnp.arange(restart)
+        used = idx < j_end
+        Hm = jnp.where(used[:, None] & used[None, :], H[:restart, :],
+                       jnp.eye(restart, dtype=dtype))
+        gm = jnp.where(used, g[:restart], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+        return jnp.where(used, y, 0.0)
+
+    def cycle(state):
+        x, r, AUG, naug, its, rnorm, reason, hist = state
+        beta = norm(r)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        mk = restart - naug          # Krylov directions this cycle
+
+        V = jnp.zeros((restart + 1, n), dtype).at[0].set(r / safe_beta)
+        Z = jnp.zeros((restart, n), dtype)   # operator inputs (as fgmres)
+        H = jnp.zeros((restart + 1, restart), dtype)
+        g = jnp.zeros((restart + 1,), dtype).at[0].set(beta)
+        cs = jnp.ones((restart,), dtype)
+        sn = jnp.zeros((restart,), dtype)
+
+        def inner_cond(c):
+            _, _, _, _, _, _, j, its_i, _, reason_i, _ = c
+            return (j < restart) & _keep_iterating(reason_i, conv_sync_axis)
+
+        def inner_body(c):
+            V, Z, H, g, cs, sn, j, its_i, rn, reason_i, hist_i = c
+            # direction source: Krylov basis vector for j < mk, stored
+            # error-approximation vector beyond (the augmentation slots)
+            zaug = AUG[jnp.clip(j - mk, 0, max(aug, 1) - 1)] if aug else V[j]
+            z_in = jnp.where(j < mk, V[j], zaug)
+            Z = Z.at[j].set(z_in)
+            w = psolve(matvec(z_in))
+
+            mask = (jnp.arange(restart + 1) <= j).astype(dtype)
+            h = gram(V, w) * mask
+            w = w - h @ V
+            h2 = gram(V, w) * mask
+            w = w - h2 @ V
+            h = h + h2
+            hj1 = norm(w)
+            V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
+            col = h.at[j + 1].set(hj1)
+
+            def rot(i, colc):
+                t1 = cs[i] * colc[i] + sn[i] * colc[i + 1]
+                t2 = (-jnp.conj(sn[i]) * colc[i]
+                      + jnp.conj(cs[i]) * colc[i + 1])
+                apply = i < j
+                colc = colc.at[i].set(jnp.where(apply, t1, colc[i]))
+                colc = colc.at[i + 1].set(jnp.where(apply, t2, colc[i + 1]))
+                return colc
+            col = jax.lax.fori_loop(0, restart, rot, col)
+
+            denom = jnp.sqrt(jnp.abs(col[j]) ** 2 + jnp.abs(col[j + 1]) ** 2)
+            ok = denom > 0
+            safe = jnp.where(ok, denom, 1.0)
+            c_new = jnp.where(ok, jnp.conj(col[j]) / safe,
+                              jnp.ones((), dtype))
+            s_new = jnp.where(ok, jnp.conj(col[j + 1]) / safe,
+                              jnp.zeros((), dtype))
+            col = col.at[j].set(denom.astype(dtype)).at[j + 1].set(0.0)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-jnp.conj(s_new) * gj)
+            H = H.at[:, j].set(col)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+
+            rn = jnp.abs(g[j + 1])
+            its_i = its_i + 1
+            hist_i = hist_i.at[its_i].set(rn)
+            reason_i = check(rn, bnorm, its_i)
+            return (V, Z, H, g, cs, sn, j + 1, its_i, rn, reason_i, hist_i)
+
+        init = (V, Z, H, g, cs, sn, jnp.int32(0), its, rnorm, reason, hist)
+        V, Z, H, g, cs, sn, j_end, its, rnorm, reason, hist = \
+            jax.lax.while_loop(inner_cond, inner_body, init)
+
+        y = _lsq_update(H, g, j_end)
+        dx = y @ Z
+        x = x + dx
+        if aug:
+            # push this cycle's error approximation (normalized) into the
+            # augmentation window, oldest out
+            dxn = norm(dx)
+            z_new = dx / jnp.where(dxn > 0, dxn, 1.0).astype(rdtype)
+            AUG = jnp.where(dxn > 0,
+                            jnp.concatenate([z_new[None], AUG[:-1]], axis=0),
+                            AUG)
+            naug = jnp.minimum(naug + jnp.where(dxn > 0, 1, 0), aug)
+        r = jax.lax.cond(_keep_iterating(reason, conv_sync_axis),
+                         lambda op: residual(op[0]), lambda op: op[1],
+                         (x, r))
+        return (x, r, AUG, naug, its, rnorm, reason, hist)
+
+    def outer_cond(state):
+        return _keep_iterating(state[6], conv_sync_axis)
+
+    r0 = residual(x0)
+    rnorm0 = norm(r0)
+    hist0 = hist0.at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+    AUG0 = jnp.zeros((max(aug, 1), n), dtype)
+    state = (x0, r0, AUG0, jnp.int32(0), jnp.int32(0), rnorm0, reason0,
+             hist0)
+    x, _, _, _, its, rnorm, reason, hist = jax.lax.while_loop(
+        outer_cond, cycle, state)
+    return KSPResult(x=x, its=its, reason=reason, rnorm=rnorm, history=hist)
+
+
 # ---------------------------------------------------------------------------
 # BiCGStab
 # ---------------------------------------------------------------------------
@@ -1081,6 +1232,74 @@ def minres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                 beta=beta1, oldb=rzero, dbar=rzero, epsln=rzero,
                 cs=-jnp.ones((), rdtype), sn=rzero, phibar=beta1,
                 its=jnp.int32(0), reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+    return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
+                     rnorm=norm(b - matvec(out["x"])), history=out["hist"])
+
+
+def cr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+       pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+       atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+       axis_name: Optional[str] = None,
+       conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """Preconditioned Conjugate Residuals (PETSc KSPCR) for symmetric
+    operators with an SPD preconditioner.
+
+    Minimizes ``||b - A x||_{M⁻¹}`` over the Krylov space (vs CG's A-norm
+    error minimization) with the same short recurrences: one matvec
+    (``A z``), one PC apply (``M⁻¹ A p``) and two reduction rounds per
+    iteration — ``<w, q>`` alone, then ``<z, Az>`` + ``||r||²`` fused in
+    one psum.  Monotone TRUE-residual-norm decrease makes it the symmetric
+    analogue of GCR (whose per-iteration storage it avoids); for symmetric
+    indefinite systems prefer ``minres`` (CR's ``<z,Az>`` recurrence can
+    break down at zero curvature, reported as DIVERGED_BREAKDOWN).
+    """
+    psolve = pc_apply or _identity_pc
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    dot = partial(_dot, axis_name=axis_name)
+    norm = partial(_norm, axis_name=axis_name)
+    bnorm = norm(b)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    r0 = b - matvec(x0)
+    z0 = psolve(r0)
+    Az0 = matvec(z0)
+    rho0 = dot(z0, Az0)
+    rnorm0 = norm(r0)
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
+    reason0 = check(rnorm0, bnorm, jnp.int32(0))
+
+    def cond(s):
+        return _keep_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        q = psolve(s["w"])                     # M⁻¹ A p
+        wq = dot(s["w"], q)
+        breakdown = jnp.abs(wq) < jnp.finfo(rdtype).tiny
+        alpha = s["rho"] / jnp.where(wq != 0, wq, 1.0)
+        x = s["x"] + alpha * s["p"]
+        r = s["r"] - alpha * s["w"]
+        z = s["z"] - alpha * q
+        Az = matvec(z)
+        rho_new, rr = _dots(((z, Az), (r, r)), axis_name)
+        beta = rho_new / jnp.where(s["rho"] != 0, s["rho"], 1.0)
+        p = z + beta * s["p"]
+        w = Az + beta * s["w"]                 # A p maintained by recurrence
+        rn = jnp.sqrt(jnp.real(rr))
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(rn)
+        reason = check(rn, bnorm, its)
+        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                           DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, r=r, z=z, p=p, w=w, rho=rho_new, its=its,
+                    reason=reason, hist=hist)
+
+    init = dict(x=x0, r=r0, z=z0, p=z0, w=Az0, rho=rho0, its=jnp.int32(0),
+                reason=reason0, hist=hist)
     out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
                              init)
     return KSPResult(x=out["x"], its=out["its"], reason=out["reason"],
@@ -1684,6 +1903,8 @@ def tfqmr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
 register_ksp("chebyshev", chebyshev)
 register_ksp("gmres", gmres)
 register_ksp("fgmres", fgmres)
+register_ksp("lgmres", lgmres)
+register_ksp("cr", cr)
 register_ksp("bcgs", bicgstab)
 register_ksp("fbcgs", bicgstab)   # flexible formulation (see docstring)
 register_ksp("bicgstab", bicgstab)

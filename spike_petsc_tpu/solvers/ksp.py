@@ -114,6 +114,10 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
                 pc_apply=pc_apply)
             kw["emin"], kw["emax"] = krylov.chebyshev_esteig_bounds(
                 eigs, transform)
+    if ksp_type == "lgmres":
+        # -ksp_lgmres_augment: number of stored error-approximation vectors
+        # appended to each restart cycle (PETSc KSPLGMRESSetAugDim)
+        kw.setdefault("aug", opts.get_int("ksp_lgmres_augment", 2))
     if ksp_type == "bcgsl":
         # -ksp_bcgsl_ell: the MR-polynomial degree (PETSc KSPBCGSLSetEll)
         kw.setdefault("ell", opts.get_int("ksp_bcgsl_ell", 2))

@@ -859,3 +859,84 @@ def test_error_if_not_converged_flag():
     res = solve(banded_of(a), jnp.asarray(b), ksp_type="gmres", options=opts,
                 pc_type="spike", rtol=1e-10, maxit=50)
     assert int(res.reason) > 0
+
+
+# ---------------------------------------------------------------------------
+# KSPCR (conjugate residuals) and KSPLGMRES (augmented restarts)
+# ---------------------------------------------------------------------------
+
+def test_cr_spd_matches_direct():
+    """CR on an SPD system: converges to the direct solution with a
+    monotone TRUE-residual history (CR minimizes ||r||_{M^-1})."""
+    a = problems.spd_banded(300, 4, seed=9)
+    u, b = manufactured(a, seed=3)
+    bm = banded_of(a)
+    res = solve(bm, jnp.asarray(b), ksp_type="cr", rtol=1e-11, maxit=1000)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-6, atol=1e-8)
+    h = np.asarray(res.history)[: int(res.its) + 1]
+    assert np.all(np.diff(h) <= 1e-12 + 1e-7 * h[:-1])
+
+
+def test_cr_preconditioned_iteration_parity_with_cg():
+    """With the exact SPIKE PC both CR and CG collapse immediately; with
+    jacobi the CR iteration count is comparable to CG on the same system
+    (same Krylov space, different optimality norms)."""
+    a = problems.spd_banded(400, 5, seed=10)
+    u, b = manufactured(a, seed=4)
+    bm = banded_of(a)
+    r_cr = solve(bm, jnp.asarray(b), ksp_type="cr", pc_type="jacobi",
+                 rtol=1e-10, maxit=800)
+    r_cg = solve(bm, jnp.asarray(b), ksp_type="cg", pc_type="jacobi",
+                 rtol=1e-10, maxit=800)
+    assert int(r_cr.reason) > 0 and int(r_cg.reason) > 0
+    assert abs(int(r_cr.its) - int(r_cg.its)) <= 10
+    np.testing.assert_allclose(np.asarray(r_cr.x), u, rtol=1e-6, atol=1e-7)
+    res_exact = solve(bm, jnp.asarray(b), ksp_type="cr", pc_type="cholesky",
+                      rtol=1e-10)
+    assert int(res_exact.its) <= 2
+
+
+def test_lgmres_matches_solution_and_beats_restarted_gmres():
+    """LGMRES(30,2): correct solutions, and on a problem where GMRES(m)
+    sawtooths the augmented cycles need no MORE total iterations."""
+    a = problems.nonsym_banded(600, 3, 3, seed=12)
+    u, b = manufactured(a, seed=5)
+    bm = banded_of(a)
+    res = solve(bm, jnp.asarray(b), ksp_type="lgmres", rtol=1e-10,
+                maxit=600, restart=12)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+    res_g = solve(bm, jnp.asarray(b), ksp_type="gmres", rtol=1e-10,
+                  maxit=600, restart=12)
+    assert int(res.its) <= int(res_g.its) + 2, (int(res.its), int(res_g.its))
+
+
+def test_lgmres_aug0_is_gmres():
+    """aug=0 reduces LGMRES exactly to restarted GMRES (same history)."""
+    a = problems.nonsym_banded(200, 2, 2, seed=14)
+    u, b = manufactured(a, seed=6)
+    bm = banded_of(a)
+    from spike_petsc_tpu.solvers.krylov import gmres, lgmres
+    from spike_petsc_tpu.solvers.operator import as_matvec
+    mv, _, _ = as_matvec(bm)
+    r1 = lgmres(mv, jnp.asarray(b), aug=0, restart=10, rtol=1e-10,
+                maxit=200)
+    r2 = gmres(mv, jnp.asarray(b), restart=10, rtol=1e-10, maxit=200)
+    assert int(r1.its) == int(r2.its)
+    h1 = np.asarray(r1.history)[: int(r1.its) + 1]
+    h2 = np.asarray(r2.history)[: int(r2.its) + 1]
+    np.testing.assert_allclose(h1, h2, rtol=1e-10)
+
+
+def test_lgmres_augment_option_and_pc():
+    """-ksp_lgmres_augment wiring + preconditioned LGMRES through solve()."""
+    a = problems.nonsym_banded(300, 4, 2, seed=15)
+    u, b = manufactured(a, seed=7)
+    bm = banded_of(a)
+    res = solve(bm, jnp.asarray(b), options=Options(
+        {"ksp_type": "lgmres", "ksp_lgmres_augment": "3",
+         "ksp_gmres_restart": "8", "pc_type": "jacobi",
+         "ksp_rtol": "1e-10", "ksp_max_it": "400"}))
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
