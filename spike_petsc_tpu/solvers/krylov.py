@@ -1238,6 +1238,136 @@ def minres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                      rnorm=norm(b - matvec(out["x"])), history=out["hist"])
 
 
+def symmlq(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+           pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
+           atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
+           axis_name: Optional[str] = None,
+           conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
+    """SYMMLQ (Paige–Saunders; PETSc KSPSYMMLQ) for symmetric, possibly
+    indefinite operators with an SPD preconditioner.
+
+    Solves via an LQ factorization of the Lanczos tridiagonal: iterates
+    minimize ``||x - x*||`` over the Krylov space (vs MINRES's residual
+    minimization), keeping every iterate in range(A) — the conservative
+    choice for compatible singular/indefinite systems.  Per iteration: one
+    matvec, one PC apply, two (dependent) reductions ``<v, Av>`` and
+    ``beta² = <r2, M⁻¹r2>``, same as MINRES.  Convergence is monitored on
+    the residual of the TRANSFERRED CG point (symmlq.m's ``cgnorm``), and
+    the final solution includes the CG-point transfer step.  A negative
+    ``beta²`` (indefinite preconditioner) reports DIVERGED_BREAKDOWN.
+    """
+    psolve = pc_apply or _identity_pc
+    x00 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.finfo(rdtype).tiny
+    dot = partial(_dot, axis_name=axis_name)
+    norm = partial(_norm, axis_name=axis_name)
+    check = partial(default_convergence_check, rtol=rtol, atol=atol,
+                    divtol=divtol, maxit=maxit)
+
+    # shift to the x0 = 0 problem: A dx = r0 (SYMMLQ's natural form)
+    r0 = b - matvec(x00)
+
+    y0 = psolve(r0)
+    beta1_sq = jnp.real(dot(r0, y0))
+    pc_indef0 = beta1_sq < 0
+    beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
+    bnorm = beta1          # ||r0||_{M⁻¹}: left-preconditioned monitor scale
+    sfe = jnp.where(beta1 > 0, beta1, 1.0)
+    v1 = y0 / sfe.astype(rdtype)
+    yA = matvec(v1)
+    alfa0 = jnp.real(dot(v1, yA))
+    yA = yA - (alfa0 / sfe).astype(dtype) * r0
+    r2_0 = yA
+    y1 = psolve(r2_0)
+    beta_sq0 = jnp.real(dot(r2_0, y1))
+    pc_indef0 = pc_indef0 | (beta_sq0 < 0)
+    beta0 = jnp.sqrt(jnp.maximum(beta_sq0, 0))
+
+    hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(beta1)
+    reason0 = jnp.where(pc_indef0, DIVERGED_BREAKDOWN,
+                        check(beta1, bnorm, jnp.int32(0)))
+
+    def cond(s):
+        return _keep_iterating(s["reason"], conv_sync_axis)
+
+    def body(s):
+        beta, oldb_prev = s["beta"], s["oldb"]
+        ibeta = 1.0 / jnp.where(beta > 0, beta, 1.0)
+        v = s["y"] * ibeta.astype(rdtype)
+        y = matvec(v)
+        y = y - (beta / jnp.where(oldb_prev != 0, oldb_prev, 1.0)
+                 ).astype(dtype) * s["r1"]
+        alfa = jnp.real(dot(v, y))
+        y = y - (alfa * ibeta).astype(dtype) * s["r2"]
+        r1n, r2n = s["r2"], y
+        yn = psolve(r2n)
+        oldb = beta
+        beta_sq = jnp.real(dot(r2n, yn))
+        pc_indef = beta_sq < 0
+        beta_n = jnp.sqrt(jnp.maximum(beta_sq, 0))
+
+        # LQ factorization: previous rotation folds into this column
+        gamma = jnp.sqrt(s["gbar"] ** 2 + oldb ** 2)
+        gamma = jnp.maximum(gamma, tiny)
+        cs = s["gbar"] / gamma
+        sn = oldb / gamma
+        delta = cs * s["dbar"] + sn * alfa
+        gbar = sn * s["dbar"] - cs * alfa
+        epsln = sn * beta_n
+        dbar = -cs * beta_n
+
+        # LQ-point update
+        z = s["rhs1"] / gamma
+        x = s["x"] + (z * cs).astype(dtype) * s["w"] \
+            + (z * sn).astype(dtype) * v
+        w = sn.astype(dtype) * s["w"] - cs.astype(dtype) * v
+        rhs1 = s["rhs2"] - delta * z
+        rhs2 = -epsln * z
+
+        # the solution component along M⁻¹r0 accumulates separately
+        # (symmlq.m's bstep; added after the loop), and the CG-point
+        # residual norm drives convergence
+        bstep = s["snprod"] * cs * z + s["bstep"]
+        snprod = s["snprod"] * sn
+        diag = jnp.where(jnp.abs(gbar) > 0, jnp.abs(gbar), tiny)
+        qrnorm = snprod * beta1
+        cgnorm = qrnorm * beta_n / diag
+
+        its = s["its"] + 1
+        hist = s["hist"].at[its].set(cgnorm)
+        reason = check(cgnorm, bnorm, its)
+        reason = jnp.where(pc_indef, DIVERGED_BREAKDOWN, reason)
+        return dict(x=x, w=w, y=yn, r1=r1n, r2=r2n, beta=beta_n, oldb=oldb,
+                    gbar=gbar, dbar=dbar, rhs1=rhs1, rhs2=rhs2,
+                    snprod=snprod, bstep=bstep, its=its, reason=reason,
+                    hist=hist)
+
+    init = dict(x=jnp.zeros_like(b), w=jnp.zeros_like(b), y=y1, r1=r0,
+                r2=r2_0, beta=beta0, oldb=beta1, gbar=alfa0, dbar=beta0,
+                rhs1=beta1, rhs2=jnp.zeros((), rdtype),
+                snprod=jnp.ones((), rdtype), bstep=jnp.zeros((), rdtype),
+                its=jnp.int32(0), reason=reason0, hist=hist)
+    out = jax.lax.while_loop(cond, _freeze_when_done(body, conv_sync_axis),
+                             init)
+
+    # transfer the LQ point to the CG point (symmlq.m's final move): a
+    # last step along w plus the accumulated component along M⁻¹ r0.
+    # Skipped if the loop never ran (its == 0, e.g. r0 == 0 or immediate
+    # breakdown).
+    ran = out["its"] > 0
+    denom = jnp.where(jnp.abs(out["gbar"]) > tiny, out["gbar"], tiny)
+    zbar = jnp.where(ran, out["rhs1"] / denom, 0.0)
+    bstep = (out["snprod"] * zbar + out["bstep"]) / sfe
+    xf = out["x"] + zbar.astype(dtype) * out["w"] \
+        + jnp.where(ran, bstep, 0.0).astype(dtype) * y0
+    x = x00 + xf
+    rnorm_true = norm(b - matvec(x))
+    return KSPResult(x=x, its=out["its"], reason=out["reason"],
+                     rnorm=rnorm_true, history=out["hist"])
+
+
 def cr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
        pc_apply: Optional[Callable] = None, *, rtol: float = 1e-5,
        atol: float = 1e-50, divtol: float = 1e4, maxit: int = 10000,
@@ -1905,6 +2035,7 @@ register_ksp("gmres", gmres)
 register_ksp("fgmres", fgmres)
 register_ksp("lgmres", lgmres)
 register_ksp("cr", cr)
+register_ksp("symmlq", symmlq)
 register_ksp("bcgs", bicgstab)
 register_ksp("fbcgs", bicgstab)   # flexible formulation (see docstring)
 register_ksp("bicgstab", bicgstab)

@@ -940,3 +940,49 @@ def test_lgmres_augment_option_and_pc():
          "ksp_rtol": "1e-10", "ksp_max_it": "400"}))
     assert int(res.reason) > 0, reason_str(res.reason)
     np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-5, atol=1e-6)
+
+
+def test_symmlq_spd_and_indefinite():
+    """SYMMLQ (Paige-Saunders LQ): SPD and symmetric-INDEFINITE systems
+    both converge to the direct solution (iterates stay in range(A))."""
+    a = problems.spd_banded(200, 3, seed=16)
+    u, b = manufactured(a, seed=8)
+    bm = banded_of(a)
+    res = solve(bm, jnp.asarray(b), ksp_type="symmlq", rtol=1e-12,
+                maxit=500)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-8, atol=1e-9)
+
+    import scipy.sparse as sp
+    n = 150
+    lap = problems.tridiag_laplacian(n)
+    evals = np.linalg.eigvalsh(lap.toarray())
+    sigma = 0.5 * (evals[n // 3] + evals[n // 3 + 1])
+    ai = (lap - sigma * sp.eye(n, format="csr")).tocsr()
+    ui, bi = manufactured(ai, seed=9)
+    res_i = solve(banded_of(ai), jnp.asarray(bi), ksp_type="symmlq",
+                  rtol=1e-10, maxit=2000)
+    assert int(res_i.reason) > 0, reason_str(res_i.reason)
+    np.testing.assert_allclose(np.asarray(res_i.x), ui, rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_symmlq_preconditioned_and_x0():
+    """SPD preconditioner + nonzero initial guess through the public
+    surface; indefinite PC reports breakdown."""
+    a = problems.spd_banded(300, 4, seed=17)
+    u, b = manufactured(a, seed=10)
+    bm = banded_of(a)
+    x0 = jnp.asarray(np.random.default_rng(11).standard_normal(300))
+    res = solve(bm, jnp.asarray(b), x0=x0, ksp_type="symmlq",
+                pc_type="jacobi", rtol=1e-11, maxit=1000)
+    assert int(res.reason) > 0, reason_str(res.reason)
+    np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7, atol=1e-8)
+
+    from spike_petsc_tpu.solvers.krylov import symmlq
+    from spike_petsc_tpu.solvers.operator import as_matvec
+    from spike_petsc_tpu.solvers.types import DIVERGED_BREAKDOWN
+    mv, _, _ = as_matvec(bm)
+    bad_pc = lambda v: -v          # negative definite preconditioner
+    r = symmlq(mv, jnp.asarray(b), None, bad_pc, rtol=1e-10, maxit=100)
+    assert int(r.reason) == DIVERGED_BREAKDOWN

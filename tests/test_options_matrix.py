@@ -16,7 +16,7 @@ from spike_petsc_tpu.solvers.types import reason_str
 from spike_petsc_tpu.utils.registry import SOLVERS
 
 # methods that REQUIRE an SPD operator/PC pairing to make sense
-SPD_ONLY = {"cg", "pipecg", "minres", "chebyshev", "cr"}
+SPD_ONLY = {"cg", "pipecg", "minres", "chebyshev", "cr", "symmlq"}
 # aliases that duplicate an already-swept implementation
 ALIASES = {"bicgstab", "fbcgs", "cgnr", "cgls"}
 PCS = ["none", "jacobi", "spike", "asm"]
