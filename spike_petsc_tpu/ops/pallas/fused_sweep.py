@@ -80,6 +80,30 @@ def _matvec_many(m, v, mode: str, precision):
         precision=precision).swapaxes(1, 2)
 
 
+def _matvec_t(m, v, mode: str, precision):
+    """y[p, a] = sum_b m[p, b, a] v[p, b] — TRANSPOSED-block matvec (the
+    spd backward sweep reads F again in place of a stored U: U_i = L^H and
+    Sinv_i U_i = F_{i+1}^H, see blocktri_solve's spd branch)."""
+    if mode == "vpu":
+        return jnp.sum(m * v[:, :, None], axis=1)
+    return jax.lax.dot_general(
+        m, v[:, :, None],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=v.dtype,
+        precision=precision)[:, :, 0]
+
+
+def _matvec_many_t(m, v, mode: str, precision):
+    """y[p, r, a] = sum_b m[p, b, a] v[p, r, b] (transposed, r RHS)."""
+    if mode == "vpu":
+        return jnp.sum(m[:, None, :, :] * v[:, :, :, None], axis=2)
+    return jax.lax.dot_general(
+        m, v,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=v.dtype,
+        precision=precision).swapaxes(1, 2)
+
+
 def _fused_kernel(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
                   y_scr, fbuf, sbuf, ubuf, fsem, ssem, usem,
                   *, kt, nb, nbuf, mode, precision):
@@ -161,6 +185,92 @@ def _fused_kernel(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
     jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), bwd_body, x_last, unroll=False)
 
 
+def _fused_kernel_spd(f_hbm, sinv_hbm, r_ref, x_ref,
+                      y_scr, fbuf, sbuf, f2buf, fsem, ssem, f2sem,
+                      *, kt, nb, nbuf, mode, precision):
+    """Fused sweeps for symmetric (method='spd') factors: the forward
+    recurrence is identical to _fused_kernel; the backward sweep has no
+    stored U — it re-streams F (one block ahead) and applies it
+    TRANSPOSED:  x_i = Sinv_i y_i - F_{i+1}^T x_{i+1}.  Same bytes per
+    solve as the 'inv' kernel (F twice + Sinv once vs F/Sinv/U once each),
+    with 2/3 the factor storage at rest."""
+    c = pl.program_id(0)
+    part = pl.ds(c * kt, kt)
+    cdtype = y_scr.dtype
+
+    def fdma(slot, i):
+        return pltpu.make_async_copy(f_hbm.at[part, i], fbuf.at[slot],
+                                     fsem.at[slot])
+
+    def sdma(slot, i):
+        return pltpu.make_async_copy(sinv_hbm.at[part, i], sbuf.at[slot],
+                                     ssem.at[slot])
+
+    def f2dma(slot, i):
+        return pltpu.make_async_copy(f_hbm.at[part, i], f2buf.at[slot],
+                                     f2sem.at[slot])
+
+    # ---- forward sweep (identical to _fused_kernel) -----------------------
+    for s in range(nbuf):
+        if s + 1 < nb:
+            fdma(s % nbuf, s + 1).start()
+
+    y_scr[:, 0, :] = r_ref[:, 0, :].astype(cdtype)
+
+    def fwd_body(i, y_prev):
+        slot = (i - 1) % nbuf
+        fdma(slot, i).wait()
+        f = fbuf[slot].astype(cdtype)
+        y = r_ref[:, i, :].astype(cdtype) - _matvec(f, y_prev, mode,
+                                                    precision)
+
+        @pl.when(i + nbuf < nb)
+        def _():
+            fdma(slot, i + nbuf).start()
+
+        y_scr[:, i, :] = y
+        return y
+
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), fwd_body, y_scr[:, 0, :],
+                      unroll=False)
+
+    # ---- backward sweep: Sinv at i, F at i+1 (transposed) -----------------
+    for s in range(nbuf):
+        if s < nb:
+            sdma(s % nbuf, nb - 1 - s).start()
+        if 1 <= s < nb:
+            f2dma(s % nbuf, nb - s).start()
+
+    sdma(0, nb - 1).wait()
+    x_last = _matvec(sbuf[0].astype(cdtype), y_scr[:, nb - 1, :], mode,
+                     precision)
+    x_ref[:, nb - 1, :] = x_last
+
+    if nbuf < nb:
+        sdma(0, nb - 1 - nbuf).start()
+        f2dma(0, nb - nbuf).start()
+
+    def bwd_body(j, x_next):
+        i = nb - 1 - j
+        slot = j % nbuf
+        f2dma(slot, i + 1).wait()
+        t = _matvec_t(f2buf[slot].astype(cdtype), x_next, mode, precision)
+        sdma(slot, i).wait()
+        x = _matvec(sbuf[slot].astype(cdtype), y_scr[:, i, :], mode,
+                    precision) - t
+        x_ref[:, i, :] = x
+
+        @pl.when(j + nbuf < nb)
+        def _():
+            sdma(slot, i - nbuf).start()
+            f2dma(slot, i - nbuf + 1).start()
+
+        return x
+
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), bwd_body, x_last,
+                      unroll=False)
+
+
 def _pick_kt(K: int, nb: int, b: int, itemsize: int, nbuf: int,
              cdtype_size: int = 4) -> int:
     """Largest Kt dividing K such that scratch fits the VMEM budget:
@@ -188,7 +298,13 @@ def fused_sweep_feasible(fact, b: int, nbuf: int = 4,
     single-chip auto dispatch (ops.spike._resolve_impl) and the
     distributed local solve (parallel.spike_dist._local_tri_solve)."""
     from ..blocktri import BlockTriFactor
-    if not (isinstance(fact, BlockTriFactor) and fact.method == "inv"):
+    if not (isinstance(fact, BlockTriFactor)
+            and fact.method in ("inv", "spd")):
+        return False
+    if fact.method == "spd" and jnp.issubdtype(fact.F.dtype,
+                                               jnp.complexfloating):
+        # Hermitian factors need conjugated sweeps (and Mosaic has no
+        # complex support) — the XLA scan path handles them
         return False
     if b % 128 != 0:
         return False
@@ -215,8 +331,9 @@ def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "vpu",
     "mxu" routes through dot_general at HIGHEST precision (6 passes for f32
     operands) and measures 4.0 ms — latency-bound, kept for experiments.
     """
-    if fact.method != "inv":
-        raise ValueError("fused pallas sweep requires method='inv' factors")
+    if fact.method not in ("inv", "spd"):
+        raise ValueError(
+            "fused pallas sweep requires method='inv'/'spd' factors")
     K, nb, b, _ = fact.F.shape
     itemsize = jnp.dtype(fact.F.dtype).itemsize
     cdtype = jnp.result_type(rhs.dtype, jnp.float32)
@@ -224,15 +341,18 @@ def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "vpu",
     precision = (jax.lax.Precision.DEFAULT if itemsize < 4
                  else jax.lax.Precision.HIGHEST)
 
-    kern = partial(_fused_kernel, kt=kt, nb=nb, nbuf=nbuf, mode=mode,
-                   precision=precision)
+    spd = fact.method == "spd"
+    kern = partial(_fused_kernel_spd if spd else _fused_kernel,
+                   kt=kt, nb=nb, nbuf=nbuf, mode=mode, precision=precision)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     vec = pl.BlockSpec((kt, nb, b), lambda c: (c, 0, 0),
                        memory_space=pltpu.VMEM)
+    operands = ((fact.F, fact.Sinv) if spd
+                else (fact.F, fact.Sinv, fact.U))
     return pl.pallas_call(
         kern,
         grid=(K // kt,),
-        in_specs=[hbm, hbm, hbm, vec],
+        in_specs=[hbm] * len(operands) + [vec],
         out_specs=vec,
         out_shape=jax.ShapeDtypeStruct((K, nb, b), cdtype),
         scratch_shapes=[
@@ -245,7 +365,7 @@ def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "vpu",
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=_use_interpret(),
-    )(fact.F, fact.Sinv, fact.U, rhs.astype(cdtype))
+    )(*operands, rhs.astype(cdtype))
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +452,87 @@ def _fused_kernel_many(f_hbm, sinv_hbm, u_hbm, r_ref, x_ref,
     jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), bwd_body, x_last, unroll=False)
 
 
+def _fused_kernel_many_spd(f_hbm, sinv_hbm, r_ref, x_ref,
+                           y_scr, fbuf, sbuf, f2buf, fsem, ssem, f2sem,
+                           *, kt, nb, nbuf, mode, precision):
+    """Multi-RHS variant of _fused_kernel_spd: the backward sweep
+    re-streams F one block ahead and applies it transposed."""
+    c = pl.program_id(0)
+    part = pl.ds(c * kt, kt)
+    cdtype = y_scr.dtype
+
+    def fdma(slot, i):
+        return pltpu.make_async_copy(f_hbm.at[part, i], fbuf.at[slot],
+                                     fsem.at[slot])
+
+    def sdma(slot, i):
+        return pltpu.make_async_copy(sinv_hbm.at[part, i], sbuf.at[slot],
+                                     ssem.at[slot])
+
+    def f2dma(slot, i):
+        return pltpu.make_async_copy(f_hbm.at[part, i], f2buf.at[slot],
+                                     f2sem.at[slot])
+
+    for s in range(nbuf):
+        if s + 1 < nb:
+            fdma(s % nbuf, s + 1).start()
+
+    y_scr[:, 0] = r_ref[:, 0].astype(cdtype)
+
+    def fwd_body(i, y_prev):
+        slot = (i - 1) % nbuf
+        fdma(slot, i).wait()
+        f = fbuf[slot].astype(cdtype)
+        y = r_ref[:, i].astype(cdtype) - _matvec_many(f, y_prev, mode,
+                                                      precision)
+
+        @pl.when(i + nbuf < nb)
+        def _():
+            fdma(slot, i + nbuf).start()
+
+        y_scr[:, i] = y
+        return y
+
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), fwd_body, y_scr[:, 0],
+                      unroll=False)
+
+    for s in range(nbuf):
+        if s < nb:
+            sdma(s % nbuf, nb - 1 - s).start()
+        if 1 <= s < nb:
+            f2dma(s % nbuf, nb - s).start()
+
+    sdma(0, nb - 1).wait()
+    x_last = _matvec_many(sbuf[0].astype(cdtype), y_scr[:, nb - 1], mode,
+                          precision)
+    x_ref[:, nb - 1] = x_last
+
+    if nbuf < nb:
+        sdma(0, nb - 1 - nbuf).start()
+        f2dma(0, nb - nbuf).start()
+
+    def bwd_body(j, x_next):
+        i = nb - 1 - j
+        slot = j % nbuf
+        f2dma(slot, i + 1).wait()
+        t = _matvec_many_t(f2buf[slot].astype(cdtype), x_next, mode,
+                           precision)
+        sdma(slot, i).wait()
+        x = _matvec_many(sbuf[slot].astype(cdtype), y_scr[:, i], mode,
+                         precision) - t
+        x_ref[:, i] = x
+
+        @pl.when(j + nbuf < nb)
+        def _():
+            sdma(slot, i - nbuf).start()
+            f2dma(slot, i - nbuf + 1).start()
+
+        return x
+
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), bwd_body, x_last,
+                      unroll=False)
+
+
 def _pick_kt_many(K: int, nb: int, b: int, r: int, itemsize: int,
                   nbuf: int, cdtype_size: int = 4) -> tuple:
     """(kt, rc): partition chunk and RHS chunk fitting the VMEM budget.
@@ -375,8 +576,9 @@ def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
     mode "mxu" is the default here: with r columns the sweep matvec is real
     matmul work, not a degenerate GEMV.
     """
-    if fact.method != "inv":
-        raise ValueError("fused pallas sweep requires method='inv' factors")
+    if fact.method not in ("inv", "spd"):
+        raise ValueError(
+            "fused pallas sweep requires method='inv'/'spd' factors")
     K, nb, b, _ = fact.F.shape
     r = rhs.shape[-1]
     itemsize = jnp.dtype(fact.F.dtype).itemsize
@@ -396,16 +598,19 @@ def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
     precision = (jax.lax.Precision.DEFAULT if itemsize < 4
                  else jax.lax.Precision.HIGHEST)
 
-    kern = partial(_fused_kernel_many, kt=kt, nb=nb, nbuf=nbuf, mode=mode,
-                   precision=precision)
+    spd = fact.method == "spd"
+    kern = partial(_fused_kernel_many_spd if spd else _fused_kernel_many,
+                   kt=kt, nb=nb, nbuf=nbuf, mode=mode, precision=precision)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     vec = pl.BlockSpec((kt, nb, r, b), lambda c: (c, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     rt = jnp.swapaxes(rhs.astype(cdtype), 2, 3)       # [K, nb, r, b]
+    operands = ((fact.F, fact.Sinv) if spd
+                else (fact.F, fact.Sinv, fact.U))
     x = pl.pallas_call(
         kern,
         grid=(K // kt,),
-        in_specs=[hbm, hbm, hbm, vec],
+        in_specs=[hbm] * len(operands) + [vec],
         out_specs=vec,
         out_shape=jax.ShapeDtypeStruct((K, nb, r, b), cdtype),
         scratch_shapes=[
@@ -418,5 +623,5 @@ def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=_use_interpret(),
-    )(fact.F, fact.Sinv, fact.U, rt)
+    )(*operands, rt)
     return jnp.swapaxes(x, 2, 3)                      # [K, nb, b, r]

@@ -864,11 +864,14 @@ def _resolve_impl(sf: SpikeFactor, impl: str, rhs_dtype=jnp.float32) -> str:
 
 
 def _require_inv_factors(sf: SpikeFactor, impl: str) -> None:
-    if not (isinstance(sf.fact, BlockTriFactor) and sf.fact.method == "inv"):
+    # the fused kernel has an spd variant (transposed-F backward sweep);
+    # the grid-pipelined 'pallas' kernels are inv-only
+    ok = ("inv", "spd") if impl == "pallas_fused" else ("inv",)
+    if not (isinstance(sf.fact, BlockTriFactor) and sf.fact.method in ok):
         raise ValueError(
-            f"impl={impl!r} requires method='inv' block-Thomas factors; "
-            f"got {type(sf.fact).__name__} (use impl='xla' or refactor "
-            f"with spike_factor(..., method='inv'))")
+            f"impl={impl!r} requires method={'/'.join(ok)!r} block-Thomas "
+            f"factors; got {type(sf.fact).__name__} (use impl='xla' or "
+            f"refactor with spike_factor(..., method='inv'))")
 
 
 def _make_batched_solve(sf: SpikeFactor, impl: str):

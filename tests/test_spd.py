@@ -240,3 +240,46 @@ def test_spd_shift_guard():
     assert int(fact.nshift) >= 1
     x = blocktri_solve(fact, jnp.ones((3, 4)))
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_spd_fused_pallas_matches_xla():
+    """The spd fused-kernel variant (transposed-F backward sweep) matches
+    the XLA scan bit-for-bit-ish in interpret mode."""
+    from spike_petsc_tpu.ops.pallas.fused_sweep import (
+        blocktri_solve_fused_pallas, blocktri_solve_fused_many_pallas)
+
+    n, k, K, b = 512, 3, 4, 8
+    a = problems.spd_banded(n, k, seed=51)
+    bm, _, _ = banded_of(a)
+    sf = spike_factor(bm, K=K, block_b=b, method="spd")
+    rng = np.random.default_rng(9)
+    rblk = jnp.asarray(rng.standard_normal((K, sf.nb, sf.b)))
+    x_ref = jax.vmap(lambda f, r: __import__(
+        "spike_petsc_tpu.ops.blocktri", fromlist=["blocktri_solve"]
+    ).blocktri_solve(f, r))(sf.fact, rblk)
+    x_pl = blocktri_solve_fused_pallas(sf.fact, rblk)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-6)
+    # multi-RHS
+    R = jnp.asarray(rng.standard_normal((K, sf.nb, sf.b, 3)))
+    X_ref = jax.vmap(lambda f, r: __import__(
+        "spike_petsc_tpu.ops.blocktri", fromlist=["blocktri_solve"]
+    ).blocktri_solve(f, r))(sf.fact, R)
+    X_pl = blocktri_solve_fused_many_pallas(sf.fact, R)
+    np.testing.assert_allclose(np.asarray(X_pl), np.asarray(X_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spd_spike_solve_pallas_fused_impl():
+    """spike_solve(impl='pallas_fused') end-to-end on spd factors."""
+    n, k = 384, 4
+    a = problems.spd_banded(n, k, seed=53)
+    bm, _, _ = banded_of(a)
+    sf = spike_factor(bm, K=4, block_b=8, method="spd", store_spikes=True)
+    u = np.random.default_rng(10).standard_normal(n)
+    x = np.asarray(spike_solve(sf, jnp.asarray(a @ u), impl="pallas_fused"))
+    np.testing.assert_allclose(x, u, rtol=1e-4, atol=1e-5)
+    X = np.asarray(spike_solve_many(
+        sf, jnp.asarray((a @ np.ones((n, 2))).reshape(n, 2)),
+        impl="pallas_fused"))
+    np.testing.assert_allclose(X, np.ones((n, 2)), rtol=1e-4, atol=1e-5)
