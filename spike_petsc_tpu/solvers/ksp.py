@@ -26,6 +26,7 @@ from .pc import PC, make_pc
 from .types import KSPResult
 from . import krylov  # noqa: F401  (registers built-in solvers)
 from . import fieldsplit  # noqa: F401  (registers composite/fieldsplit PCs)
+from . import mg  # noqa: F401  (registers the multigrid PC)
 
 _DEFAULTS = dict(rtol=1e-5, atol=1e-50, divtol=1e4, maxit=10000, restart=30)
 
