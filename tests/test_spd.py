@@ -283,3 +283,17 @@ def test_spd_spike_solve_pallas_fused_impl():
         sf, jnp.asarray((a @ np.ones((n, 2))).reshape(n, 2)),
         impl="pallas_fused"))
     np.testing.assert_allclose(X, np.ones((n, 2)), rtol=1e-4, atol=1e-5)
+
+
+def test_spike_spd_grouped_matches_monolithic():
+    from spike_petsc_tpu.ops.spike import spike_factor_grouped
+
+    n, k = 512, 4
+    a = problems.spd_banded(n, k, seed=57)
+    bm, _, _ = banded_of(a)
+    sf_m = spike_factor(bm, K=8, block_b=8, method="spd")
+    sf_g = spike_factor_grouped(bm, K=8, groups=4, block_b=8, method="spd")
+    rhs = jnp.asarray(np.random.default_rng(12).standard_normal(n))
+    np.testing.assert_allclose(np.asarray(spike_solve(sf_g, rhs)),
+                               np.asarray(spike_solve(sf_m, rhs)),
+                               rtol=1e-12, atol=1e-12)
