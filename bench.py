@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -74,7 +75,54 @@ def main() -> None:
     data = data.at[:, k].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
     band = BandedMatrix(data=data, kl=k, ku=k)
     rhs = banded_matvec(band, jnp.ones((n,), dtype))
-    _ = np.asarray(rhs[:8])          # force materialization
+    _ = np.asarray(rhs[:8])          # force materialization (and pay the
+    # tunnel's one-time first-readback cost, measured up to ~2 min on a
+    # degraded session, OUTSIDE every timed region)
+
+    # ---- tunnel health probe + wall-clock budget ----------------------------
+    # The axon tunnel's per-dispatch latency varies session-to-session by 5x+
+    # (measured 28 ms .. 140 ms) and the driver runs this script under its
+    # own timeout: probe the dispatch+readback cost once, then (a) cut
+    # repeat counts when the tunnel is slow and (b) enforce a soft budget
+    # that skips optional stages rather than dying mid-run with no output.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("SPIKE_BENCH_BUDGET_S", 2700))
+    skipped: list = []
+
+    @jax.jit
+    def _probe(x):
+        return x[:64] * 1.0
+
+    np.asarray(_probe(rhs))          # compile the probe
+
+    def _disp_once() -> float:
+        t0 = time.perf_counter()
+        np.asarray(_probe(rhs))
+        return time.perf_counter() - t0
+
+    disp_s = min(_disp_once() for _ in range(4))
+    slow_tunnel = disp_s > 0.2
+    R5 = 2 if slow_tunnel else 5     # repeat counts for min-of-N timings
+    R3 = 2 if slow_tunnel else 3
+    print(f"bench: dispatch+readback probe {disp_s * 1e3:.0f} ms"
+          f"{' (SLOW tunnel: reps reduced)' if slow_tunnel else ''}",
+          file=sys.stderr, flush=True)
+
+    def stage_ok(name: str, est_s: float, reserve_s: float = 90.0) -> bool:
+        """Gate an optional stage on remaining budget (est + reserve for the
+        CPU baseline + report).  Skipped stages are listed in the output."""
+        rem = budget_s - (time.perf_counter() - t_start)
+        if rem < est_s + reserve_s:
+            skipped.append(name)
+            print(f"bench: SKIP {name} ({rem:.0f}s budget left < "
+                  f"{est_s:.0f}+{reserve_s:.0f})", file=sys.stderr,
+                  flush=True)
+            return False
+        return True
+
+    def stage_done(name: str) -> None:
+        print(f"bench: {name} done at {time.perf_counter() - t_start:.0f}s",
+              file=sys.stderr, flush=True)
 
     @partial(jax.jit, static_argnames=("K", "kl", "ku"))
     def factor_fn(d, K, kl, ku):
@@ -110,13 +158,14 @@ def main() -> None:
     factor_compile_s = timed(lambda: factor_fn(data, K, k, k))
     sf = factor_fn(data, K, k, k)
     sync(sf)
-    factor_s = min(timed(lambda: factor_fn(data, K, k, k)) for _ in range(3))
+    factor_s = min(timed(lambda: factor_fn(data, K, k, k)) for _ in range(R3))
+    stage_done("factor")
 
     # ---- TPU solve (chained-loop differenced timing) ------------------------
     timed(lambda: solve_loop(sf, rhs, 2))       # compile
     timed(lambda: solve_loop(sf, rhs, 22))      # compile
-    t_small = min(timed(lambda: solve_loop(sf, rhs, 2)) for _ in range(5))
-    t_big = min(timed(lambda: solve_loop(sf, rhs, 22)) for _ in range(5))
+    t_small = min(timed(lambda: solve_loop(sf, rhs, 2)) for _ in range(R5))
+    t_big = min(timed(lambda: solve_loop(sf, rhs, 22)) for _ in range(R5))
     solve_s = max(t_big - t_small, 1e-9) / 20.0
     # sanity guard: if the difference collapsed (tunnel anomaly), report the
     # conservative single-loop estimate instead of a bogus near-zero number
@@ -127,6 +176,7 @@ def main() -> None:
     res = banded_matvec(band, x) - rhs
     rel = jnp.linalg.norm(res) / jnp.linalg.norm(rhs)
     relres = float(np.asarray(rel))
+    stage_done("solve")
 
     # BASELINE's second metric: Krylov iterations with the SPIKE
     # preconditioner (exact factorization -> direct-solve-quality PC; the
@@ -180,16 +230,20 @@ def main() -> None:
     g_its = int(np.asarray(g_its))
     g_rel = float(np.asarray(g_rnorm)) / float(np.asarray(
         jnp.linalg.norm(rhs)))
-    timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 1))     # compile
-    timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 5))     # compile
-    t_g1 = min(timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 1))
-               for _ in range(3))
-    t_g5 = min(timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 5))
-               for _ in range(3))
-    gmres_s = max((t_g5 - t_g1) / 4.0, 1e-9)
-    if gmres_s < 1e-4:          # tunnel anomaly guard, as for the solve
-        gmres_s = t_g1
+    if stage_ok("gmres_wall", 240):
+        timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 1))     # compile
+        timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 5))     # compile
+        t_g1 = min(timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 1))
+                   for _ in range(R3))
+        t_g5 = min(timed(lambda: gmres_loop(T.D, T.L, T.U, sf, rhs, 5))
+                   for _ in range(R3))
+        gmres_s = max((t_g5 - t_g1) / 4.0, 1e-9)
+        if gmres_s < 1e-4:          # tunnel anomaly guard, as for the solve
+            gmres_s = t_g1
+    else:
+        gmres_s = None
     del T
+    stage_done("gmres")
 
     # ---- banded-Pallas operator microbench ----------------------------------
     # the minimal-traffic SpMV route (-mat_matvec_impl banded_pallas): n*w
@@ -200,7 +254,8 @@ def main() -> None:
         from spike_petsc_tpu.ops.pallas.band_matvec import (
             banded_matvec_prepared, banded_mv_feasible, prepare_banded_mv)
         if (banded_mv_feasible(w, n=n)
-                and os.environ.get("SPIKE_BENCH_BAND_MV", "1") == "1"):
+                and os.environ.get("SPIKE_BENCH_BAND_MV", "1") == "1"
+                and stage_ok("band_mv", 180)):
             prep_mv = prepare_banded_mv(band)
             sync(prep_mv.d3)
 
@@ -215,9 +270,9 @@ def main() -> None:
             mv_out["band_mv_compile_s"] = round(time.perf_counter() - t0, 1)
             timed(lambda: bmv_loop(prep_mv, rhs, 22))    # compile
             t_m1 = min(timed(lambda: bmv_loop(prep_mv, rhs, 2))
-                       for _ in range(3))
+                       for _ in range(R3))
             t_m2 = min(timed(lambda: bmv_loop(prep_mv, rhs, 22))
-                       for _ in range(3))
+                       for _ in range(R3))
             bmv_s = max(t_m2 - t_m1, 1e-9) / 20.0
             if bmv_s < 1e-5:
                 bmv_s = t_m1 / 2.0
@@ -232,7 +287,8 @@ def main() -> None:
     # record the winner so as_matvec('auto') follows the MEASURED data on
     # this platform/bandwidth (utils/tuning.py; ROADMAP r4 item 3)
     try:
-        if os.environ.get("SPIKE_BENCH_TUNE", "1") == "1":
+        if (os.environ.get("SPIKE_BENCH_TUNE", "1") == "1"
+                and stage_ok("tune", 240)):
             from spike_petsc_tpu.solvers.operator import as_matvec
             from spike_petsc_tpu.utils import tuning
 
@@ -267,6 +323,7 @@ def main() -> None:
                 mv_out["tuning_file"] = path
     except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
         mv_out["mv_tune_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    stage_done("band_mv+tune")
 
     # ---- multi-RHS serving (BASELINE config 2's batched mode) --------------
     # factors stream once for all r columns (fused multi-RHS Pallas kernel
@@ -275,23 +332,27 @@ def main() -> None:
     from spike_petsc_tpu.ops.spike import spike_solve_many
 
     r_serve = int(os.environ.get("SPIKE_BENCH_SERVE_RHS", 32))
-    RHS = jax.random.normal(jax.random.PRNGKey(1), (n, r_serve), dtype)
+    if stage_ok("serve", 200):
+        RHS = jax.random.normal(jax.random.PRNGKey(1), (n, r_serve), dtype)
 
-    @partial(jax.jit, static_argnames=("reps",))
-    def serve_loop(sf_in, B, reps):
-        def body(i, Bc):
-            X = spike_solve_many(sf_in, Bc, impl=impl)
-            return Bc + 0.0 * X
-        return jax.lax.fori_loop(0, reps, body, B)
+        @partial(jax.jit, static_argnames=("reps",))
+        def serve_loop(sf_in, B, reps):
+            def body(i, Bc):
+                X = spike_solve_many(sf_in, Bc, impl=impl)
+                return Bc + 0.0 * X
+            return jax.lax.fori_loop(0, reps, body, B)
 
-    timed(lambda: serve_loop(sf, RHS, 1))        # compile
-    timed(lambda: serve_loop(sf, RHS, 3))        # compile
-    t_s1 = min(timed(lambda: serve_loop(sf, RHS, 1)) for _ in range(3))
-    t_s3 = min(timed(lambda: serve_loop(sf, RHS, 3)) for _ in range(3))
-    serve_s = max(t_s3 - t_s1, 1e-9) / 2.0 / r_serve
-    if serve_s < 1e-6:          # tunnel anomaly guard
-        serve_s = t_s1 / r_serve
-    del RHS
+        timed(lambda: serve_loop(sf, RHS, 1))        # compile
+        timed(lambda: serve_loop(sf, RHS, 3))        # compile
+        t_s1 = min(timed(lambda: serve_loop(sf, RHS, 1)) for _ in range(R3))
+        t_s3 = min(timed(lambda: serve_loop(sf, RHS, 3)) for _ in range(R3))
+        serve_s = max(t_s3 - t_s1, 1e-9) / 2.0 / r_serve
+        if serve_s < 1e-6:          # tunnel anomaly guard
+            serve_s = t_s1 / r_serve
+        del RHS
+        stage_done("serve")
+    else:
+        serve_s = None
 
     # ---- batched-Krylov serving (bicgstab_many) ----------------------------
     # the Krylov-grade serving mode: ONE iteration loop drives all r columns
@@ -299,7 +360,8 @@ def main() -> None:
     # once per iteration for the whole batch, per-column convergence)
     ks_out = {}
     try:
-        if os.environ.get("SPIKE_BENCH_KRYLOV_SERVE", "1") == "1":
+        if (os.environ.get("SPIKE_BENCH_KRYLOV_SERVE", "1") == "1"
+                and stage_ok("krylov_serve", 240)):
             from spike_petsc_tpu.solvers.krylov_many import bicgstab_many
             r_ks = min(r_serve, 32)
             RHSK = jax.random.normal(jax.random.PRNGKey(3), (n, r_ks), dtype)
@@ -319,9 +381,9 @@ def main() -> None:
             timed(lambda: kserve_loop(sf, RHSK, 1))        # compile
             timed(lambda: kserve_loop(sf, RHSK, 3))        # compile
             k_s1 = min(timed(lambda: kserve_loop(sf, RHSK, 1))
-                       for _ in range(3))
+                       for _ in range(R3))
             k_s3 = min(timed(lambda: kserve_loop(sf, RHSK, 3))
-                       for _ in range(3))
+                       for _ in range(R3))
             ks_s = max(k_s3 - k_s1, 1e-9) / 2.0 / r_ks
             if ks_s < 1e-6:
                 ks_s = k_s1 / r_ks
@@ -337,6 +399,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — serving extra must not
         # kill the headline benchmark
         ks_out = {"krylov_serve_error": f"{type(exc).__name__}: {exc}"[:200]}
+    stage_done("krylov_serve")
 
     # ---- transpose/adjoint solves on stored factors ------------------------
     # spike_transpose reuses the forward factorization for A^T (the adjoint
@@ -346,7 +409,8 @@ def main() -> None:
     # storage-sharing marker form (XLA-scan transpose sweeps, zero setup).
     tr_out = {}
     try:
-        if os.environ.get("SPIKE_BENCH_TRANSPOSE", "1") == "1":
+        if (os.environ.get("SPIKE_BENCH_TRANSPOSE", "1") == "1"
+                and stage_ok("transpose", 300)):
             from spike_petsc_tpu.ops.band import banded_transpose
             from spike_petsc_tpu.ops.spike import spike_transpose
 
@@ -359,9 +423,9 @@ def main() -> None:
                 timed(lambda: tsolve_loop(sft_in, rhs, 2))     # compile
                 timed(lambda: tsolve_loop(sft_in, rhs, 12))    # compile
                 t1 = min(timed(lambda: tsolve_loop(sft_in, rhs, 2))
-                         for _ in range(3))
+                         for _ in range(R3))
                 t2 = min(timed(lambda: tsolve_loop(sft_in, rhs, 12))
-                         for _ in range(3))
+                         for _ in range(R3))
                 s = max(t2 - t1, 1e-9) / 10.0
                 if s < 1e-5:
                     s = t1 / 2.0
@@ -373,7 +437,7 @@ def main() -> None:
                 s, band=BandedMatrix(data=d, kl=k, ku=k)))
             timed(lambda: tr_fast(sf, data))               # compile
             fast_setup_s = min(timed(lambda: tr_fast(sf, data))
-                               for _ in range(3))
+                               for _ in range(R3))
             sft = tr_fast(sf, data)
             sync(sft.Btip)      # Btip exists for BOTH forms (fast regular
             # factor for method=inv, marker wrapper for lu/cr)
@@ -394,7 +458,7 @@ def main() -> None:
             # path buys
             tr_mk = jax.jit(spike_transpose)
             timed(lambda: tr_mk(sf))                       # compile
-            mk_setup_s = min(timed(lambda: tr_mk(sf)) for _ in range(3))
+            mk_setup_s = min(timed(lambda: tr_mk(sf)) for _ in range(R3))
             sft_mk = tr_mk(sf)
             sync(sft_mk.Btip)
             mk_s, _ = _tsolve_ms(sft_mk)
@@ -417,13 +481,14 @@ def main() -> None:
             sf_lt = _dc.replace(sf, Lb=Lb)
             tr_lt = jax.jit(spike_transpose)
             timed(lambda: tr_lt(sf_lt))                    # compile
-            lt_setup_s = min(timed(lambda: tr_lt(sf_lt)) for _ in range(3))
+            lt_setup_s = min(timed(lambda: tr_lt(sf_lt)) for _ in range(R3))
             sft_lt = tr_lt(sf_lt)
             assert isinstance(sft_lt.fact, BlockTriFactor)
             tr_out["transpose_lt_setup_ms"] = round(lt_setup_s * 1e3, 3)
             del sft_lt, sf_lt, Lb
     except Exception as exc:  # noqa: BLE001 — an extra must not kill bench
         tr_out["transpose_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    stage_done("transpose")
 
     # ---- native-assembly factor --------------------------------------------
     # the same problem class assembled DIRECTLY in global blocktri layout:
@@ -432,20 +497,25 @@ def main() -> None:
     from spike_petsc_tpu.models.problems import blocktri_diagdom_device
     from spike_petsc_tpu.ops.spike import spike_factor_blocks
 
-    Tn, _ = blocktri_diagdom_device(n, k, k, K, 128, seed=0)
-    sync(Tn)
+    if stage_ok("factor_native", 180):
+        Tn, _ = blocktri_diagdom_device(n, k, k, K, 128, seed=0)
+        sync(Tn)
 
-    @partial(jax.jit, static_argnames=("Kp",))
-    def factor_native_fn(TD, TL, TU, Kp):
-        return spike_factor_blocks(
-            BlockTridiagonal(D=TD, L=TL, U=TU), n=n, K=Kp, kl=k, ku=k,
-            method=method, store_spikes=spikes, store_dtype=store_dtype,
-            spike_dtype=spike_dtype, inverter=inverter)
+        @partial(jax.jit, static_argnames=("Kp",))
+        def factor_native_fn(TD, TL, TU, Kp):
+            return spike_factor_blocks(
+                BlockTridiagonal(D=TD, L=TL, U=TU), n=n, K=Kp, kl=k, ku=k,
+                method=method, store_spikes=spikes, store_dtype=store_dtype,
+                spike_dtype=spike_dtype, inverter=inverter)
 
-    timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))     # compile
-    factor_native_s = min(timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))
-                          for _ in range(3))
-    del Tn
+        timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))     # compile
+        factor_native_s = min(
+            timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))
+            for _ in range(R3))
+        del Tn
+        stage_done("factor_native")
+    else:
+        factor_native_s = None
 
     # ---- TPU high-accuracy: f32 factors + emulated-f64 refinement ----------
     # SURVEY §7 hard-part 3, second branch: the operator lives in XLA's
@@ -456,7 +526,8 @@ def main() -> None:
     # the CPU reroute).  Opt out with SPIKE_BENCH_F64=0 (adds ~1 min of
     # compile through the tunnel).
     refine_out = {}
-    if os.environ.get("SPIKE_BENCH_F64", "1") == "1":
+    if (os.environ.get("SPIKE_BENCH_F64", "1") == "1"
+            and stage_ok("f64_refine", 420)):
         from spike_petsc_tpu.solvers.krylov import richardson
 
         jax.config.update("jax_enable_x64", True)
@@ -546,9 +617,9 @@ def main() -> None:
             timed(lambda: refine_loop(data64, sf, rhs64, 1))     # compile
             timed(lambda: refine_loop(data64, sf, rhs64, 3))     # compile
             t_r1 = min(timed(lambda: refine_loop(data64, sf, rhs64, 1))
-                       for _ in range(3))
+                       for _ in range(R3))
             t_r3 = min(timed(lambda: refine_loop(data64, sf, rhs64, 3))
-                       for _ in range(3))
+                       for _ in range(R3))
             refine_wall = max((t_r3 - t_r1) / 2.0, 1e-9)
             if refine_wall < 1e-3:      # tunnel anomaly guard
                 refine_wall = t_r1
@@ -566,6 +637,14 @@ def main() -> None:
                 "f64_refine_error": f"{type(exc).__name__}: {exc}"[:200]}
         finally:
             jax.config.update("jax_enable_x64", False)
+        stage_done("f64_refine")
+
+    def _ms(s, nd=3):
+        return None if s is None else round(s * 1e3, nd)
+
+    diag_out = {"tunnel_dispatch_ms": round(disp_s * 1e3, 1)}
+    if skipped:
+        diag_out["skipped_stages"] = skipped
 
     # ---- CPU LAPACK baseline (same precision) ------------------------------
     if os.environ.get("SPIKE_BENCH_SKIP_CPU") == "1":
@@ -575,12 +654,12 @@ def main() -> None:
             "value": round(solve_s * 1e3, 4), "unit": "ms",
             "vs_baseline": None, "partitions": K,
             "tpu_factor_ms": round(factor_s * 1e3, 3),
-            "tpu_factor_native_ms": round(factor_native_s * 1e3, 3),
+            "tpu_factor_native_ms": _ms(factor_native_s),
             "rel_residual_f32": relres,
             "gmres_spikepc_its_rtol1e8": g_its,
-            "gmres_wall_ms": round(gmres_s * 1e3, 2),
-            f"serve_ms_per_rhs_r{r_serve}": round(serve_s * 1e3, 4),
-            **mv_out, **tr_out, **refine_out, **ks_out}))
+            "gmres_wall_ms": _ms(gmres_s, 2),
+            f"serve_ms_per_rhs_r{r_serve}": _ms(serve_s, 4),
+            **mv_out, **tr_out, **refine_out, **ks_out, **diag_out}))
         return
 
     from scipy.linalg import lapack
@@ -652,7 +731,7 @@ def main() -> None:
         "gflops_useful_band": round(band_flops / solve_s / 1e9, 2),
         "factor_stream_gbs": round(eff_gbs, 1),
         "tpu_factor_ms": round(factor_s * 1e3, 3),
-        "tpu_factor_native_ms": round(factor_native_s * 1e3, 3),
+        "tpu_factor_native_ms": _ms(factor_native_s),
         "cpu_factor_ms": round(cpu_factor_s * 1e3, 3),
         "cpu_solve_ms": round(cpu_solve_s * 1e3, 3),
         "factor_speedup": round(cpu_factor_s / factor_s, 3),
@@ -661,10 +740,10 @@ def main() -> None:
         "rel_residual_f32": relres,
         "gmres_spikepc_its_rtol1e8": g_its,
         "gmres_final_relres": g_rel,
-        "gmres_wall_ms": round(gmres_s * 1e3, 2),
-        f"serve_ms_per_rhs_r{r_serve}": round(serve_s * 1e3, 4),
+        "gmres_wall_ms": _ms(gmres_s, 2),
+        f"serve_ms_per_rhs_r{r_serve}": _ms(serve_s, 4),
         "factor_compile_s": round(factor_compile_s, 2),
-        **mv_out, **tr_out, **refine_out, **ks_out,
+        **mv_out, **tr_out, **refine_out, **ks_out, **diag_out,
     }
     print(json.dumps(out))
 
