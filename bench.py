@@ -363,10 +363,13 @@ def main() -> None:
         if (os.environ.get("SPIKE_BENCH_KRYLOV_SERVE", "1") == "1"
                 and stage_ok("krylov_serve", 240)):
             from spike_petsc_tpu.solvers.krylov_many import bicgstab_many
+            from spike_petsc_tpu.solvers.operator import as_matvec_many
             r_ks = min(r_serve, 32)
             RHSK = jax.random.normal(jax.random.PRNGKey(3), (n, r_ks), dtype)
-            mv_many = jax.vmap(lambda x: banded_matvec(band, x),
-                               in_axes=1, out_axes=1)
+            # true multi-RHS operator apply: blocks stream once per
+            # iteration for all r columns (the vmapped shifted-axpy form
+            # re-read the operator per column)
+            mv_many, _, _ = as_matvec_many(band)
 
             @partial(jax.jit, static_argnames=("reps",))
             def kserve_loop(sf_in, B, reps):
@@ -394,6 +397,7 @@ def main() -> None:
             ks_out = {
                 f"krylov_serve_ms_per_rhs_r{r_ks}": round(ks_s * 1e3, 4),
                 "krylov_serve_max_its": int(np.asarray(its).max()),
+                "krylov_serve_mv_route": getattr(mv_many, "_route", "?"),
             }
             del RHSK
     except Exception as exc:  # noqa: BLE001 — serving extra must not

@@ -183,9 +183,13 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
         from .operator import transpose_operator
         A = transpose_operator(A)
         pc = pc.transpose() if pc.name != "none" else pc
-    matvec, n, op_dtype = as_matvec(
+    # true multi-RHS operator apply: the operator streams once per iteration
+    # for ALL r columns (as_matvec_many routes wide TPU bands through batched
+    # [b,b]@[b,r] MXU matmuls; a vmap of the single-RHS matvec would
+    # re-stream it per column)
+    from .operator import as_matvec_many
+    matvec_many, n, op_dtype = as_matvec_many(
         A, n_hint=n_hint, impl=opts.get_string("mat_matvec_impl", "auto"))
-    matvec_many = jax.vmap(matvec, in_axes=1, out_axes=1)
     if pc.name == "none":
         pc_apply_many = None
     else:

@@ -164,6 +164,11 @@ def as_matvec(a, n_hint: int = None,
             raise ValueError("callable operator requires n_hint (vector size)")
         return a, n_hint, None
 
+    return _as_matvec_other(a)
+
+
+def _as_matvec_other(a) -> Tuple[Callable, int, object]:
+
     # host scipy sparse -> band+outliers split when the matrix has band
     # structure (vector-speed band, scalar outliers), else device BCOO.
     # TPU gathers/scatters run at ~0.2 GB/s, so a BCOO matvec pays scalar
@@ -195,3 +200,67 @@ def as_matvec(a, n_hint: int = None,
         return (lambda x: arr @ x), n, arr.dtype
 
     raise TypeError(f"cannot build a matvec from {type(a)!r}")
+
+
+def as_matvec_many(a, n_hint: int = None,
+                   impl: str = "auto") -> Tuple[Callable, int, object]:
+    """Return (matvec_many: [n, r] -> [n, r], n, dtype): a TRUE multi-RHS
+    operator apply for batched Krylov serving (solvers/krylov_many.py).
+
+    A ``vmap`` of the single-RHS matvec re-streams the operator once PER
+    COLUMN every iteration; here a wide TPU band takes one band->blocktri
+    conversion and applies all r columns as batched [b, b] @ [b, r] MXU
+    matmuls — the operator blocks stream ONCE per apply for the whole batch
+    (the multi-RHS analogue of the blocktri route in :func:`as_matvec`; the
+    distributed engines already do this via ``local_matvec_many``).
+
+    Dense operators batch natively (``A @ X``).  Everything else (narrow
+    bands, sparse, callables) falls back to the vmapped single-RHS route,
+    tagged ``vmap_<route>``.
+    """
+    if impl not in ("auto", "banded_pallas", "blocktri", "xla"):
+        raise ValueError(
+            f"unknown matvec impl {impl!r}: expected auto, banded_pallas, "
+            f"blocktri, or xla (-mat_matvec_impl)")
+    if isinstance(a, BandedMatrix) and impl in ("auto", "blocktri"):
+        bt_ok = (max(a.kl, a.ku) <= 128 and a.n >= 4 * 128
+                 and jnp.dtype(a.dtype).itemsize <= 4)
+        # same width gate as the single-RHS 'auto' (the conversion's 3*128
+        # floats/row at-rest blowup is the binding constraint, not speed);
+        # impl='blocktri' forces it for narrow bands where a large r still
+        # amortizes the blowup
+        wide = a.kl + a.ku + 1 >= 96
+        if bt_ok and (impl == "blocktri" or wide) and _use_blocktri_matvec():
+            from ..ops.blocktri import band_to_blocktri
+            T = band_to_blocktri(a, 128)
+            nb, b = T.nb, T.b
+
+            def mv_many(X):
+                Xb = jnp.pad(X, ((0, nb * b - a.n), (0, 0)))
+                Xb = Xb.reshape(nb, b, -1)
+                return blocktri_matvec(T, Xb).reshape(nb * b, -1)[:a.n]
+            return _tag(mv_many, "blocktri_many"), a.n, a.dtype
+
+    if isinstance(a, BlockTridiagonal):
+        nb, b = a.nb, a.b
+        n = nb * b
+
+        def mv_many(X):
+            return blocktri_matvec(a, X.reshape(nb, b, -1)).reshape(n, -1)
+        return _tag(mv_many, "blocktri_many"), n, a.dtype
+
+    if not (isinstance(a, BandedMatrix) or callable(a)):
+        try:
+            import scipy.sparse as sp
+            is_sp = sp.issparse(a)
+        except ImportError:  # pragma: no cover
+            is_sp = False
+        if not is_sp:
+            arr = jnp.asarray(a)
+            if arr.ndim == 2:
+                return (_tag((lambda X: arr @ X), "dense_many"),
+                        arr.shape[0], arr.dtype)
+
+    mv, n, dt = as_matvec(a, n_hint=n_hint, impl=impl)
+    return (_tag(jax.vmap(mv, in_axes=1, out_axes=1),
+                 f"vmap_{getattr(mv, '_route', 'op')}"), n, dt)

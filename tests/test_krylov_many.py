@@ -192,3 +192,80 @@ def test_make_solver_many_transpose():
     res = solver(B)
     assert all(int(r) > 0 for r in np.asarray(res.reason))
     np.testing.assert_allclose(np.asarray(res.x), U, rtol=1e-7, atol=1e-8)
+
+
+def test_as_matvec_many_routes_and_parity(monkeypatch):
+    """as_matvec_many: the blocktri_many route (operator streamed once for
+    all r columns as batched [b,b]@[b,r] matmuls) matches the vmapped
+    single-RHS matvec; narrow bands fall back to the vmap route; dense
+    operators batch natively."""
+    from spike_petsc_tpu.solvers import operator as op_mod
+
+    n, k, r = 1024, 50, 5
+    w = 2 * k + 1
+    key = jax.random.PRNGKey(7)
+    data = jax.random.uniform(key, (n, w), jnp.float32, minval=-1, maxval=1)
+    data = data.at[:, k].set(jnp.sum(jnp.abs(data), axis=1) + 1)
+    bm = BandedMatrix(data=data, kl=k, ku=k)
+    X = jax.random.uniform(jax.random.fold_in(key, 1), (n, r), jnp.float32)
+    ref = np.stack([np.asarray(banded_matvec(bm, X[:, j]))
+                    for j in range(r)], axis=1)
+
+    # wide band + "TPU": the true multi-RHS blocktri route
+    monkeypatch.setattr(op_mod, "_use_blocktri_matvec", lambda: True)
+    mvm, nn, _ = op_mod.as_matvec_many(bm)
+    assert nn == n and mvm._route == "blocktri_many"
+    np.testing.assert_allclose(np.asarray(mvm(X)), ref, rtol=2e-5, atol=2e-5)
+    # forced blocktri on a narrow band also works
+    bm_narrow = BandedMatrix(data=data[:, k - 3:k + 4], kl=3, ku=3)
+    mvn, _, _ = op_mod.as_matvec_many(bm_narrow, impl="blocktri")
+    assert mvn._route == "blocktri_many"
+    ref_n = np.stack([np.asarray(banded_matvec(bm_narrow, X[:, j]))
+                      for j in range(r)], axis=1)
+    np.testing.assert_allclose(np.asarray(mvn(X)), ref_n,
+                               rtol=2e-5, atol=2e-5)
+    # narrow band 'auto' stays on the vmapped single-RHS route
+    mva, _, _ = op_mod.as_matvec_many(bm_narrow)
+    assert mva._route.startswith("vmap_")
+    np.testing.assert_allclose(np.asarray(mva(X)), ref_n,
+                               rtol=2e-5, atol=2e-5)
+
+    # off-"TPU": wide band falls back to vmap too
+    monkeypatch.setattr(op_mod, "_use_blocktri_matvec", lambda: False)
+    mvc, _, _ = op_mod.as_matvec_many(bm)
+    assert mvc._route.startswith("vmap_")
+    np.testing.assert_allclose(np.asarray(mvc(X)), ref, rtol=2e-5, atol=2e-5)
+
+    # dense batches natively
+    A = np.asarray(jax.random.uniform(jax.random.fold_in(key, 2), (64, 64)))
+    mvd, nd, _ = op_mod.as_matvec_many(A)
+    assert nd == 64 and mvd._route == "dense_many"
+    Xd = np.asarray(X[:64, :3])
+    np.testing.assert_allclose(np.asarray(mvd(jnp.asarray(Xd))), A @ Xd,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_make_solver_many_blocktri_many_route(monkeypatch):
+    """make_solver_many rides the multi-RHS operator route end-to-end and
+    still matches per-column single-RHS solves."""
+    from spike_petsc_tpu.solvers import operator as op_mod
+    from spike_petsc_tpu.solvers.ksp import make_solver
+
+    monkeypatch.setattr(op_mod, "_use_blocktri_matvec", lambda: True)
+    n, k, r = 1536, 48, 3
+    w = 2 * k + 1
+    key = jax.random.PRNGKey(11)
+    data = jax.random.uniform(key, (n, w), jnp.float64, minval=-1, maxval=1)
+    data = data.at[:, k].set(jnp.sum(jnp.abs(data), axis=1) + 1)
+    bm = BandedMatrix(data=data, kl=k, ku=k)
+    B = jax.random.uniform(jax.random.fold_in(key, 1), (n, r), jnp.float64)
+
+    solver = make_solver_many(bm, ksp_type="bcgs", pc_type="spike",
+                              rtol=1e-10, maxit=40, jit=False)
+    res = solver(B)
+    single = make_solver(bm, ksp_type="bcgs", pc_type="spike",
+                         rtol=1e-10, maxit=40, jit=False)
+    for j in range(r):
+        rj = single(B[:, j])
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(rj.x), rtol=1e-8, atol=1e-10)
