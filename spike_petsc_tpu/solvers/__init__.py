@@ -1,6 +1,7 @@
 """Solver layer: Krylov methods (KSP), preconditioners (PC), composition."""
 
 from .ksp import make_solver, print_monitor, solve
+from .nullspace import NullSpace, make_nullspace
 from .krylov import (arnoldi_hessenberg, bicgstab, cg, chebyshev,
                      estimate_extreme_eigs, fgmres, gmres, minres, pipecg,
                      preonly, richardson)
@@ -13,4 +14,5 @@ __all__ = [
     "gmres", "fgmres", "bicgstab", "cg", "pipecg", "minres", "chebyshev",
     "richardson", "preonly", "arnoldi_hessenberg", "estimate_extreme_eigs",
     "PC", "make_pc", "KSPResult", "reason_str",
+    "NullSpace", "make_nullspace",
 ]

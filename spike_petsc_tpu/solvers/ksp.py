@@ -57,6 +57,7 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
                 ksp_type: Optional[str] = None, pc_type: Optional[str] = None,
                 pc: Optional[PC] = None, n_hint: Optional[int] = None,
                 jit: bool = True, transpose: bool = False,
+                nullspace=None, transpose_nullspace=None,
                 **params) -> Callable:
     """Compose (operator, preconditioner, method) once; return solve(b, x0).
 
@@ -66,6 +67,12 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
     ``transpose=True`` solves A^T x = b (PETSc KSPSolveTranspose): the
     operator transposes host-side and the preconditioner applies M^{-T}
     via PC.transpose() — reusing its stored factors, no refactorization.
+
+    ``nullspace`` (solvers/nullspace.NullSpace, or ``-ksp_nullspace_constant``
+    for the common L·1=0 case): singular consistent systems — b is
+    projected by ``transpose_nullspace`` (defaults to ``nullspace``: the
+    symmetric case), matvec outputs and the returned x by ``nullspace``
+    (MatSetNullSpace / MatSetTransposeNullSpace semantics).
     """
     opts = options or Options()
     ksp_type = ksp_type or opts.get_string("ksp_type", "gmres")
@@ -76,11 +83,34 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
         from .operator import transpose_operator
         A = transpose_operator(A)
         pc = pc.transpose() if pc.name != "none" else pc
+        # A^T's null space is the forward transpose-null space and vice
+        # versa: swap the pair so projections stay attached to the right
+        # operator side
+        nullspace, transpose_nullspace = (
+            transpose_nullspace if transpose_nullspace is not None
+            else nullspace, nullspace)
     # -mat_matvec_impl auto|banded_pallas|blocktri|xla: operator SpMV route
     # (the MatMult engine of the hot loop, /root/reference/src/testbed.c:310)
     matvec, n, op_dtype = as_matvec(
         A, n_hint=n_hint, impl=opts.get_string("mat_matvec_impl", "auto"))
     pc_apply = pc.apply if pc.name != "none" else None
+    if nullspace is None and opts.get_bool("ksp_nullspace_constant", False):
+        from .nullspace import make_nullspace
+        nullspace = make_nullspace(
+            n, constant=True,
+            dtype=op_dtype if op_dtype is not None else jnp.float32)
+    ns, tns = nullspace, (transpose_nullspace if transpose_nullspace
+                          is not None else nullspace)
+    if tns is not None:
+        # matvec OUTPUTS live in residual space = range(A) = null(A^T)^perp:
+        # project them by the LEFT null space (a no-op in exact arithmetic
+        # that controls roundoff drift).  Projecting by the RIGHT null space
+        # here would silently change the operator — for nonsymmetric A,
+        # P_ns A is singular in a way that blows up the Hessenberg
+        # least-squares (x picked up a ~1e15 null component before the
+        # final projection, which f64 cancellation could not remove).
+        base_matvec = matvec
+        matvec = lambda v: tns.remove(base_matvec(v))  # noqa: E731
 
     method = SOLVERS.get(ksp_type)
     kw = _params_from_options(opts, params)
@@ -133,14 +163,28 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
         # is never clobbered (code-review r3)
         if "matvec_transpose" not in kw:
             from .operator import transpose_operator
-            kw["matvec_transpose"], _, _ = as_matvec(
+            mvt, _, _ = as_matvec(
                 transpose_operator(A), n_hint=n_hint,
                 impl=opts.get_string("mat_matvec_impl", "auto"))
+            if ns is not None:
+                # A^T's residual space is range(A^T) = null(A)^perp: the
+                # drift projection for transpose matvecs is the RIGHT null
+                # space of A (the left null space of A^T)
+                _mvt_base = mvt
+                mvt = lambda v: ns.remove(_mvt_base(v))  # noqa: E731
+            kw["matvec_transpose"] = mvt
         if pc_apply is not None and "pc_apply_transpose" not in kw:
             kw["pc_apply_transpose"] = pc.transpose().apply
 
     def _solve(b, x0=None):
-        return method(matvec, b, x0, pc_apply, **kw)
+        if tns is not None:
+            b = tns.remove(b)     # consistency: drop the left-null part
+        res = method(matvec, b, x0, pc_apply, **kw)
+        if ns is not None:
+            # uniqueness: return the minimal-norm representative
+            import dataclasses as _dc
+            res = _dc.replace(res, x=ns.remove(res.x))
+        return res
 
     return jax.jit(_solve) if jit else _solve
 
@@ -149,7 +193,8 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
                      ksp_type: Optional[str] = None,
                      pc_type: Optional[str] = None, pc: Optional[PC] = None,
                      n_hint: Optional[int] = None, jit: bool = True,
-                     transpose: bool = False, **params) -> Callable:
+                     transpose: bool = False, nullspace=None,
+                     transpose_nullspace=None, **params) -> Callable:
     """Compose a BATCHED multi-RHS solver: solve(B[n, r], X0=None) returns a
     column-batched KSPResult (x [n, r]; its/reason/rnorm per column).
 
@@ -166,6 +211,9 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
     ``transpose=True`` serves A^T X = B on the same stored factors
     (PC.transpose; vmapped apply when the transposed PC has no native
     multi-RHS form).
+
+    ``nullspace`` / ``transpose_nullspace``: as in :func:`make_solver`
+    (NullSpace.remove handles [n, r] batches natively).
     """
     from .krylov_many import MANY_SOLVERS
     opts = options or Options()
@@ -183,6 +231,9 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
         from .operator import transpose_operator
         A = transpose_operator(A)
         pc = pc.transpose() if pc.name != "none" else pc
+        nullspace, transpose_nullspace = (
+            transpose_nullspace if transpose_nullspace is not None
+            else nullspace, nullspace)
     # true multi-RHS operator apply: the operator streams once per iteration
     # for ALL r columns (as_matvec_many routes wide TPU bands through batched
     # [b,b]@[b,r] MXU matmuls; a vmap of the single-RHS matvec would
@@ -190,6 +241,18 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
     from .operator import as_matvec_many
     matvec_many, n, op_dtype = as_matvec_many(
         A, n_hint=n_hint, impl=opts.get_string("mat_matvec_impl", "auto"))
+    if nullspace is None and opts.get_bool("ksp_nullspace_constant", False):
+        from .nullspace import make_nullspace
+        nullspace = make_nullspace(
+            n, constant=True,
+            dtype=op_dtype if op_dtype is not None else jnp.float32)
+    ns, tns = nullspace, (transpose_nullspace if transpose_nullspace
+                          is not None else nullspace)
+    if tns is not None:
+        # left-null-space drift projection of the residual-space outputs
+        # (see make_solver); NullSpace.remove batches over [n, r]
+        base_mv_many = matvec_many
+        matvec_many = lambda X: tns.remove(base_mv_many(X))  # noqa: E731
     if pc.name == "none":
         pc_apply_many = None
     else:
@@ -204,7 +267,13 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
             kw.setdefault("scale", sc)
 
     def _solve(B, X0=None):
-        return method(matvec_many, B, X0, pc_apply_many, **kw)
+        if tns is not None:
+            B = tns.remove(B)
+        res = method(matvec_many, B, X0, pc_apply_many, **kw)
+        if ns is not None:
+            import dataclasses as _dc
+            res = _dc.replace(res, x=ns.remove(res.x))
+        return res
 
     return jax.jit(_solve) if jit else _solve
 
