@@ -30,6 +30,23 @@ def _tag(mv, route: str):
     return mv
 
 
+def _bt_gate(a: BandedMatrix) -> Tuple[bool, bool]:
+    """The band->blocktri conversion gate shared by the single- and
+    multi-RHS 'auto' routes: (feasible, wide).
+
+    ``feasible``: the 128-blocked conversion needs b=128 >= max(kl, ku), a
+    few tiles of rows, and a fixed-width dtype (no emulated f64 pairs on
+    TPU — high-accuracy runs keep an f64 operator for refinement residuals
+    only).  ``wide``: the conversion stores 3*128 floats per row vs w in
+    band form; 'auto' only routes through it when the band is wide enough
+    that the blowup is modest (< ~4x) AND the Pallas matvec's bandwidth win
+    dominates — narrow bands keep the shifted-axpy form (ADVICE r2: a w=32
+    band would pay 12x memory for little speedup)."""
+    bt_ok = (max(a.kl, a.ku) <= 128 and a.n >= 4 * 128
+             and jnp.dtype(a.dtype).itemsize <= 4)
+    return bt_ok, bt_ok and a.kl + a.ku + 1 >= 96
+
+
 def _banded_pallas_route(a: BandedMatrix):
     """(matvec, n, dtype) through the minimal-traffic Pallas banded kernel
     (ops/pallas/band_matvec.py): diagonal-major layout prepared ONCE, exactly
@@ -116,18 +133,7 @@ def as_matvec(a, n_hint: int = None,
             hint = None
         if hint == "xla":
             return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
-        # the 128-blocked conversion needs b=128 >= max(kl, ku), a few tiles
-        # of rows, and a fixed-width dtype (no emulated f64 pairs on TPU —
-        # high-accuracy runs keep an f64 operator for refinement residuals
-        # only)
-        bt_ok = (max(a.kl, a.ku) <= 128 and a.n >= 4 * 128
-                 and jnp.dtype(a.dtype).itemsize <= 4)
-        # the conversion stores 3*128 floats per row vs w in band form; in
-        # 'auto', only route through it when the band is wide enough that
-        # the blowup is modest (< ~4x) AND the Pallas matvec's bandwidth
-        # win dominates — narrow bands keep the shifted-axpy form (ADVICE
-        # r2: a w=32 band would pay 12x memory for little speedup)
-        wide = bt_ok and a.kl + a.ku + 1 >= 96
+        bt_ok, wide = _bt_gate(a)
         if ((impl == "auto" and (hint == "blocktri" and bt_ok
                                  or hint is None and wide))
                 or (bt_ok and impl == "blocktri")) \
@@ -217,19 +223,27 @@ def as_matvec_many(a, n_hint: int = None,
     Dense operators batch natively (``A @ X``).  Everything else (narrow
     bands, sparse, callables) falls back to the vmapped single-RHS route,
     tagged ``vmap_<route>``.
+
+    Memory note: the blocktri route materializes a SECOND at-rest copy of
+    the operator at 3*128 floats per row for the closure's lifetime,
+    alongside the original band.  The 'auto' width gate keeps the blowup
+    < ~4x; ``impl="blocktri"`` forced on a narrow band has no such bound
+    (~55x for w=7) — size accordingly when serving n~1e6 operators.
     """
     if impl not in ("auto", "banded_pallas", "blocktri", "xla"):
         raise ValueError(
             f"unknown matvec impl {impl!r}: expected auto, banded_pallas, "
             f"blocktri, or xla (-mat_matvec_impl)")
     if isinstance(a, BandedMatrix) and impl in ("auto", "blocktri"):
-        bt_ok = (max(a.kl, a.ku) <= 128 and a.n >= 4 * 128
-                 and jnp.dtype(a.dtype).itemsize <= 4)
-        # same width gate as the single-RHS 'auto' (the conversion's 3*128
-        # floats/row at-rest blowup is the binding constraint, not speed);
-        # impl='blocktri' forces it for narrow bands where a large r still
-        # amortizes the blowup
-        wide = a.kl + a.ku + 1 >= 96
+        # same gate as the single-RHS 'auto' (_bt_gate; the conversion's
+        # at-rest blowup is the binding constraint, not speed).  The
+        # measured tuning record (matvec_route_hint) is intentionally NOT
+        # consulted here: it stores single-RHS streaming profiles, and the
+        # multi-RHS blocktri apply streams blocks once for ALL r columns —
+        # a single-RHS 'xla' winner does not transfer to r>>1 (ADVICE r3).
+        # impl='blocktri' forces the route for narrow bands where a large r
+        # still amortizes the blowup (see memory note above).
+        bt_ok, wide = _bt_gate(a)
         if bt_ok and (impl == "blocktri" or wide) and _use_blocktri_matvec():
             from ..ops.blocktri import band_to_blocktri
             T = band_to_blocktri(a, 128)
