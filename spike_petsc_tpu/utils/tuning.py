@@ -29,15 +29,30 @@ from typing import Optional
 
 _DEFAULT = os.path.join(os.path.expanduser("~"), ".cache",
                         "spike_petsc_tpu", "tuning.json")
+# measurements recorded on real hardware by a bench run and committed with
+# the package: the fallback when this host has no local record yet (a fresh
+# deployment still gets measured routing instead of static heuristics)
+_PACKAGED = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "tuning.json")
 _cache = {"path": None, "mtime": None, "data": None}
+_packaged_cache: list = []          # [dict] once loaded
 
 
 def record_path() -> str:
     return os.environ.get("SPIKE_TUNING_FILE", _DEFAULT)
 
 
-def load() -> dict:
-    """Read the tuning record (cached by path + mtime; re-reads on change)."""
+def _read_json(path: str) -> dict:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _load_user() -> dict:
+    """The local (host-specific) record only — what update() merges into."""
     path = record_path()
     try:
         mtime = os.stat(path).st_mtime_ns
@@ -45,15 +60,39 @@ def load() -> dict:
         return {}
     if _cache["path"] == path and _cache["mtime"] == mtime:
         return _cache["data"]
-    try:
-        with open(path) as f:
-            data = json.load(f)
-        if not isinstance(data, dict):
-            data = {}
-    except (OSError, ValueError):
-        data = {}
+    data = _read_json(path)
     _cache.update(path=path, mtime=mtime, data=data)
     return data
+
+
+def load() -> dict:
+    """The effective tuning record: packaged hardware measurements overlaid
+    by any local (host-measured) entries, which win per key.
+
+    An explicit ``SPIKE_TUNING_FILE`` is taken as the WHOLE record (no
+    packaged underlay) — tests point it at a tmpdir and stay hermetic."""
+    if os.environ.get("SPIKE_TUNING_FILE"):
+        return _load_user()
+    if not _packaged_cache:
+        _packaged_cache.append(_read_json(_PACKAGED))
+    packaged = _packaged_cache[0]
+    user = _load_user()
+    if not packaged:
+        return user
+    if not user:
+        return packaged
+    merged = copy.deepcopy(packaged)
+    for plat, kinds in user.items():
+        if not isinstance(kinds, dict):
+            merged[plat] = kinds
+            continue
+        mp = merged.setdefault(plat, {})
+        for kind, entries in kinds.items():
+            if isinstance(entries, dict) and isinstance(mp.get(kind), dict):
+                mp[kind].update(entries)
+            else:
+                mp[kind] = entries
+    return merged
 
 
 def matvec_key(w: int, dtype) -> str:
@@ -73,10 +112,11 @@ def update(platform: str, kind: str, key: str, entry: dict) -> str:
     """
     path = record_path()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    # deep-copy: load() returns the shared cache object; mutating it in
-    # place would leave phantom entries in memory if the write below fails
-    # (code-review r3)
-    data = copy.deepcopy(load()) if os.path.exists(path) else {}
+    # deep-copy: _load_user() returns the shared cache object; mutating it
+    # in place would leave phantom entries in memory if the write below
+    # fails (code-review r3).  Only the LOCAL overlay is rewritten — the
+    # packaged record stays a read-only fallback underneath.
+    data = copy.deepcopy(_load_user()) if os.path.exists(path) else {}
     data.setdefault(platform, {}).setdefault(kind, {})[str(key)] = entry
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                prefix=".tuning-")
