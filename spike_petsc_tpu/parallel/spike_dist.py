@@ -569,6 +569,26 @@ def dist_spike_solve_many(dsf: DistSpikeFactor, rhs, mesh: Mesh,
     return x.reshape(dsf.K * m, r)[:dsf.n]
 
 
+def _pad_shard_nullspace(ns, dsf: DistSpikeFactor, mesh: Mesh, spec):
+    """Shard a NullSpace basis row-block over the mesh exactly like the
+    rhs (zero rows in the padding leave every inner product unchanged).
+    Returns [K, m, dim]."""
+    q = ns.vecs
+    qp = jnp.zeros((dsf.K * dsf.m, q.shape[1]), q.dtype).at[:dsf.n].set(q)
+    return jax.device_put(qp.reshape(dsf.K, dsf.m, q.shape[1]),
+                          NamedSharding(mesh, spec))
+
+
+def _remove_local(q_loc, v, axes):
+    """MatNullSpaceRemove inside shard_map: project the null-space
+    components out of a row-sharded vector.  ``q_loc`` [rows_loc, dim] is
+    this device's shard of the orthonormal basis; the dim-sized
+    coefficient is the only cross-device traffic (one psum)."""
+    q = q_loc.astype(v.dtype)
+    coeff = jax.lax.psum(jnp.conj(q).T @ v, axes)
+    return v - q @ coeff
+
+
 def _dsf_specs(dsf: DistSpikeFactor, axis):
     """PartitionSpec pytree matching DistSpikeFactor: partition-sharded
     local fields (zero-size placeholders replicated), replicated
@@ -1262,12 +1282,16 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
                                 axis_slice: str = "slice", axis_p: str = "p",
                                 ksp_type: str = "gmres", use_pc: bool = True,
                                 dsf_transpose: Optional[DistSpikeFactor]
-                                = None, **params):
+                                = None, nullspace=None,
+                                transpose_nullspace=None, **params):
     """Multi-slice Krylov solver: per-slice SPIKE preconditioner (ICI-only),
     exact cross-slice matvec (k-wide DCN strips), dots psum'd over both axes.
 
     ``ksp_type="bicg"`` runs the shadow recurrence on A^T in-mesh: pass
     ``dsf_transpose=dist_spike_transpose_multislice(dsf, mesh, ...)``.
+
+    ``nullspace`` / ``transpose_nullspace``: as in make_dist_solver; the
+    projection coefficients psum over BOTH axes (rows span every chip).
 
     Returns solve(rhs[n]) -> KSPResult."""
     method = SOLVERS.get(ksp_type)
@@ -1278,32 +1302,50 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
         raise ValueError(
             f"distributed {ksp_type} needs the A^T factorization: pass "
             "dsf_transpose=dist_spike_transpose_multislice(dsf, mesh, ...)")
+    axes = (axis_slice, axis_p)
+    pax = P((axis_slice, axis_p))
+    ns, tns = nullspace, (transpose_nullspace if transpose_nullspace
+                          is not None else nullspace)
+    q_ns = None if ns is None else _pad_shard_nullspace(ns, dsf, mesh, pax)
+    q_tns = None if tns is None else _pad_shard_nullspace(
+        tns, dsf, mesh, pax)
 
-    def local_fn(dsf_in, dsft_in, r_local, x0_local):
-        matvec = lambda v: local_matvec_multislice(
+    def local_fn(dsf_in, dsft_in, r_local, x0_local, qn_l, qt_l):
+        qn = None if qn_l is None else qn_l.reshape(ppd * m, -1)
+        qt = None if qt_l is None else qt_l.reshape(ppd * m, -1)
+        base_mv = lambda v: local_matvec_multislice(
             dsf_in, v, axis_slice, axis_p, n_slices, ndev_p)
+        if qt is not None:
+            r_local = _remove_local(qt, r_local.reshape(-1), axes)
+            matvec = lambda v: _remove_local(qt, base_mv(v), axes)
+        else:
+            matvec = base_mv
         pc_apply = (lambda v: local_spike_solve_multislice(
             dsf_in, v, axis_slice, axis_p, ndev_p)) if use_pc else None
         kw = dict(params)
         if ksp_type in TRANSPOSE_KSP_TYPES:
-            kw["matvec_transpose"] = lambda v: local_matvec_multislice(
+            base_mvt = lambda v: local_matvec_multislice(
                 dsft_in, v, axis_slice, axis_p, n_slices, ndev_p)
+            kw["matvec_transpose"] = base_mvt if qn is None else \
+                (lambda v: _remove_local(qn, base_mvt(v), axes))
             if use_pc:
                 kw["pc_apply_transpose"] = \
                     lambda v: local_spike_solve_multislice(
                         dsft_in, v, axis_slice, axis_p, ndev_p)
         res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
-                     pc_apply, axis_name=(axis_slice, axis_p), **kw)
-        return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
+                     pc_apply, axis_name=axes, **kw)
+        x = res.x if qn is None else _remove_local(qn, res.x, axes)
+        return (x.reshape(ppd, m), res.its, res.reason, res.rnorm,
                 res.history)
 
-    pax = P((axis_slice, axis_p))
     specs = _multislice_specs(dsf, axis_slice, axis_p)
     t_specs = None if dsf_transpose is None else \
         _multislice_specs(dsf_transpose, axis_slice, axis_p)
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(specs, t_specs, pax, pax),
+        in_specs=(specs, t_specs, pax, pax,
+                  None if q_ns is None else pax,
+                  None if q_tns is None else pax),
         out_specs=(pax, P(), P(), P(), P()),
         check_vma=False)
 
@@ -1319,7 +1361,7 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
         rhs_sh = _shard(rhs)
         x0_sh = _shard(jnp.zeros_like(rhs) if x0 is None else x0)
         x, its, reason, rnorm, hist = shmapped(dsf, dsf_transpose, rhs_sh,
-                                               x0_sh)
+                                               x0_sh, q_ns, q_tns)
         return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
                          rnorm=rnorm, history=hist)
 
@@ -1542,6 +1584,7 @@ def make_dist_solver_3d(dsf: DistSpikeFactor, mesh: Mesh,
 def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
                      ksp_type: str = "gmres", use_pc: bool = True,
                      dsf_transpose: Optional[DistSpikeFactor] = None,
+                     nullspace=None, transpose_nullspace=None,
                      **params):
     """Build a jitted multi-chip Krylov solver: SPIKE-preconditioned
     iterations entirely inside one shard_map program (matvec halo exchange
@@ -1552,6 +1595,13 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
     matvec and SPIKE solve supply the transpose operator/PC (no transpose
     refactorization; same factor blocks, transposed).
 
+    ``nullspace`` / ``transpose_nullspace`` (solvers.nullspace.NullSpace):
+    singular consistent systems (the reference's graph Laplacians,
+    /root/reference/src/spectralPartition.c:264) — same semantics as
+    make_solver, executed mesh-natively: the basis is row-sharded like the
+    rhs and each projection costs one dim-sized psum.  Factor the operator
+    with a ``shift`` so the SPIKE PC itself stays nonsingular.
+
     Returns solve(rhs[n]) -> KSPResult with x a global [n] array.
     """
     method = SOLVERS.get(ksp_type)
@@ -1560,27 +1610,50 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         raise ValueError(
             f"distributed {ksp_type} needs the A^T factorization: pass "
             "dsf_transpose=dist_spike_transpose(dsf, mesh, axis)")
+    ns, tns = nullspace, (transpose_nullspace if transpose_nullspace
+                          is not None else nullspace)
+    q_ns = None if ns is None else _pad_shard_nullspace(
+        ns, dsf, mesh, P(axis))
+    q_tns = None if tns is None else _pad_shard_nullspace(
+        tns, dsf, mesh, P(axis))
 
-    def local_fn(dsf_in, dsft_in, r_local, x0_local):
-        matvec = lambda v: local_matvec(dsf_in, v, axis)
+    def local_fn(dsf_in, dsft_in, r_local, x0_local, qn_l, qt_l):
+        qn = None if qn_l is None else qn_l.reshape(ppd * m, -1)
+        qt = None if qt_l is None else qt_l.reshape(ppd * m, -1)
+        if qt is not None:
+            # consistency + residual-space drift control by the LEFT null
+            # space (see solvers.ksp for why the left one)
+            r_local = _remove_local(qt, r_local.reshape(-1), axis)
+            matvec = lambda v: _remove_local(
+                qt, local_matvec(dsf_in, v, axis), axis)
+        else:
+            matvec = lambda v: local_matvec(dsf_in, v, axis)
         pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
             if use_pc else None
         kw = dict(params)
         if ksp_type in TRANSPOSE_KSP_TYPES:
-            kw["matvec_transpose"] = lambda v: local_matvec(dsft_in, v, axis)
+            if qn is not None:
+                kw["matvec_transpose"] = lambda v: _remove_local(
+                    qn, local_matvec(dsft_in, v, axis), axis)
+            else:
+                kw["matvec_transpose"] = \
+                    lambda v: local_matvec(dsft_in, v, axis)
             if use_pc:
                 kw["pc_apply_transpose"] = \
                     lambda v: local_spike_solve(dsft_in, v, axis)
         res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
                      pc_apply, axis_name=axis, **kw)
-        return (res.x.reshape(ppd, m), res.its, res.reason, res.rnorm,
+        x = res.x if qn is None else _remove_local(qn, res.x, axis)
+        return (x.reshape(ppd, m), res.its, res.reason, res.rnorm,
                 res.history)
 
     t_specs = None if dsf_transpose is None else \
         _dsf_specs(dsf_transpose, axis)
     shmapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(_dsf_specs(dsf, axis), t_specs, P(axis), P(axis)),
+        in_specs=(_dsf_specs(dsf, axis), t_specs, P(axis), P(axis),
+                  None if q_ns is None else P(axis),
+                  None if q_tns is None else P(axis)),
         out_specs=(P(axis), P(), P(), P(), P()),
         check_vma=False)
 
@@ -1592,7 +1665,7 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
         x0_sh = _pad_shard_rhs(dsf, mesh, axis,
                                jnp.zeros_like(rhs) if x0 is None else x0)
         x, its, reason, rnorm, hist = shmapped(dsf, dsf_transpose, rhs_sh,
-                                               x0_sh)
+                                               x0_sh, q_ns, q_tns)
         return KSPResult(x=x.reshape(-1)[:dsf.n], its=its, reason=reason,
                          rnorm=rnorm, history=hist)
 

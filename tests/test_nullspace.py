@@ -139,6 +139,61 @@ def test_nullspace_many_columns():
     np.testing.assert_allclose(X, np.asarray(U), rtol=1e-6, atol=1e-7)
 
 
+def test_distributed_nullspace_solve():
+    """make_dist_solver(nullspace=): the Neumann Laplacian solves to the
+    zero-mean representative on the 8-device mesh; projections are
+    mesh-native (basis row-sharded, one dim-sized psum per apply)."""
+    from spike_petsc_tpu.parallel.mesh import make_mesh
+    from spike_petsc_tpu.parallel.spike_dist import (dist_spike_factor,
+                                                     make_dist_solver)
+
+    n = 1024
+    L = neumann_laplacian(n)
+    ns = make_nullspace(n, constant=True, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    u = ns.remove(jnp.asarray(rng.standard_normal(n)))
+    b = banded_matvec(L, u)
+    mesh = make_mesh(8)
+    # shift keeps the SPIKE PC itself nonsingular; GMRES handles the
+    # (projected) singular operator
+    dsf = dist_spike_factor(L, mesh, method="lu", shift="nonzero",
+                            shift_amount=1e-2)
+    solver = make_dist_solver(dsf, mesh, ksp_type="gmres", nullspace=ns,
+                              rtol=1e-12, maxit=200, restart=60)
+    res = solver(b)
+    x = np.asarray(res.x)
+    assert abs(x.mean()) < 1e-9
+    np.testing.assert_allclose(x, np.asarray(u), rtol=1e-6, atol=1e-7)
+    # inconsistent rhs projects to the same answer
+    res2 = solver(b + 2.5)
+    np.testing.assert_allclose(np.asarray(res2.x), x, rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_multislice_nullspace_solve():
+    """Multislice solver with a null space: 2-axis psum projections."""
+    from spike_petsc_tpu.parallel.spike_dist import (
+        dist_spike_factor_multislice, make_dist_solver_multislice,
+        make_mesh_multislice)
+
+    n = 1024
+    L = neumann_laplacian(n)
+    ns = make_nullspace(n, constant=True, dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    u = ns.remove(jnp.asarray(rng.standard_normal(n)))
+    b = banded_matvec(L, u)
+    mesh = make_mesh_multislice((2, 4))
+    dsf = dist_spike_factor_multislice(L, mesh, method="lu",
+                                       shift="nonzero", shift_amount=1e-2)
+    solver = make_dist_solver_multislice(dsf, mesh, ksp_type="gmres",
+                                         nullspace=ns, rtol=1e-12,
+                                         maxit=200, restart=60)
+    res = solver(b)
+    x = np.asarray(res.x)
+    assert abs(x.mean()) < 1e-9
+    np.testing.assert_allclose(x, np.asarray(u), rtol=1e-6, atol=1e-7)
+
+
 def test_nonsymmetric_distinct_left_nullspace():
     """A nonsymmetric singular matrix with distinct right/left null spaces:
     pass both; b is projected by the LEFT one, x by the RIGHT one."""
