@@ -10,15 +10,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": <tpu solve ms>, "unit": "ms",
    "vs_baseline": <cpu_solve_ms / tpu_solve_ms>, ...extras}
 
-Robustness contract (round-3 postmortem: the driver runs this script under
-its own external timeout; the r3 run was killed mid-extras and recorded NO
-result): the run is a sequence of STAGES that each merge their results into
-one shared dict.  The headline stages (factor, solve, CPU baseline) run
-first; every extra is budget-gated and exception-isolated; and a daemon
-watchdog thread force-prints whatever has been collected shortly after the
-soft budget expires, even if the main thread is stuck in a tunnel readback.
-The default budget is deliberately small (420 s) — extras that don't fit
-are skipped and listed, never allowed to starve the report.
+Robustness contract (round-3/4 postmortems: the driver runs this script
+under its own external timeout; the r3 run was killed mid-extras and
+recorded NO result, and an r4 run proved a threading.Timer watchdog cannot
+fire while the main thread sits in a GIL-holding tunnel readback): the run
+is a sequence of STAGES that each merge their results into one shared dict,
+which is dumped to a partial file after every stage.  The headline stages
+(factor, solve, CPU baseline) run first; every extra is budget-gated and
+exception-isolated; and a FORKED WATCHDOG PROCESS (immune to the parent's
+GIL) prints the partial report to the shared stdout and SIGKILLs the
+parent shortly after the soft budget expires.  The default budget is
+deliberately small (420 s) — extras that don't fit are skipped and listed,
+never allowed to starve the report.
 
 Timing methodology for the axon TPU tunnel (which adds tens of ms of
 per-dispatch latency, makes block_until_ready unreliable, and serializes
@@ -47,23 +50,125 @@ import numpy as np
 OUT: dict = {}
 _emit_lock = threading.Lock()
 _emitted = False
+_PARTIAL = os.path.join(os.path.expanduser("~"), ".cache",
+                        "spike_petsc_tpu", "bench_partial.json")
+_wd_pid = 0
+
+
+def dump_partial() -> None:
+    """Atomically persist the collected report so the forked watchdog can
+    print it even after the main process is beyond saving."""
+    try:
+        os.makedirs(os.path.dirname(_PARTIAL), exist_ok=True)
+        tmp = _PARTIAL + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(OUT, f)
+        os.replace(tmp, _PARTIAL)
+    except OSError:
+        pass
 
 
 def emit() -> None:
-    """Print the single JSON report line exactly once (main path or
-    watchdog).  Safe to call from any thread."""
+    """Print the single JSON report line exactly once.  Kills the watchdog
+    child first so a parallel watchdog print cannot race this one."""
     global _emitted
     with _emit_lock:
         if _emitted:
             return
         _emitted = True
+        if _wd_pid:
+            try:
+                import signal
+                os.kill(_wd_pid, signal.SIGKILL)
+            except OSError:
+                pass
         print(json.dumps(OUT), flush=True)
 
 
+def _fork_watchdog(deadline: float) -> None:
+    """GIL-proof watchdog: a FORKED child process prints the partial report
+    to the (inherited) stdout and SIGKILLs the parent if it is still alive
+    at the deadline.  A threading.Timer cannot do this job — the r4
+    postmortem caught the main thread >20 min inside a GIL-holding axon
+    tunnel readback, during which no Python thread (so no Timer callback)
+    ever ran.  Forked BEFORE jax initializes, so the child owns no device
+    handles and does nothing but sleep/read/kill."""
+    global _wd_pid
+    if os.environ.get("SPIKE_BENCH_WATCHDOG", "1") != "1":
+        return
+    try:
+        os.remove(_PARTIAL)          # never report a stale previous run
+    except OSError:
+        pass
+    parent = os.getpid()
+    pid = os.fork()
+    if pid:
+        _wd_pid = pid
+        return
+    import signal
+    try:
+        while time.time() < deadline:
+            time.sleep(2.0)
+            if os.getppid() != parent:      # parent already exited
+                os._exit(0)
+        out = {"metric": "spike_banded_solve", "value": None, "unit": "ms",
+               "vs_baseline": None}
+        try:
+            with open(_PARTIAL) as f:
+                out = json.load(f)
+        except (OSError, ValueError):
+            pass
+        out["watchdog_fired"] = True
+        sys.stdout.write(json.dumps(out) + "\n")
+        sys.stdout.flush()
+        try:
+            os.kill(parent, signal.SIGKILL)
+        except OSError:
+            pass
+    finally:
+        os._exit(0)
+
+
 def main() -> None:
+    # arm the watchdog FIRST (pre-jax fork: the child holds no TPU state);
+    # budget clock starts here so jax/tunnel init counts against it
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("SPIKE_BENCH_BUDGET_S", 420))
+    _fork_watchdog(time.time() + budget_s + 45.0)
+
+    # pure-env config first, so the partial report carries it even if the
+    # run stalls inside jax/tunnel initialization
+    n = int(os.environ.get("SPIKE_BENCH_N", 1_000_000))
+    k = int(os.environ.get("SPIKE_BENCH_HALFBW", 100))      # bandwidth 2k+1
+    K = int(os.environ.get("SPIKE_BENCH_PARTS", 64))
+    store = os.environ.get("SPIKE_BENCH_DTYPE", "f32")
+    method = os.environ.get("SPIKE_BENCH_METHOD", "inv")
+    spikes = os.environ.get("SPIKE_BENCH_SPIKES", "1") == "1"
+    impl = os.environ.get("SPIKE_BENCH_IMPL", "auto")
+    spike_store = os.environ.get("SPIKE_BENCH_SPIKE_DTYPE", "bf16")
+    inverter = os.environ.get("SPIKE_BENCH_INVERTER", "newton_fixed")
+    w = 2 * k + 1
+    r_serve = int(os.environ.get("SPIKE_BENCH_SERVE_RHS", 32))
+    only = os.environ.get("SPIKE_BENCH_STAGES")
+    only_set = set(s.strip() for s in only.split(",")) if only else None
+    OUT.update({
+        "metric": f"spike_banded_solve_n{n}_bw{w}_wallclock",
+        "value": None, "unit": "ms", "vs_baseline": None,
+        "platform": None, "partitions": K,
+        "factor_store_dtype": store, "method": method, "impl": impl,
+    })
+    dump_partial()
+
     import jax
     import jax.numpy as jnp
     from functools import partial
+
+    # The axon plugin pins jax_platforms and IGNORES the JAX_PLATFORMS env
+    # override — an explicit request (CI smoke on the host CPU) must go
+    # through the config knob before first backend use.
+    plat_req = os.environ.get("SPIKE_BENCH_PLATFORM")
+    if plat_req:
+        jax.config.update("jax_platforms", plat_req)
 
     # Persistent XLA compilation cache: the extras are COMPILE-bound through
     # the axon tunnel (krylov_serve measured >340 s of compiles on a cold
@@ -84,42 +189,24 @@ def main() -> None:
     from spike_petsc_tpu.ops.spike import (spike_factor, spike_solve,
                                            spike_solve_many)
 
-    n = int(os.environ.get("SPIKE_BENCH_N", 1_000_000))
-    k = int(os.environ.get("SPIKE_BENCH_HALFBW", 100))      # bandwidth 2k+1
-    K = int(os.environ.get("SPIKE_BENCH_PARTS", 64))
-    store = os.environ.get("SPIKE_BENCH_DTYPE", "f32")
-    store_dtype = jnp.bfloat16 if store == "bf16" else None
+    # dtype resolution needs jnp; the string config was parsed pre-jax.
     # block-Thomas factors solved by the fused manual-DMA Pallas sweep
     # (727 GB/s streaming) + stored spikes (one factor pass + V/W correction
     # instead of two passes) + Newton-Schulz Schur inverses in the factor.
-    method = os.environ.get("SPIKE_BENCH_METHOD", "inv")
-    spikes = os.environ.get("SPIKE_BENCH_SPIKES", "1") == "1"
-    impl = os.environ.get("SPIKE_BENCH_IMPL", "auto")
     # bf16-stored V/W spikes are accuracy-free at this config (f64-checked
     # residual 8.29e-5 vs 8.25e-5 with f32 spikes: the spike columns decay
     # exponentially away from the interfaces, so their bf16 rounding is
-    # absolutely tiny) and cut per-solve streaming by 0.4 GB: 3.3 -> 2.4 ms
-    spike_store = os.environ.get("SPIKE_BENCH_SPIKE_DTYPE", "bf16")
+    # absolutely tiny) and cut per-solve streaming by 0.4 GB: 3.3 -> 2.4 ms.
+    # inverter: the bench matrix is strongly diagonally dominant by
+    # construction, so the fixed-schedule Newton (no per-step convergence
+    # reduce on the scan critical path) is safe here; the library default
+    # stays the adaptive guarded 'auto' (solvers/pc.py safety net).  relres
+    # is checked below either way.
+    store_dtype = jnp.bfloat16 if store == "bf16" else None
     spike_dtype = jnp.bfloat16 if spike_store == "bf16" else None
-    # the bench matrix is strongly diagonally dominant by construction, so
-    # the fixed-schedule Newton (no per-step convergence reduce on the scan
-    # critical path) is safe here; the library default stays the adaptive
-    # guarded 'auto' (solvers/pc.py safety net).  relres is checked below
-    # either way.
-    inverter = os.environ.get("SPIKE_BENCH_INVERTER", "newton_fixed")
-    w = 2 * k + 1
     dtype = jnp.float32
     platform = jax.devices()[0].platform
-    r_serve = int(os.environ.get("SPIKE_BENCH_SERVE_RHS", 32))
-    only = os.environ.get("SPIKE_BENCH_STAGES")
-    only_set = set(s.strip() for s in only.split(",")) if only else None
-
-    OUT.update({
-        "metric": f"spike_banded_solve_n{n}_bw{w}_wallclock",
-        "value": None, "unit": "ms", "vs_baseline": None,
-        "platform": platform, "partitions": K,
-        "factor_store_dtype": store, "method": method, "impl": impl,
-    })
+    OUT["platform"] = platform
 
     # diagonally dominant random band, built directly on device
     key = jax.random.PRNGKey(0)
@@ -131,27 +218,15 @@ def main() -> None:
     # tunnel's one-time first-readback cost, measured up to ~2 min on a
     # degraded session, OUTSIDE every timed region)
 
-    # ---- tunnel health probe + wall-clock budget ----------------------------
+    # ---- tunnel health probe --------------------------------------------
     # The axon tunnel's per-dispatch latency varies session-to-session by 5x+
     # (measured 28 ms .. 140 ms) and the driver runs this script under its
     # own EXTERNAL timeout (r3 was killed at it with no output): probe the
     # dispatch+readback cost once, then (a) cut repeat counts when the
-    # tunnel is slow, (b) gate every extra stage on remaining budget, and
-    # (c) arm a watchdog that prints the collected report at budget+45 s
-    # no matter what the main thread is blocked on.
-    t_start = time.perf_counter()
-    budget_s = float(os.environ.get("SPIKE_BENCH_BUDGET_S", 420))
+    # tunnel is slow, (b) gate every extra stage on remaining budget (the
+    # fork watchdog armed at the top of main handles everything else).
     skipped: list = []
-
-    def _watchdog():
-        OUT["watchdog_fired"] = True
-        OUT.setdefault("skipped_stages", skipped)
-        emit()
-        os._exit(0)
-
-    wd = threading.Timer(budget_s + 45.0, _watchdog)
-    wd.daemon = True
-    wd.start()
+    dump_partial()
 
     @jax.jit
     def _probe(x):
@@ -222,11 +297,17 @@ def main() -> None:
                   f"{est:.0f}+15)", file=sys.stderr, flush=True)
             return False
         t0 = time.perf_counter()
+        # pessimistic sentinel: if this stage kills the run (watchdog or
+        # driver timeout), the NEXT run's gate sees a huge recorded
+        # duration and skips straight past it — successive runs converge
+        # on a set of stages that completes
+        _record_stage(name, max(est * 4.0, 900.0))
         try:
             fn()
         except Exception as exc:  # noqa: BLE001 — extras must not kill bench
             OUT[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:200]
         _record_stage(name, time.perf_counter() - t0)
+        dump_partial()
         print(f"bench: {name} done at {elapsed():.0f}s",
               file=sys.stderr, flush=True)
         return True
@@ -315,6 +396,7 @@ def main() -> None:
     OUT["gflops_useful_band"] = round(band_flops / solve_s / 1e9, 2)
     OUT["factor_stream_gbs"] = round(
         (sweeps * fact_bytes + vw_bytes) / solve_s / 1e9, 1)
+    dump_partial()
     print(f"bench: solve done at {elapsed():.0f}s", file=sys.stderr,
           flush=True)
 
@@ -363,6 +445,7 @@ def main() -> None:
         OUT["factor_plus_solve_speedup"] = round(
             (cpu_factor_s + cpu_solve_s) / (factor_s + solve_s), 3)
         del ab, data_np, lub, ipiv, rhs_np
+        dump_partial()
         print(f"bench: cpu baseline done at {elapsed():.0f}s",
               file=sys.stderr, flush=True)
 
@@ -496,16 +579,26 @@ def main() -> None:
         from spike_petsc_tpu.solvers.operator import as_matvec_many
         r_ks = min(r_serve, 32)
         RHSK = jax.random.normal(jax.random.PRNGKey(3), (n, r_ks), dtype)
-        # true multi-RHS operator apply: blocks stream once per iteration
-        # for all r columns (the vmapped shifted-axpy form re-read the
-        # operator per column)
-        mv_many, _, _ = as_matvec_many(band)
+        # The COMPUTE-path operator is rebuilt INSIDE the jit from the
+        # explicit band argument: as_matvec_many's converted blocktri copy
+        # (1.5 GB at this config) captured by a closure gets serialized
+        # into every remote-compile POST through the axon tunnel (this
+        # stage hung >20 min that way in the r4 postmortem); traced, the
+        # conversion is part of the program and the operand stays
+        # device-resident.  The conversion cost lands once per LOOP call
+        # (outside the fori body) and cancels in the reps difference.
+        # The dispatch route is captured host-side during tracing.
+        route_cell = {}
 
         # the iteration count rides the loop carry so the stage compiles
         # exactly TWO programs (reps=1/3) — a third jit for .its alone cost
         # ~100 s of tunnel compile on the r3-era bench
         @partial(jax.jit, static_argnames=("reps",))
-        def kserve_loop(sf_in, B, reps):
+        def kserve_loop(d, sf_in, B, reps):
+            mv_many, _, _ = as_matvec_many(
+                BandedMatrix(data=d, kl=k, ku=k))
+            route_cell["route"] = getattr(mv_many, "_route", "?")
+
             def body(i, carry):
                 Bc, its_max = carry
                 res = bicgstab_many(
@@ -517,21 +610,23 @@ def main() -> None:
             return jax.lax.fori_loop(0, reps, body,
                                      (B, jnp.zeros((), jnp.int32)))
 
-        timed(lambda: kserve_loop(sf, RHSK, 1))        # compile
-        timed(lambda: kserve_loop(sf, RHSK, 3))        # compile
-        k_s1 = min(timed(lambda: kserve_loop(sf, RHSK, 1))
+        timed(lambda: kserve_loop(data, sf, RHSK, 1))        # compile
+        timed(lambda: kserve_loop(data, sf, RHSK, 3))        # compile
+        k_s1 = min(timed(lambda: kserve_loop(data, sf, RHSK, 1))
                    for _ in range(R3))
-        k_s3 = min(timed(lambda: kserve_loop(sf, RHSK, 3))
+        k_s3 = min(timed(lambda: kserve_loop(data, sf, RHSK, 3))
                    for _ in range(R3))
         ks_s = max(k_s3 - k_s1, 1e-9) / 2.0 / r_ks
         if ks_s < 1e-6:
             ks_s = k_s1 / r_ks
-        _, its = kserve_loop(sf, RHSK, 1)
+        _, its = kserve_loop(data, sf, RHSK, 1)
         OUT[f"krylov_serve_ms_per_rhs_r{r_ks}"] = round(ks_s * 1e3, 4)
         OUT["krylov_serve_max_its"] = int(np.asarray(its))
-        OUT["krylov_serve_mv_route"] = getattr(mv_many, "_route", "?")
+        OUT["krylov_serve_mv_route"] = route_cell.get("route", "?")
 
-    run_stage("krylov_serve", 300, stage_krylov_serve)
+    # est post-fix: the old 300 s was the closure-POST pathology (operator
+    # now rides as an explicit argument); measured history replaces this
+    run_stage("krylov_serve", 120, stage_krylov_serve)
 
     # ---- transpose/adjoint solves on stored factors -------------------------
     def stage_transpose():
@@ -638,37 +733,44 @@ def main() -> None:
             # misaligned-operand penalty (37.5 ms at this config).  The
             # reported relres checks the kernel's error-free transforms
             # end-to-end: a broken compensation cannot reach <= 1e-12.
+            # the residual operand (split hi/lo pairs = 1.6 GB, or the f64
+            # band) rides the jit as an EXPLICIT argument — closure capture
+            # would serialize it into every remote-compile POST through the
+            # axon tunnel (r4 postmortem)
             f64_mv = os.environ.get("SPIKE_BENCH_F64_MV", "pallas")
             from spike_petsc_tpu.ops.pallas.band_matvec import (
                 banded_matvec_prepared_f64, banded_mv_feasible,
                 prepare_banded_mv_f64)
-            if f64_mv == "pallas" and banded_mv_feasible(w, n=n):
-                prep64 = prepare_banded_mv_f64(
-                    BandedMatrix(data=data64, kl=k, ku=k))
-                sync(prep64.d3hi)
 
-                def mk_mv64(d64):
-                    return lambda v: banded_matvec_prepared_f64(prep64, v)
+            def _mk_mv64_xla(op):
+                bnd = BandedMatrix(data=op, kl=k, ku=k)
+                return lambda v: banded_matvec(bnd, v)
+
+            if f64_mv == "pallas" and banded_mv_feasible(w, n=n):
+                operand64 = prepare_banded_mv_f64(
+                    BandedMatrix(data=data64, kl=k, ku=k))
+                sync(operand64.d3hi)
+
+                def mk_mv64(op):
+                    return lambda v: banded_matvec_prepared_f64(op, v)
             else:
                 f64_mv = "xla"
-
-                def mk_mv64(d64):
-                    bnd = BandedMatrix(data=d64, kl=k, ku=k)
-                    return lambda v: banded_matvec(bnd, v)
+                operand64 = data64
+                mk_mv64 = _mk_mv64_xla
 
             @jax.jit
-            def refine_run(d64, sf_in, b64):
+            def refine_run(op, sf_in, b64):
                 def pcapply(r):
                     r_lo = r.astype(jnp.float32)
                     with jax.enable_x64(False):  # Pallas can't lower under x64
                         y = spike_solve(sf_in, r_lo)
                     return y.astype(b64.dtype)
-                res = richardson(mk_mv64(d64), b64, None,
+                res = richardson(mk_mv64(op), b64, None,
                                  pcapply, rtol=1e-12, maxit=20)
                 return res.its, res.rnorm / jnp.linalg.norm(b64)
 
             try:
-                r_its, r_rel = refine_run(data64, sf, rhs64)   # compile+run
+                r_its, r_rel = refine_run(operand64, sf, rhs64)  # compile+run
                 r_rel_v = float(np.asarray(r_rel))
             except Exception:  # noqa: BLE001 — kernel engine must not
                 r_rel_v = float("inf")  # kill the stage; fall back below
@@ -680,13 +782,10 @@ def main() -> None:
                 # fails outright, fall back to the XLA x64 operator so the
                 # headline accuracy never silently regresses
                 f64_mv = "xla_fallback"
-
-                def mk_mv64(d64):
-                    bnd = BandedMatrix(data=d64, kl=k, ku=k)
-                    return lambda v: banded_matvec(bnd, v)
-
+                operand64 = data64
+                mk_mv64 = _mk_mv64_xla
                 refine_run = jax.jit(refine_run.__wrapped__)
-                r_its, r_rel = refine_run(data64, sf, rhs64)
+                r_its, r_rel = refine_run(operand64, sf, rhs64)
                 r_rel_v = float(np.asarray(r_rel))
 
             # wall time via the same differenced chained-loop methodology as
@@ -695,8 +794,8 @@ def main() -> None:
             # (measured 10.6 s reported for ~0.3 s of device work) — the
             # fixed readback cancels in the r=1 vs r=3 difference.
             @partial(jax.jit, static_argnames=("r",))
-            def refine_loop(d64, sf_in, b64, r):
-                mv64 = mk_mv64(d64)
+            def refine_loop(op, sf_in, b64, r):
+                mv64 = mk_mv64(op)
 
                 def pcapply(rr):
                     r_lo = rr.astype(jnp.float32)
@@ -710,11 +809,11 @@ def main() -> None:
                     return bcur + 0.0 * res.x
                 return jax.lax.fori_loop(0, r, body, b64)
 
-            timed(lambda: refine_loop(data64, sf, rhs64, 1))     # compile
-            timed(lambda: refine_loop(data64, sf, rhs64, 3))     # compile
-            t_r1 = min(timed(lambda: refine_loop(data64, sf, rhs64, 1))
+            timed(lambda: refine_loop(operand64, sf, rhs64, 1))     # compile
+            timed(lambda: refine_loop(operand64, sf, rhs64, 3))     # compile
+            t_r1 = min(timed(lambda: refine_loop(operand64, sf, rhs64, 1))
                        for _ in range(R3))
-            t_r3 = min(timed(lambda: refine_loop(data64, sf, rhs64, 3))
+            t_r3 = min(timed(lambda: refine_loop(operand64, sf, rhs64, 3))
                        for _ in range(R3))
             refine_wall = max((t_r3 - t_r1) / 2.0, 1e-9)
             if refine_wall < 1e-3:      # tunnel anomaly guard
@@ -769,15 +868,21 @@ def main() -> None:
     def stage_tune():
         # time each feasible SpMV route through the library's own dispatch
         # and record the winner so as_matvec('auto') follows the MEASURED
-        # data on this platform/bandwidth (utils/tuning.py)
-        from spike_petsc_tpu.solvers.operator import as_matvec
+        # data on this platform/bandwidth (utils/tuning.py).  The split
+        # form passes the prepared operator as an explicit jit argument —
+        # closure capture serializes it into the tunnel's remote-compile
+        # POSTs (r4 postmortem)
+        from spike_petsc_tpu.solvers.operator import as_matvec_split
         from spike_petsc_tpu.utils import tuning
 
         def _route_ms(impl_name):
-            mv, _, _ = as_matvec(band, impl=impl_name)
+            mv, operand, _, _ = as_matvec_split(band, impl=impl_name)
             if getattr(mv, "_route", None) != impl_name:
                 return None     # dispatch fell back: infeasible here
-            return tuning.measure_matvec_ms(mv, rhs, reps=20, timed=timed)
+            ms = tuning.measure_matvec_ms(mv, rhs, reps=20, timed=timed,
+                                          operand=operand)
+            del operand
+            return ms
 
         routes = {}
         for nmr in ("xla", "blocktri", "banded_pallas"):
@@ -806,7 +911,6 @@ def main() -> None:
 
     if skipped:
         OUT["skipped_stages"] = skipped
-    wd.cancel()
     emit()
 
 

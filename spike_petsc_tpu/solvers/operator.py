@@ -47,16 +47,91 @@ def _bt_gate(a: BandedMatrix) -> Tuple[bool, bool]:
     return bt_ok, bt_ok and a.kl + a.ku + 1 >= 96
 
 
-def _banded_pallas_route(a: BandedMatrix):
-    """(matvec, n, dtype) through the minimal-traffic Pallas banded kernel
+def _banded_pallas_split(a: BandedMatrix):
+    """(apply, operand) through the minimal-traffic Pallas banded kernel
     (ops/pallas/band_matvec.py): diagonal-major layout prepared ONCE, exactly
     n*w band entries streamed per call — covers ANY width where the blocktri
     conversion only paid off at w >= ~96."""
     from ..ops.pallas.band_matvec import (banded_matvec_prepared,
                                           prepare_banded_mv)
-    prep = prepare_banded_mv(a)
-    return _tag((lambda x: banded_matvec_prepared(prep, x)),
-                "banded_pallas"), a.n, a.dtype
+    return banded_matvec_prepared, prepare_banded_mv(a)
+
+
+def _band_split(a: BandedMatrix, impl: str):
+    """Resolve a BandedMatrix SpMV route to a CLOSURE-FREE pair
+    ``(apply, operand, route)`` with ``apply(operand, x)`` pure in its
+    array arguments — ``operand`` is the prepared operator pytree.
+
+    This is the explicit-argument form behind :func:`as_matvec` (which
+    wraps it in a closure) and :func:`as_matvec_split` (which exposes it):
+    through the axon TPU tunnel, jit CLOSURE constants are serialized into
+    every remote-compile POST — a 1.5 GB converted operator captured by a
+    closure turns each compile into a multi-minute upload — while explicit
+    jit arguments stay device-resident (bench.py timing methodology)."""
+    if impl == "xla":
+        return banded_matvec, a, "xla"
+    if impl == "banded_pallas":
+        from ..ops.pallas.band_matvec import banded_mv_feasible
+        if banded_mv_feasible(a):
+            return (*_banded_pallas_split(a), "banded_pallas")
+        return banded_matvec, a, "xla"
+    # 'auto' consults the measured tuning record first (bench.py times
+    # every feasible route on the real chip and records the winner per
+    # platform/bandwidth — utils/tuning.py); the static heuristics
+    # below are the fallback when no measurement exists
+    hint = None
+    if impl == "auto":
+        from ..utils.tuning import matvec_route_hint
+        hint = matvec_route_hint(jax.default_backend(),
+                                 a.kl + a.ku + 1, dtype=a.dtype, n=a.n)
+    if hint == "banded_pallas":
+        from ..ops.pallas.band_matvec import banded_mv_feasible
+        if banded_mv_feasible(a):
+            return (*_banded_pallas_split(a), "banded_pallas")
+        hint = None
+    if hint == "xla":
+        return banded_matvec, a, "xla"
+    bt_ok, wide = _bt_gate(a)
+    if ((impl == "auto" and (hint == "blocktri" and bt_ok
+                             or hint is None and wide))
+            or (bt_ok and impl == "blocktri")) \
+            and _use_blocktri_matvec():
+        from ..ops.blocktri import band_to_blocktri
+        from ..ops.pallas.matvec import blocktri_matvec_dma, mv_padded_nb
+        T = band_to_blocktri(a, 128)
+        nb, b, n = T.nb, T.b, a.n
+        # pad ONCE to the DMA kernel's chunk grid; a per-call pad would
+        # copy the full [nb, b, b] matrices every matvec (~2x the kernel)
+        nbp = mv_padded_nb(nb, b, jnp.dtype(T.dtype).itemsize)
+        if nbp != nb:
+            T = BlockTridiagonal(
+                D=jnp.pad(T.D, ((0, nbp - nb), (0, 0), (0, 0))),
+                L=jnp.pad(T.L, ((0, nbp - nb), (0, 0), (0, 0))),
+                U=jnp.pad(T.U, ((0, nbp - nb), (0, 0), (0, 0))))
+
+        def apply_bt(Tm, x):
+            xb = jnp.pad(x, (0, nbp * b - n)).reshape(nbp, b)
+            return blocktri_matvec_dma(Tm, xb).reshape(-1)[:n]
+        return apply_bt, T, "blocktri"
+    return banded_matvec, a, "xla"
+
+
+def as_matvec_split(a, impl: str = "auto"):
+    """Closure-free form of :func:`as_matvec` for BandedMatrix operators:
+    returns ``(apply, operand, n, dtype)`` with ``apply(operand, x)`` —
+    pass ``operand`` as an EXPLICIT jit argument when compiling through
+    the axon tunnel (see :func:`_band_split`)."""
+    if impl not in ("auto", "banded_pallas", "blocktri", "xla"):
+        raise ValueError(
+            f"unknown matvec impl {impl!r}: expected auto, banded_pallas, "
+            f"blocktri, or xla (-mat_matvec_impl)")
+    if not isinstance(a, BandedMatrix):
+        raise TypeError("as_matvec_split supports BandedMatrix operators; "
+                        "use as_matvec for other representations")
+    apply, operand, route = _band_split(a, impl)
+    # tag a per-call wrapper, not the shared library function
+    tagged = _tag(lambda op, x: apply(op, x), route)
+    return tagged, operand, a.n, a.dtype
 
 
 def transpose_operator(a):
@@ -110,52 +185,8 @@ def as_matvec(a, n_hint: int = None,
             f"unknown matvec impl {impl!r}: expected auto, banded_pallas, "
             f"blocktri, or xla (-mat_matvec_impl)")
     if isinstance(a, BandedMatrix):
-        if impl == "xla":
-            return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
-        if impl == "banded_pallas":
-            from ..ops.pallas.band_matvec import banded_mv_feasible
-            if banded_mv_feasible(a):
-                return _banded_pallas_route(a)
-            return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
-        # 'auto' consults the measured tuning record first (bench.py times
-        # every feasible route on the real chip and records the winner per
-        # platform/bandwidth — utils/tuning.py); the static heuristics
-        # below are the fallback when no measurement exists
-        hint = None
-        if impl == "auto":
-            from ..utils.tuning import matvec_route_hint
-            hint = matvec_route_hint(jax.default_backend(),
-                                     a.kl + a.ku + 1, dtype=a.dtype, n=a.n)
-        if hint == "banded_pallas":
-            from ..ops.pallas.band_matvec import banded_mv_feasible
-            if banded_mv_feasible(a):
-                return _banded_pallas_route(a)
-            hint = None
-        if hint == "xla":
-            return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
-        bt_ok, wide = _bt_gate(a)
-        if ((impl == "auto" and (hint == "blocktri" and bt_ok
-                                 or hint is None and wide))
-                or (bt_ok and impl == "blocktri")) \
-                and _use_blocktri_matvec():
-            from ..ops.blocktri import band_to_blocktri
-            from ..ops.pallas.matvec import blocktri_matvec_dma, mv_padded_nb
-            T = band_to_blocktri(a, 128)
-            nb, b = T.nb, T.b
-            # pad ONCE to the DMA kernel's chunk grid; a per-call pad would
-            # copy the full [nb, b, b] matrices every matvec (~2x the kernel)
-            nbp = mv_padded_nb(nb, b, jnp.dtype(T.dtype).itemsize)
-            if nbp != nb:
-                T = BlockTridiagonal(
-                    D=jnp.pad(T.D, ((0, nbp - nb), (0, 0), (0, 0))),
-                    L=jnp.pad(T.L, ((0, nbp - nb), (0, 0), (0, 0))),
-                    U=jnp.pad(T.U, ((0, nbp - nb), (0, 0), (0, 0))))
-
-            def mv(x):
-                xb = jnp.pad(x, (0, nbp * b - a.n)).reshape(nbp, b)
-                return blocktri_matvec_dma(T, xb).reshape(-1)[:a.n]
-            return _tag(mv, "blocktri"), a.n, a.dtype
-        return _tag((lambda x: banded_matvec(a, x)), "xla"), a.n, a.dtype
+        apply, operand, route = _band_split(a, impl)
+        return _tag((lambda x: apply(operand, x)), route), a.n, a.dtype
 
     if isinstance(a, BlockTridiagonal):
         nb, b = a.nb, a.b

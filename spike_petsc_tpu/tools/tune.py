@@ -30,7 +30,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ..ops.band import BandedMatrix
-    from ..solvers.operator import as_matvec
+    from ..solvers.operator import as_matvec_split
     from ..utils import tuning
     from ..utils.options import Options
 
@@ -60,10 +60,12 @@ def main(argv=None) -> int:
     x0 = jax.random.normal(jax.random.PRNGKey(1), (n,), dtype)
 
     def route_ms(impl_name):
-        mv, _, _ = as_matvec(band, impl=impl_name)
+        # split form: the prepared operator is an explicit jit argument,
+        # never a closure constant (tunnel remote-compiles serialize those)
+        mv, operand, _, _ = as_matvec_split(band, impl=impl_name)
         if getattr(mv, "_route", None) != impl_name:
             return None                       # infeasible: dispatch fell back
-        return tuning.measure_matvec_ms(mv, x0, reps=reps)
+        return tuning.measure_matvec_ms(mv, x0, reps=reps, operand=operand)
 
     routes = {}
     for name in ("xla", "blocktri", "banded_pallas"):

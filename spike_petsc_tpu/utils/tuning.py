@@ -166,12 +166,19 @@ def matvec_route_hint(platform: str, w: int, dtype=None,
     return best[1] if best else None
 
 
-def measure_matvec_ms(mv, x, reps: int = 20, timed=None) -> float:
+def measure_matvec_ms(mv, x, reps: int = 20, timed=None,
+                      operand=None) -> float:
     """Chained ``lax.fori_loop`` differenced matvec timing in ms — the
     shared methodology of bench.py and tools/tune.py (dispatch/tunnel
     latency cancels between the 2-rep and (reps+2)-rep loops; single-op
     timing through the axon tunnel is meaningless).  ``timed`` overrides
-    the wall-clock harness (bench passes its digest-synced version)."""
+    the wall-clock harness (bench passes its digest-synced version).
+
+    ``operand``: when given, ``mv`` is the closure-free two-argument form
+    ``mv(operand, x)`` (solvers.operator.as_matvec_split) and the operand
+    rides the jit as an EXPLICIT argument — through the axon tunnel, jit
+    closure constants (the prepared operator, up to GBs) are serialized
+    into every remote-compile POST; explicit args stay device-resident."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -185,10 +192,17 @@ def measure_matvec_ms(mv, x, reps: int = 20, timed=None) -> float:
             jax.block_until_ready(out)
             return _time.perf_counter() - t0
 
-    @partial(jax.jit, static_argnames=("r",))
-    def loop(xx, r):
-        return jax.lax.fori_loop(
-            0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), xx)
+    if operand is not None:
+        @partial(jax.jit, static_argnames=("r",))
+        def loop_op(op, xx, r):
+            return jax.lax.fori_loop(
+                0, r, lambda i, y: mv(op, y / jnp.max(jnp.abs(y))), xx)
+        loop = lambda xx, r: loop_op(operand, xx, r)  # noqa: E731
+    else:
+        @partial(jax.jit, static_argnames=("r",))
+        def loop(xx, r):
+            return jax.lax.fori_loop(
+                0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), xx)
 
     timed(lambda: loop(x, 2))             # compile
     timed(lambda: loop(x, reps + 2))      # compile

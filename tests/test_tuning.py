@@ -89,3 +89,34 @@ def test_update_merges_and_is_atomic(tmp_path, monkeypatch):
     assert set(data) == {"tpu", "cpu"}
     assert set(data["tpu"]["banded_matvec"]) == {"201:float32",
                                                  "13:float32"}
+
+
+def test_as_matvec_split_parity_and_operand_timing():
+    """as_matvec_split returns the closure-free (apply, operand) pair with
+    exact parity to as_matvec on every feasible route, and
+    measure_matvec_ms accepts the explicit-operand form (the tunnel-safe
+    path: no GB-scale jit closure constants in remote-compile POSTs)."""
+    import jax
+
+    from spike_petsc_tpu.solvers.operator import as_matvec_split
+
+    n, kk = 2048, 3
+    a = problems.nonsym_banded(n, kk, kk, seed=4)
+    A = banded_of(a)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    for impl in ("auto", "xla", "banded_pallas", "blocktri"):
+        mv, _, _ = as_matvec(A, impl=impl)
+        apply, operand, n_out, dt = as_matvec_split(A, impl=impl)
+        assert n_out == n
+        assert apply._route == mv._route
+        np.testing.assert_allclose(np.asarray(apply(operand, x)),
+                                   np.asarray(mv(x)),
+                                   rtol=1e-12, atol=1e-12)
+        # operand is a pytree passable as an explicit jit argument
+        y = jax.jit(apply)(operand, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(mv(x)),
+                                   rtol=1e-12, atol=1e-12)
+    apply, operand, _, _ = as_matvec_split(A, impl="xla")
+    ms = tuning.measure_matvec_ms(apply, x.astype(jnp.float64), reps=4,
+                                  operand=operand)
+    assert ms > 0
