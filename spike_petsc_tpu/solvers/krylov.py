@@ -61,6 +61,18 @@ def _gram(V, w, axis_name=None):
     return h
 
 
+def _gram_with_norm(V, w, axis_name=None):
+    """(projection row, ||w||) fused into ONE collective — the extra scalar
+    rides the same psum as the gram row, so the DGKS refinement test
+    ('ifneeded') costs zero additional latency rounds on a mesh."""
+    h = V.conj() @ w
+    s = jnp.vdot(w, w)
+    hv = jnp.concatenate([h, jnp.reshape(s, (1,)).astype(h.dtype)])
+    if axis_name is not None:
+        hv = jax.lax.psum(hv, axis_name)
+    return hv[:-1], jnp.sqrt(jnp.abs(jnp.real(hv[-1])))
+
+
 def _dots(pairs, axis_name=None):
     """Fused inner products: one stacked psum for several <a_i, b_i>.
 
@@ -73,6 +85,58 @@ def _dots(pairs, axis_name=None):
     if axis_name is not None:
         d = jax.lax.psum(d, axis_name)
     return tuple(d[i] for i in range(len(pairs)))
+
+
+def _orthogonalize(V, w, mask, cgs_refinement, axis_name=None,
+                   conv_sync_axis=None):
+    """Classical Gram-Schmidt orthogonalization of ``w`` against the masked
+    rows of ``V`` with PETSc's CGS refinement policy
+    (``KSPGMRESSetCGSRefinementType``):
+
+    * ``"always"``  — one unconditional reorthogonalization pass (the
+      historical default here; maximally robust, but streams the [m, n]
+      basis TWICE per iteration);
+    * ``"never"``   — single pass (halves per-iteration basis HBM traffic;
+      safe for well-conditioned systems, PETSc's own default);
+    * ``"ifneeded"``— single pass plus the DGKS cancellation test
+      ``||w_after|| < ||w_before|| / sqrt(2)``; the pre-projection norm
+      rides the SAME psum as the gram row (zero extra latency rounds) and
+      the refinement executes under ``lax.cond`` (no bandwidth paid when
+      skipped).  On replica meshes the predicate syncs over
+      ``conv_sync_axis`` so every replica executes the same collective
+      sequence (see _keep_iterating).
+
+    Returns ``(w_orth, h, hj1)``.
+    """
+    if cgs_refinement == "never":
+        h = _gram(V, w, axis_name) * mask
+        w = w - h @ V
+        return w, h, _norm(w, axis_name)
+    if cgs_refinement == "always":
+        h = _gram(V, w, axis_name) * mask
+        w = w - h @ V
+        h2 = _gram(V, w, axis_name) * mask
+        w = w - h2 @ V
+        return w, h + h2, _norm(w, axis_name)
+    if cgs_refinement != "ifneeded":
+        raise ValueError(
+            f"unknown cgs_refinement {cgs_refinement!r}: expected never, "
+            "ifneeded, or always (-ksp_gmres_cgs_refinement_type)")
+    hrow, wnorm0 = _gram_with_norm(V, w, axis_name)
+    h = hrow * mask
+    w = w - h @ V
+    hj1 = _norm(w, axis_name)
+    need = hj1 < 0.7071067811865476 * wnorm0
+    if conv_sync_axis is not None:
+        need = jax.lax.pmax(need.astype(jnp.int32), conv_sync_axis) == 1
+
+    def _refine(args):
+        w_, h_, _ = args
+        h2 = _gram(V, w_, axis_name) * mask
+        w2 = w_ - h2 @ V
+        return w2, h_ + h2, _norm(w2, axis_name)
+
+    return jax.lax.cond(need, _refine, lambda a: a, (w, h, hj1))
 
 
 def _keep_iterating(reason, conv_sync_axis=None):
@@ -303,6 +367,7 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
           rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
           maxit: int = 10000, side: str = "left",
           monitor_true: bool = False, norm_type: str = "default",
+          cgs_refinement: str = "always",
           axis_name: Optional[str] = None,
           conv_sync_axis: Optional[str] = None) -> KSPResult:
     """Restarted GMRES with left (default) or right preconditioning.
@@ -316,11 +381,19 @@ def gmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     norm per iteration in ``result.true_history`` (PETSc
     ``-ksp_monitor_true_residual``, /root/reference/src/makefile:18) at the
     cost of one extra matvec (+pc apply for right pc) per iteration.
+
+    ``cgs_refinement`` (PETSc KSPGMRESSetCGSRefinementType /
+    ``-ksp_gmres_cgs_refinement_type``): the classical-Gram-Schmidt
+    reorthogonalization policy — "always" (default; basis streamed twice
+    per iteration), "never" (halves basis HBM traffic), "ifneeded" (DGKS
+    cancellation test fused into the gram psum; refinement under lax.cond
+    costs nothing when skipped).  See :func:`_orthogonalize`.
     """
     return _gmres_like(matvec, b, x0, pc_apply, restart=restart, rtol=rtol,
                        atol=atol, divtol=divtol, maxit=maxit,
                        flexible=False, right=(side == "right"),
                        monitor_true=monitor_true, norm_type=norm_type,
+                       cgs_refinement=cgs_refinement,
                        axis_name=axis_name, conv_sync_axis=conv_sync_axis)
 
 
@@ -328,7 +401,7 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
            pc_apply: Optional[Callable] = None, *, restart: int = 30,
            rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
            maxit: int = 10000, monitor_true: bool = False,
-           norm_type: str = "default",
+           norm_type: str = "default", cgs_refinement: str = "always",
            axis_name: Optional[str] = None,
            conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Flexible GMRES (right-preconditioned, stores the preconditioned basis;
@@ -342,12 +415,14 @@ def fgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                        atol=atol, divtol=divtol, maxit=maxit,
                        flexible=True, right=True,
                        monitor_true=monitor_true, norm_type=norm_type,
+                       cgs_refinement=cgs_refinement,
                        axis_name=axis_name, conv_sync_axis=conv_sync_axis)
 
 
 def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
                 maxit, flexible, right, monitor_true=False,
-                norm_type="default", axis_name=None, conv_sync_axis=None):
+                norm_type="default", cgs_refinement="always",
+                axis_name=None, conv_sync_axis=None):
     psolve = pc_apply or _identity_pc
     n = b.shape[0]
     dtype = b.dtype
@@ -356,7 +431,6 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
 
     dot = partial(_dot, axis_name=axis_name)
     norm = partial(_norm, axis_name=axis_name)
-    gram = partial(_gram, axis_name=axis_name)
 
     # Convergence norm (PETSc KSPSetNormType): the default tests the
     # preconditioned residual for left pc (KSP_NORM_PRECONDITIONED) and the
@@ -426,15 +500,11 @@ def _gmres_like(matvec, b, x0, pc_apply, *, restart, rtol, atol, divtol,
             else:
                 w = psolve(matvec(vj))
 
-            # modified Gram-Schmidt against V[0..j] (vectorized, masked)
+            # classical Gram-Schmidt against V[0..j] (vectorized, masked)
+            # with the configured refinement policy
             mask = (jnp.arange(restart + 1) <= j).astype(dtype)
-            h = gram(V, w) * mask
-            w = w - h @ V
-            # one reorthogonalization pass for robustness near breakdown
-            h2 = gram(V, w) * mask
-            w = w - h2 @ V
-            h = h + h2
-            hj1 = norm(w)
+            w, h, hj1 = _orthogonalize(V, w, mask, cgs_refinement,
+                                       axis_name, conv_sync_axis)
             V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
             col = h.at[j + 1].set(hj1)
 
@@ -535,6 +605,7 @@ def lgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
            pc_apply: Optional[Callable] = None, *, restart: int = 30,
            aug: int = 2, rtol: float = 1e-5, atol: float = 1e-50,
            divtol: float = 1e4, maxit: int = 10000,
+           cgs_refinement: str = "always",
            axis_name: Optional[str] = None,
            conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """LGMRES (Baker–Jessup–Manteuffel "loose" GMRES; PETSc KSPLGMRES).
@@ -562,7 +633,6 @@ def lgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     aug = max(0, min(int(aug), restart - 1))
 
     norm = partial(_norm, axis_name=axis_name)
-    gram = partial(_gram, axis_name=axis_name)
     bnorm = norm(psolve(b))
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
@@ -607,12 +677,8 @@ def lgmres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
             w = psolve(matvec(z_in))
 
             mask = (jnp.arange(restart + 1) <= j).astype(dtype)
-            h = gram(V, w) * mask
-            w = w - h @ V
-            h2 = gram(V, w) * mask
-            w = w - h2 @ V
-            h = h + h2
-            hj1 = norm(w)
+            w, h, hj1 = _orthogonalize(V, w, mask, cgs_refinement,
+                                       axis_name, conv_sync_axis)
             V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
             col = h.at[j + 1].set(hj1)
 

@@ -47,6 +47,12 @@ def _params_from_options(opts: Options, overrides: dict) -> dict:
     norm_type = opts.get_string("ksp_norm_type", None)
     if norm_type:
         p["norm_type"] = norm_type
+    # -ksp_gmres_cgs_refinement_type never|ifneeded|always
+    # (KSPGMRESSetCGSRefinementType): gmres/fgmres/lgmres classical-GS
+    # reorthogonalization policy; other KSPs ignore it
+    cgs = opts.get_string("ksp_gmres_cgs_refinement_type", None)
+    if cgs:
+        p["cgs_refinement"] = cgs
     if opts.get_bool("ksp_monitor_true_residual", False):
         p["monitor_true"] = True
     p.update({k: v for k, v in overrides.items() if v is not None})

@@ -597,6 +597,51 @@ def test_gmres_norm_type_unpreconditioned():
         gmres(mv, b, None, pc, norm_type="bogus")
 
 
+def test_gmres_cgs_refinement_types():
+    """-ksp_gmres_cgs_refinement_type (KSPGMRESSetCGSRefinementType):
+    never / ifneeded / always all converge to the same solution; 'never'
+    halves per-iteration basis traffic, 'ifneeded' fuses the DGKS test
+    into the gram psum.  Checked through the raw method, the option
+    surface, and for complex scalars (conjugated gram rows)."""
+    from spike_petsc_tpu.ops.band import banded_matvec
+    from spike_petsc_tpu.solvers.krylov import gmres
+    n = 400
+    a = problems.nonsym_banded(n, 3, 3, seed=5)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    xe = np.random.default_rng(0).standard_normal(n)
+    b = jnp.asarray(a @ xe)
+    mv = lambda v: banded_matvec(bm, v)
+    sols = {}
+    for mode in ("always", "never", "ifneeded"):
+        r = gmres(mv, b, None, None, rtol=1e-12, maxit=300, restart=60,
+                  cgs_refinement=mode)
+        assert int(r.reason) > 0, mode
+        np.testing.assert_allclose(np.asarray(r.x), xe, rtol=1e-8,
+                                   atol=1e-9, err_msg=mode)
+        sols[mode] = np.asarray(r.x)
+    with pytest.raises(ValueError, match="cgs_refinement"):
+        gmres(mv, b, None, None, maxit=2, cgs_refinement="bogus")
+    # option plumbing end-to-end (fgmres exercises the flexible loop)
+    res = solve(bm, b, options=Options.from_argv([
+        "-ksp_type", "fgmres", "-pc_type", "jacobi",
+        "-ksp_gmres_cgs_refinement_type", "ifneeded",
+        "-ksp_rtol", "1e-12", "-ksp_max_it", "300"]))
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), xe, rtol=1e-8, atol=1e-9)
+    # complex scalars through the ifneeded path (fused psum keeps dtypes)
+    ac = a.astype(np.complex128) + 1j * 0.1 * hsp.sp.eye(n, format="csr")
+    from spike_petsc_tpu.ops.band import banded_from_dense
+    bmc = banded_from_dense(jnp.asarray(ac.toarray()), kl=kl, ku=ku)
+    bc = jnp.asarray(ac @ (xe + 0j))
+    rc = gmres(lambda v: banded_matvec(bmc, v), bc, None, None,
+               rtol=1e-12, maxit=300, restart=60,
+               cgs_refinement="ifneeded")
+    assert int(rc.reason) > 0
+    np.testing.assert_allclose(np.asarray(rc.x), xe + 0j, rtol=1e-8,
+                               atol=1e-9)
+
+
 # ---------------------------------------------------------------------------
 # Normal-equations family (KSPCGNE/KSPLSQR) and transpose-free family
 # (KSPCGS/KSPTFQMR)
