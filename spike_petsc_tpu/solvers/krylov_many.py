@@ -217,7 +217,8 @@ def gmres_many(matvec: Callable, B: jax.Array,
                X0: Optional[jax.Array] = None,
                pc_apply: Optional[Callable] = None, *, restart: int = 30,
                rtol: float = 1e-5, atol: float = 1e-50, divtol: float = 1e4,
-               maxit: int = 10000, side: str = "left", axis_name=None,
+               maxit: int = 10000, side: str = "left",
+               cgs_refinement: str = "always", axis_name=None,
                conv_sync_axis=None, **_) -> KSPResult:
     """Column-batched restarted GMRES; B: [n, r].
 
@@ -230,6 +231,13 @@ def gmres_many(matvec: Callable, B: jax.Array,
 
     Per-column convergence freezes a finished column's basis/Hessenberg in
     place; its solution update uses exactly the columns it built.
+
+    ``cgs_refinement`` follows the single-RHS option (never/ifneeded/
+    always).  ``"ifneeded"`` note: the DGKS test is per column but the
+    refinement pass is one batched program — it fires when ANY column
+    needs it (a refinement on an already-orthogonal column is a no-op up
+    to roundoff; per-column gating would save no bandwidth since the
+    second pass streams the whole [m+1, n, r] basis either way).
     """
     psolve = pc_apply or (lambda x: x)
     right = side == "right"
@@ -298,13 +306,48 @@ def gmres_many(matvec: Callable, B: jax.Array,
             vj = V[j]
             w = psolve(matvec(vj)) if not right else matvec(psolve(vj))
             mask = (jnp.arange(m + 1) <= j).astype(dtype)[:, None]
-            h = gram(V, w) * mask
-            w = w - jnp.einsum("ar,anr->nr", h, V)
-            # one reorthogonalization pass (as the single-RHS gmres)
-            h2 = gram(V, w) * mask
-            w = w - jnp.einsum("ar,anr->nr", h2, V)
-            h = h + h2
-            hj1 = norm(w)                                     # [r]
+            if cgs_refinement == "always":
+                h = gram(V, w) * mask
+                w = w - jnp.einsum("ar,anr->nr", h, V)
+                # one reorthogonalization pass (as the single-RHS gmres)
+                h2 = gram(V, w) * mask
+                w = w - jnp.einsum("ar,anr->nr", h2, V)
+                h = h + h2
+                hj1 = norm(w)                                 # [r]
+            elif cgs_refinement == "never":
+                h = gram(V, w) * mask
+                w = w - jnp.einsum("ar,anr->nr", h, V)
+                hj1 = norm(w)
+            elif cgs_refinement == "ifneeded":
+                # pre-projection column norms ride the SAME psum as the
+                # gram block (one [m+2, r] reduction, zero extra rounds)
+                hw = jnp.concatenate(
+                    [jnp.einsum("anr,nr->ar", jnp.conj(V), w),
+                     jnp.sum(jnp.conj(w) * w, axis=0)[None]], axis=0)
+                if axis_name is not None:
+                    hw = jax.lax.psum(hw, axis_name)
+                h = hw[:-1] * mask
+                wnorm0 = jnp.sqrt(jnp.abs(jnp.real(hw[-1])))  # [r]
+                w = w - jnp.einsum("ar,anr->nr", h, V)
+                hj1 = norm(w)
+                need = jnp.any(hj1 < 0.7071067811865476 * wnorm0)
+                if conv_sync_axis is not None:
+                    need = jax.lax.pmax(need.astype(jnp.int32),
+                                        conv_sync_axis) == 1
+
+                def _refine(args):
+                    w_, h_, _ = args
+                    h2 = gram(V, w_) * mask
+                    w2 = w_ - jnp.einsum("ar,anr->nr", h2, V)
+                    return w2, h_ + h2, norm(w2)
+
+                w, h, hj1 = jax.lax.cond(need, _refine, lambda a: a,
+                                         (w, h, hj1))
+            else:
+                raise ValueError(
+                    f"unknown cgs_refinement {cgs_refinement!r}: expected "
+                    "never, ifneeded, or always "
+                    "(-ksp_gmres_cgs_refinement_type)")
             V = V.at[j + 1].set(
                 w / jnp.where(hj1 > 0, hj1, 1.0).astype(dtype))
             col = h.at[j + 1].set(hj1.astype(dtype))          # [m+1, r]

@@ -314,3 +314,32 @@ def test_make_solver_many_f64_vmap_fallback(monkeypatch):
         rj = single(B[:, j])
         np.testing.assert_allclose(np.asarray(res.x[:, j]),
                                    np.asarray(rj.x), rtol=1e-8, atol=1e-10)
+
+
+def test_gmres_many_cgs_refinement_parity():
+    """cgs_refinement threads through the batched GMRES: 'never' and
+    'ifneeded' keep per-column parity with the single-RHS method under the
+    same policy ('ifneeded' fires batched — a no-op refinement on a
+    column that did not need it stays parity up to roundoff)."""
+    a = problems.nonsym_banded(256, 3, 3, seed=6, dominance=0.4)
+    A = banded_of(a)
+    rng = np.random.default_rng(1)
+    U = rng.standard_normal((256, 2))
+    B = jnp.asarray(a @ U)
+    mv_many = jax.vmap(lambda x: banded_matvec(A, x), in_axes=1, out_axes=1)
+    mv = lambda x: banded_matvec(A, x)
+    for mode in ("never", "ifneeded"):
+        res = krylov_many.gmres_many(mv_many, B, rtol=1e-10, maxit=600,
+                                     restart=30, cgs_refinement=mode)
+        assert all(int(r) > 0 for r in np.asarray(res.reason)), mode
+        for j in range(2):
+            r1 = krylov.gmres(mv, B[:, j], rtol=1e-10, maxit=600,
+                              restart=30, cgs_refinement=mode)
+            np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                       np.asarray(r1.x), rtol=1e-7,
+                                       atol=1e-9, err_msg=mode)
+            np.testing.assert_allclose(np.asarray(res.x[:, j]), U[:, j],
+                                       rtol=1e-6, atol=1e-8, err_msg=mode)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cgs_refinement"):
+        krylov_many.gmres_many(mv_many, B, maxit=2, cgs_refinement="bogus")
