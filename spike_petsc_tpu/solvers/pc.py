@@ -111,10 +111,36 @@ def pc_none(pmat, opts: Options) -> PC:
 
 @register_pc("jacobi")
 def pc_jacobi(pmat, opts: Options) -> PC:
+    """Diagonal scaling (PCJACOBI).
+
+    ``-pc_jacobi_type diagonal|rowmax|rowsum`` (PCJacobiSetType): scale by
+    the inverse diagonal (default), the row's max |a_ij|, or the row's
+    sum of |a_ij| (the L1-smoother diagonal).  ``-pc_jacobi_abs``
+    (PCJacobiSetUseAbs): use |diagonal| — for indefinite matrices where a
+    signed diagonal would flip residual components.  The PC matrix is
+    diagonal, hence self-transpose for every variant."""
+    jtype = opts.get_string("pc_jacobi_type", "diagonal")
+    if jtype not in ("diagonal", "rowmax", "rowsum"):
+        raise ValueError(f"unknown -pc_jacobi_type {jtype!r}: expected "
+                         "diagonal, rowmax, or rowsum")
     if isinstance(pmat, BandedMatrix):
-        d = banded_diagonal(pmat)
+        if jtype == "rowmax":
+            d = jnp.max(jnp.abs(pmat.data), axis=1)
+        elif jtype == "rowsum":
+            d = jnp.sum(jnp.abs(pmat.data), axis=1)
+        else:
+            d = banded_diagonal(pmat)
     else:
-        d = jnp.asarray(hsp.as_csr(pmat).diagonal())
+        acsr = hsp.as_csr(pmat)
+        if jtype == "rowmax":
+            d = jnp.asarray(abs(acsr).max(axis=1).toarray().ravel())
+        elif jtype == "rowsum":
+            import numpy as _np
+            d = jnp.asarray(_np.asarray(abs(acsr).sum(axis=1)).ravel())
+        else:
+            d = jnp.asarray(acsr.diagonal())
+    if jtype == "diagonal" and opts.get_bool("pc_jacobi_abs", False):
+        d = jnp.abs(d)
     dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
     pc = PC(name="jacobi", apply=lambda x: dinv * x,
             apply_many=lambda X: dinv[:, None] * X)

@@ -132,6 +132,8 @@ class Options:
         v = self._raw(key)
         if v is None:
             return default
+        if isinstance(v, (bool, int)):     # Options({"flag": True}) — the
+            return bool(v)                 # programmatic-dict construction
         if v == "":
             return True
         lv = v.lower()

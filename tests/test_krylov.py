@@ -1031,3 +1031,40 @@ def test_symmlq_preconditioned_and_x0():
     bad_pc = lambda v: -v          # negative definite preconditioner
     r = symmlq(mv, jnp.asarray(b), None, bad_pc, rtol=1e-10, maxit=100)
     assert int(r.reason) == DIVERGED_BREAKDOWN
+
+
+def test_pc_jacobi_types():
+    """-pc_jacobi_type diagonal|rowmax|rowsum and -pc_jacobi_abs
+    (PCJacobiSetType / PCJacobiSetUseAbs): the scaling vector matches the
+    dense definition on both BandedMatrix and CSR pmats; the PC matrix is
+    diagonal, hence self-transpose."""
+    import scipy.sparse as sp
+
+    a = problems.nonsym_banded(60, 2, 2, seed=7)
+    data, kl, ku = hsp.csr_to_banded_arrays(a)
+    bm = BandedMatrix(data=jnp.asarray(data), kl=kl, ku=ku)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(60))
+    Ad = a.toarray()
+    for jt, dfn in (("diagonal", lambda A: np.diag(A)),
+                    ("rowmax", lambda A: np.abs(A).max(axis=1)),
+                    ("rowsum", lambda A: np.abs(A).sum(axis=1))):
+        for pmat in (bm, a):
+            pc = make_pc("jacobi", pmat, Options({"pc_jacobi_type": jt}))
+            np.testing.assert_allclose(np.asarray(pc.apply(x)),
+                                       np.asarray(x) / dfn(Ad),
+                                       rtol=1e-12, err_msg=jt)
+            np.testing.assert_allclose(np.asarray(pc.transpose().apply(x)),
+                                       np.asarray(pc.apply(x)), rtol=1e-14)
+    A2 = Ad.copy()
+    np.fill_diagonal(A2, -np.abs(np.diag(A2)))
+    d2, _, _ = hsp.csr_to_banded_arrays(sp.csr_matrix(A2))
+    bm2 = BandedMatrix(data=jnp.asarray(d2), kl=kl, ku=ku)
+    pc = make_pc("jacobi", bm2, Options({"pc_jacobi_abs": True}))
+    np.testing.assert_allclose(np.asarray(pc.apply(x)),
+                               np.asarray(x) / np.abs(np.diag(A2)),
+                               rtol=1e-12)
+    with pytest.raises(ValueError, match="pc_jacobi_type"):
+        make_pc("jacobi", bm, Options({"pc_jacobi_type": "bogus"}))
+    # Options({...: True}) programmatic-bool construction parses (get_bool)
+    assert Options({"f": True}).get_bool("f") is True
+    assert Options({"f": False}).get_bool("f") is False
