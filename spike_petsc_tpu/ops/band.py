@@ -181,6 +181,36 @@ def banded_diagonal(b: BandedMatrix) -> jax.Array:
     return b.data[:, b.kl]
 
 
+def banded_diagonal_scale(b: BandedMatrix, dr=None, dc=None) -> BandedMatrix:
+    """diag(dr) @ A @ diag(dc) in band storage, either factor optional
+    (MatDiagonalScale equivalent — the reference applies the WBM scaling
+    vectors this way, /root/reference/src/wbm.c:570).
+
+    Row scaling is a broadcast multiply; column scaling multiplies each
+    stored diagonal by a shifted slice of ``dc`` (same shifted-slice pattern
+    as :func:`banded_matvec` — a per-entry gather is pathological on TPU).
+    Jittable; returns a new matrix (inputs are never mutated).
+    """
+    data = b.data
+    n, kl, ku, w = b.n, b.kl, b.ku, b.width
+    if dr is not None:
+        data = data * jnp.asarray(dr, data.dtype)[:, None]
+    if dc is not None:
+        dcp = jnp.pad(jnp.asarray(dc, data.dtype), (kl, ku))
+        if w <= 512:
+            cols = [data[:, d] * jax.lax.dynamic_slice_in_dim(dcp, d, n)
+                    for d in range(w)]
+            data = jnp.stack(cols, axis=1)
+        else:
+            def body(d, acc):
+                col = jax.lax.dynamic_slice_in_dim(acc, d, 1, axis=1)
+                seg = jax.lax.dynamic_slice_in_dim(dcp, d, n)[:, None]
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, col * seg, d, axis=1)
+            data = jax.lax.fori_loop(0, w, body, data)
+    return BandedMatrix(data=data, kl=kl, ku=ku)
+
+
 # ---------------------------------------------------------------------------
 # Diagnostics
 # ---------------------------------------------------------------------------

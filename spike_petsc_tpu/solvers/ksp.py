@@ -316,6 +316,40 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
     (KSPSolveTranspose; the PC reuses its stored factors via
     PC.transpose())."""
     opts = options or Options()
+    unscale = None
+    if opts.get_bool("ksp_diagonal_scale", False):
+        # PETSc KSPSetDiagonalScale / -ksp_diagonal_scale: symmetrically
+        # scale the system by s = 1/sqrt(|diag(pmat)|) — solve
+        # (S A S)(S^-1 x) = S b, return x = S y.  The residual history is
+        # that of the scaled system, as in PETSc.  -ksp_diagonal_scale_fix
+        # is accepted and a no-op: this library never mutates the caller's
+        # operators, so they are always "restored".
+        from ..ops.band import (BandedMatrix, banded_diagonal,
+                                banded_diagonal_scale)
+        opts.get_bool("ksp_diagonal_scale_fix", True)
+        if pc is not None:
+            raise ValueError(
+                "-ksp_diagonal_scale with an explicitly constructed PC is "
+                "ambiguous (the PC was built from the UNSCALED operators); "
+                "pass pc_type/options and let solve build it")
+        base = A if pmat is None else pmat
+        if not isinstance(A, BandedMatrix) or \
+                not isinstance(base, BandedMatrix):
+            raise ValueError(
+                "-ksp_diagonal_scale needs banded operators (a matrix-free "
+                "operator has no accessible diagonal); scale the system "
+                "yourself for callable operators")
+        d = banded_diagonal(base)
+        ad = jnp.abs(d)
+        s = jnp.where(ad > 0, 1.0 / jnp.sqrt(jnp.where(ad > 0, ad, 1)),
+                      1.0).astype(d.real.dtype)
+        A = banded_diagonal_scale(A, s, s)
+        if pmat is not None:
+            pmat = banded_diagonal_scale(pmat, s, s)
+        b = s * jnp.asarray(b)
+        if x0 is not None:
+            x0 = jnp.asarray(x0) / s
+        unscale = s
     if pc is None:
         name = pc_type or opts.get_string("pc_type", "none")
         pc = make_pc(name, A if pmat is None else pmat, opts)
@@ -329,6 +363,9 @@ def solve(A, b, x0=None, *, pmat=None, options: Optional[Options] = None,
                          jit=False, transpose=transpose, **params)
     b = jnp.asarray(b)
     res = solver(b, None if x0 is None else jnp.asarray(x0))
+    if unscale is not None:
+        import dataclasses
+        res = dataclasses.replace(res, x=res.x * unscale)
     if opts.get_bool("ksp_error_if_not_converged", False) \
             and int(res.reason) <= 0:
         # PETSc -ksp_error_if_not_converged: fail fast instead of letting

@@ -207,3 +207,42 @@ def test_extract_banded_device_kmax_fallback():
     assert int(k) == 3
     kl_eff, ku_eff = B.banded_bandwidth(bm)
     assert int(kl_eff) <= 3 and int(ku_eff) <= 3
+
+
+@pytest.mark.parametrize("n,kl,ku", [(17, 2, 3), (9, 4, 0), (32, 0, 1)])
+def test_banded_diagonal_scale_vs_dense(n, kl, ku):
+    a = random_banded_dense(n, kl, ku, seed=5)
+    rng = np.random.default_rng(7)
+    dr = rng.uniform(0.5, 2.0, n)
+    dc = rng.uniform(0.5, 2.0, n)
+    bm = B.banded_from_dense(jnp.asarray(a), kl, ku)
+    got = B.banded_to_dense(B.banded_diagonal_scale(
+        bm, jnp.asarray(dr), jnp.asarray(dc)))
+    np.testing.assert_allclose(np.asarray(got), dr[:, None] * a * dc[None, :],
+                               atol=1e-12)
+    # either factor alone
+    got_r = B.banded_to_dense(B.banded_diagonal_scale(bm, dr=jnp.asarray(dr)))
+    np.testing.assert_allclose(np.asarray(got_r), dr[:, None] * a, atol=1e-12)
+    got_c = B.banded_to_dense(B.banded_diagonal_scale(bm, dc=jnp.asarray(dc)))
+    np.testing.assert_allclose(np.asarray(got_c), a * dc[None, :], atol=1e-12)
+
+
+def test_ksp_diagonal_scale_option():
+    """-ksp_diagonal_scale: solves the symmetrically rescaled system and
+    returns the UNSCALED solution (PETSc KSPSetDiagonalScale semantics)."""
+    from spike_petsc_tpu.solvers.ksp import solve
+    from spike_petsc_tpu.utils.options import Options
+    n = 200
+    a = random_banded_dense(n, 2, 2, seed=11)
+    # wreck the scaling: rows/cols spanning 8 orders of magnitude
+    s = 10.0 ** np.linspace(-4, 4, n)
+    a = s[:, None] * a * s[None, :]
+    bm = B.banded_from_dense(jnp.asarray(a), 2, 2)
+    x_true = np.random.default_rng(3).standard_normal(n)
+    b = a @ x_true
+    opts = Options.from_argv(["-ksp_diagonal_scale",
+                              "-ksp_diagonal_scale_fix"])
+    res = solve(bm, jnp.asarray(b), options=opts, ksp_type="gmres",
+                pc_type="jacobi", rtol=1e-12, maxit=500)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6)
