@@ -122,6 +122,17 @@ def _main(argv=None) -> int:
         return 1
     a = hsp.as_csr(a)
     print(f"Matrix: n={a.shape[0]}, nnz={a.nnz}")
+    if opts.get_bool("view_mat", False):
+        # -view_mat (MatView of the loaded matrix,
+        # /root/reference/src/testbed.c:52): entries for small matrices,
+        # a structural summary otherwise
+        if a.shape[0] <= 64:
+            with np.printoptions(precision=4, suppress=True, linewidth=120):
+                print(a.toarray())
+        else:
+            vkl, vku = hsp.compute_half_bandwidths(a)
+            print(f"  type: csr, rows={a.shape[0]}, cols={a.shape[1]}, "
+                  f"nnz={a.nnz}, half-bandwidths kl={vkl} ku={vku}")
 
     scale = opts.get_bool("mat_ordering_scale", False)
     ord1 = opts.get_string("mat_ordering_type", "natural")
