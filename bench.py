@@ -876,13 +876,21 @@ def main() -> None:
         from spike_petsc_tpu.utils import tuning
 
         def _route_ms(impl_name):
-            mv, operand, _, _ = as_matvec_split(band, impl=impl_name)
-            if getattr(mv, "_route", None) != impl_name:
-                return None     # dispatch fell back: infeasible here
-            ms = tuning.measure_matvec_ms(mv, rhs, reps=20, timed=timed,
-                                          operand=operand)
-            del operand
-            return ms
+            # per-route isolation: one route failing to COMPILE (e.g. the
+            # axon remote-compile service 500ing on a Mosaic kernel) must
+            # not lose the other routes' measurements
+            try:
+                mv, operand, _, _ = as_matvec_split(band, impl=impl_name)
+                if getattr(mv, "_route", None) != impl_name:
+                    return None     # dispatch fell back: infeasible here
+                ms = tuning.measure_matvec_ms(mv, rhs, reps=20, timed=timed,
+                                              operand=operand)
+                del operand
+                return ms
+            except Exception as exc:  # noqa: BLE001
+                OUT[f"mv_route_{impl_name}_error"] = \
+                    f"{type(exc).__name__}: {exc}"[:120]
+                return None
 
         routes = {}
         for nmr in ("xla", "blocktri", "banded_pallas"):

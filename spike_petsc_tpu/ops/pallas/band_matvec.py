@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from ._specs import im32
+
 from ..band import BandedMatrix, banded_matvec
 
 
@@ -40,7 +42,29 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(d3_ref, xa_ref, xb_ref, o_ref, *, w: int, S: int, qmax: int):
+def _lane_shift(xw, p: int, roll: bool):
+    """[R, 128] -> [R-1, 128] flat lane shift: row s holds
+    xw_flat[s*128 + p : s*128 + p + 128].
+
+    ``roll=True`` (the Mosaic path) realizes it as two full-width lane
+    rotations + an iota select — the ragged two-piece lane concat
+    (xw[:-1, p:] ‖ xw[1:, :p]) crashes the TPU compiler outright
+    (tpu_compile_helper exit 1, measured on v5e libtpu 2026-08); interpret
+    mode lacks pltpu.roll, so it keeps the concat."""
+    if roll:
+        from jax.experimental.pallas import tpu as pltpu
+        # int32 shift: under x64 a Python int traces as i64 and
+        # tpu.dynamic_rotate rejects it
+        s = jnp.int32(128 - p)
+        a = pltpu.roll(xw[:-1], s, 1)
+        b = pltpu.roll(xw[1:], s, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        return jnp.where(lane < 128 - p, a, b)
+    return jnp.concatenate([xw[:-1, p:], xw[1:, :p]], axis=1)
+
+
+def _kernel(d3_ref, xa_ref, xb_ref, o_ref, *, w: int, S: int, qmax: int,
+            roll: bool = False):
     # window of S + qmax + 1 sublane rows starting at this tile's origin:
     # body block + the head of the NEXT body block (same array, two specs)
     xw = jnp.concatenate([xa_ref[...], xb_ref[: qmax + 1]], axis=0)
@@ -50,7 +74,7 @@ def _kernel(d3_ref, xa_ref, xb_ref, o_ref, *, w: int, S: int, qmax: int):
             xr = xw                                     # [S + qmax + 1, 128]
         else:
             # flat shift by p lanes: row s of xr holds xw_flat[s*128 + p ...]
-            xr = jnp.concatenate([xw[:-1, p:], xw[1:, :p]], axis=1)
+            xr = _lane_shift(xw, p, roll)
         for q in range(qmax + 1):
             d = 128 * q + p
             if d < w:
@@ -139,18 +163,19 @@ def banded_matvec_prepared(prep: PreparedBandMV, x: jax.Array) -> jax.Array:
     xp = jnp.pad(x, (prep.kl, (NBg + 1) * S * 128 - prep.kl - n))
     xp = xp.reshape((NBg + 1) * S, 128)
 
-    kern = partial(_kernel, w=w, S=S, qmax=qmax)
+    interp = _use_interpret()
+    kern = partial(_kernel, w=w, S=S, qmax=qmax, roll=not interp)
     y = pl.pallas_call(
         kern,
         grid=(NBg,),
         in_specs=[
-            pl.BlockSpec((w, S, 128), lambda i: (0, i, 0)),
-            pl.BlockSpec((S, 128), lambda i: (i, 0)),
-            pl.BlockSpec((S, 128), lambda i: (i + 1, 0)),
+            pl.BlockSpec((w, S, 128), im32(lambda i: (0, i, 0))),
+            pl.BlockSpec((S, 128), im32(lambda i: (i, 0))),
+            pl.BlockSpec((S, 128), im32(lambda i: (i + 1, 0))),
         ],
-        out_specs=pl.BlockSpec((S, 128), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((S, 128), im32(lambda i: (i, 0))),
         out_shape=jax.ShapeDtypeStruct((Sg, 128), x.dtype),
-        interpret=_use_interpret(),
+        interpret=interp,
     )(prep.d3, xp, xp)
     return y.reshape(-1)[:n]
 
@@ -195,7 +220,8 @@ def _two_sum(a, b):
 
 
 def _kernel_df64(dh_ref, dl_ref, xah_ref, xal_ref, xbh_ref, xbl_ref,
-                 oh_ref, ol_ref, *, w: int, S: int, qmax: int):
+                 oh_ref, ol_ref, *, w: int, S: int, qmax: int,
+                 roll: bool = False):
     f32 = jnp.float32
     xwh = jnp.concatenate([xah_ref[...], xbh_ref[: qmax + 1]], axis=0)
     xwl = jnp.concatenate([xal_ref[...], xbl_ref[: qmax + 1]], axis=0)
@@ -207,9 +233,9 @@ def _kernel_df64(dh_ref, dl_ref, xah_ref, xal_ref, xbh_ref, xbl_ref,
         if p == 0:
             x1, x2, xl = xw1, xw2, xwl
         else:
-            x1 = jnp.concatenate([xw1[:-1, p:], xw1[1:, :p]], axis=1)
-            x2 = jnp.concatenate([xw2[:-1, p:], xw2[1:, :p]], axis=1)
-            xl = jnp.concatenate([xwl[:-1, p:], xwl[1:, :p]], axis=1)
+            x1 = _lane_shift(xw1, p, roll)
+            x2 = _lane_shift(xw2, p, roll)
+            xl = _lane_shift(xwl, p, roll)
         for q in range(qmax + 1):
             d = 128 * q + p
             if d < w:
@@ -294,11 +320,12 @@ def banded_matvec_prepared_f64(prep: PreparedBandMVF64,
     xph = xph.reshape((NBg + 1) * S, 128)
     xpl = xpl.reshape((NBg + 1) * S, 128)
 
-    kern = partial(_kernel_df64, w=w, S=S, qmax=qmax)
-    mat = pl.BlockSpec((w, S, 128), lambda i: (0, i, 0))
-    body = pl.BlockSpec((S, 128), lambda i: (i, 0))
-    nxt = pl.BlockSpec((S, 128), lambda i: (i + 1, 0))
-    out = pl.BlockSpec((S, 128), lambda i: (i, 0))
+    interp = _use_interpret()
+    kern = partial(_kernel_df64, w=w, S=S, qmax=qmax, roll=not interp)
+    mat = pl.BlockSpec((w, S, 128), im32(lambda i: (0, i, 0)))
+    body = pl.BlockSpec((S, 128), im32(lambda i: (i, 0)))
+    nxt = pl.BlockSpec((S, 128), im32(lambda i: (i + 1, 0)))
+    out = pl.BlockSpec((S, 128), im32(lambda i: (i, 0)))
     yh, yl = pl.pallas_call(
         kern,
         grid=(NBg,),
@@ -306,7 +333,7 @@ def banded_matvec_prepared_f64(prep: PreparedBandMVF64,
         out_specs=(out, out),
         out_shape=(jax.ShapeDtypeStruct((Sg, 128), jnp.float32),
                    jax.ShapeDtypeStruct((Sg, 128), jnp.float32)),
-        interpret=_use_interpret(),
+        interpret=interp,
     )(prep.d3hi, prep.d3lo, xph, xpl, xph, xpl)
     # the barrier between the converts and the add is insurance against
     # algebraic-simplifier convert folding (add(convert(a), convert(b)) ->

@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ._specs import im32
 from jax.experimental.pallas import tpu as pltpu
 
 def _vmem_budget() -> int:
@@ -345,7 +347,7 @@ def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "vpu",
     kern = partial(_fused_kernel_spd if spd else _fused_kernel,
                    kt=kt, nb=nb, nbuf=nbuf, mode=mode, precision=precision)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    vec = pl.BlockSpec((kt, nb, b), lambda c: (c, 0, 0),
+    vec = pl.BlockSpec((kt, nb, b), im32(lambda c: (c, 0, 0)),
                        memory_space=pltpu.VMEM)
     operands = ((fact.F, fact.Sinv) if spd
                 else (fact.F, fact.Sinv, fact.U))
@@ -602,7 +604,7 @@ def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
     kern = partial(_fused_kernel_many_spd if spd else _fused_kernel_many,
                    kt=kt, nb=nb, nbuf=nbuf, mode=mode, precision=precision)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    vec = pl.BlockSpec((kt, nb, r, b), lambda c: (c, 0, 0, 0),
+    vec = pl.BlockSpec((kt, nb, r, b), im32(lambda c: (c, 0, 0, 0)),
                        memory_space=pltpu.VMEM)
     rt = jnp.swapaxes(rhs.astype(cdtype), 2, 3)       # [K, nb, r, b]
     operands = ((fact.F, fact.Sinv) if spd

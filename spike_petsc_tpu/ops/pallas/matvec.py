@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ._specs import im32
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -61,8 +63,8 @@ def blocktri_matvec_pallas(T, x: jax.Array, kt: int = 8) -> jax.Array:
     xc = jax.lax.dynamic_slice_in_dim(xg, 1, nbp, axis=0)
     xp = jax.lax.dynamic_slice_in_dim(xg, 2, nbp, axis=0)
 
-    mat = pl.BlockSpec((ktp, b, b), lambda i: (i, 0, 0))
-    vec = pl.BlockSpec((ktp, b), lambda i: (i, 0))
+    mat = pl.BlockSpec((ktp, b, b), im32(lambda i: (i, 0, 0)))
+    vec = pl.BlockSpec((ktp, b), im32(lambda i: (i, 0)))
     y = pl.pallas_call(
         _kernel,
         grid=(nbp // ktp,),
@@ -171,7 +173,7 @@ def _mv_dma_call(D, L, U, xm, xc, xp, kt: int, nbuf: int):
     Kc, nbk, b, _ = D.shape
     kern = partial(_mv_dma_kernel, kt=kt, nbk=nbk, nbuf=nbuf)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    vec = pl.BlockSpec((kt, nbk, b), lambda c: (c, 0, 0),
+    vec = pl.BlockSpec((kt, nbk, b), im32(lambda c: (c, 0, 0)),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,

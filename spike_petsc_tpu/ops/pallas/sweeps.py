@@ -27,6 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from ._specs import im32
 from jax.experimental.pallas import tpu as pltpu
 
 # conservative: besides the two double-buffered factor blocks, the compiler
@@ -115,15 +117,15 @@ def blocktri_solve_batched_pallas(fact, rhs: jax.Array) -> jax.Array:
     def mat_spec(kt: int, rev: bool):
         return pl.BlockSpec(
             (kt, 1, b, b),
-            (lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
-            (lambda c, i: (c, i, 0, 0)),
+            im32((lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
+                 (lambda c, i: (c, i, 0, 0))),
             memory_space=pltpu.VMEM)
 
     def vec_spec(kt: int, rev: bool):
         return pl.BlockSpec(
             (kt, 1, 1, b),
-            (lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
-            (lambda c, i: (c, i, 0, 0)),
+            im32((lambda c, i: (c, nb - 1 - i, 0, 0)) if rev else
+                 (lambda c, i: (c, i, 0, 0))),
             memory_space=pltpu.VMEM)
 
     cdtype = jnp.result_type(rhs.dtype, jnp.float32)
