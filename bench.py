@@ -458,42 +458,60 @@ def main() -> None:
     def stage_gmres():
         # exact factorization -> direct-solve-quality PC; the preconditioned
         # GMRES residual collapses immediately.  The operator rides the
-        # manual-DMA blocktri matvec (the library's as_matvec route for wide
-        # TPU bands, ~700 GB/s vs 90 for the shifted-axpy band form),
-        # pre-padded ONCE to the kernel's chunk grid.
-        from spike_petsc_tpu.ops.blocktri import (BlockTridiagonal,
-                                                  band_to_blocktri)
-        from spike_petsc_tpu.ops.pallas.matvec import (blocktri_matvec_dma,
-                                                       mv_padded_nb)
+        # diagonal-major banded Pallas matvec (1.06 ms / 760 GB/s at this
+        # config — the library's measured route winner; the blocktri DMA
+        # kernel is the fallback when the banded kernel is infeasible),
+        # prepared ONCE and passed as an explicit jit operand.
+        from spike_petsc_tpu.ops.pallas.band_matvec import (
+            banded_matvec_prepared, banded_mv_feasible, prepare_banded_mv)
         from spike_petsc_tpu.solvers.krylov import gmres
 
-        T = jax.jit(lambda d: band_to_blocktri(
-            BandedMatrix(data=d, kl=k, ku=k), 128))(data)
-        bb = T.b
-        nbp = mv_padded_nb(T.nb, bb)
-        padT = jax.jit(lambda D, L, U: BlockTridiagonal(
-            D=jnp.pad(D, ((0, nbp - T.nb), (0, 0), (0, 0))),
-            L=jnp.pad(L, ((0, nbp - T.nb), (0, 0), (0, 0))),
-            U=jnp.pad(U, ((0, nbp - T.nb), (0, 0), (0, 0)))))
-        Tp = padT(T.D, T.L, T.U)
-        sync(Tp)
+        if banded_mv_feasible(w, n=n):
+            prep = prepare_banded_mv(BandedMatrix(data=data, kl=k, ku=k))
+            sync(prep.d3)
+            mv_args = (prep,)
 
-        def _mk_mv(Tm):
-            def mv(v):
-                xb = jnp.pad(v, (0, nbp * bb - n)).reshape(nbp, bb)
-                return blocktri_matvec_dma(Tm, xb).reshape(-1)[:n]
-            return mv
+            def _mk_mv(pm):
+                return lambda v: banded_matvec_prepared(pm, v)
+            OUT["gmres_mv_route"] = "banded_pallas"
+        else:
+            from spike_petsc_tpu.ops.blocktri import (BlockTridiagonal,
+                                                      band_to_blocktri)
+            from spike_petsc_tpu.ops.pallas.matvec import (
+                blocktri_matvec_dma, mv_padded_nb)
+            T = jax.jit(lambda d: band_to_blocktri(
+                BandedMatrix(data=d, kl=k, ku=k), 128))(data)
+            bb = T.b
+            nbp = mv_padded_nb(T.nb, bb)
+            Tp = jax.jit(lambda D, L, U: BlockTridiagonal(
+                D=jnp.pad(D, ((0, nbp - T.nb), (0, 0), (0, 0))),
+                L=jnp.pad(L, ((0, nbp - T.nb), (0, 0), (0, 0))),
+                U=jnp.pad(U, ((0, nbp - T.nb), (0, 0), (0, 0)))))(
+                    T.D, T.L, T.U)
+            sync(Tp)
+            mv_args = (Tp.D, Tp.L, Tp.U)
+
+            def _mk_mv(TD, TL, TU):
+                Tm = BlockTridiagonal(D=TD, L=TL, U=TU)
+
+                def mv(v):
+                    xb = jnp.pad(v, (0, nbp * bb - n)).reshape(nbp, bb)
+                    return blocktri_matvec_dma(Tm, xb).reshape(-1)[:n]
+                return mv
+            OUT["gmres_mv_route"] = "blocktri_dma"
 
         @jax.jit
-        def gmres_once(TD, TL, TU, sf_in, b_in):
-            res = gmres(_mk_mv(BlockTridiagonal(D=TD, L=TL, U=TU)), b_in,
+        def gmres_once(*args):
+            *mvop, sf_in, b_in = args
+            res = gmres(_mk_mv(*mvop), b_in,
                         None, lambda v: spike_solve(sf_in, v), rtol=1e-8,
                         maxit=30, restart=30)
             return res.its, res.rnorm
 
         @partial(jax.jit, static_argnames=("r",))
-        def gmres_loop(TD, TL, TU, sf_in, b_in, r):
-            mv = _mk_mv(BlockTridiagonal(D=TD, L=TL, U=TU))
+        def gmres_loop(*args, r):
+            *mvop, sf_in, b_in = args
+            mv = _mk_mv(*mvop)
 
             def body(i, bcur):
                 res = gmres(mv, bcur, None, lambda v: spike_solve(sf_in, v),
@@ -501,15 +519,15 @@ def main() -> None:
                 return bcur + 0.0 * res.x
             return jax.lax.fori_loop(0, r, body, b_in)
 
-        g_its, g_rnorm = gmres_once(Tp.D, Tp.L, Tp.U, sf, rhs)
+        g_its, g_rnorm = gmres_once(*mv_args, sf, rhs)
         OUT["gmres_spikepc_its_rtol1e8"] = int(np.asarray(g_its))
         OUT["gmres_final_relres"] = float(np.asarray(g_rnorm)) / float(
             np.asarray(jnp.linalg.norm(rhs)))
-        timed(lambda: gmres_loop(Tp.D, Tp.L, Tp.U, sf, rhs, 1))     # compile
-        timed(lambda: gmres_loop(Tp.D, Tp.L, Tp.U, sf, rhs, 5))     # compile
-        t_g1 = min(timed(lambda: gmres_loop(Tp.D, Tp.L, Tp.U, sf, rhs, 1))
+        timed(lambda: gmres_loop(*mv_args, sf, rhs, r=1))     # compile
+        timed(lambda: gmres_loop(*mv_args, sf, rhs, r=5))     # compile
+        t_g1 = min(timed(lambda: gmres_loop(*mv_args, sf, rhs, r=1))
                    for _ in range(R3))
-        t_g5 = min(timed(lambda: gmres_loop(Tp.D, Tp.L, Tp.U, sf, rhs, 5))
+        t_g5 = min(timed(lambda: gmres_loop(*mv_args, sf, rhs, r=5))
                    for _ in range(R3))
         gmres_s = max((t_g5 - t_g1) / 4.0, 1e-9)
         if gmres_s < 1e-4:          # tunnel anomaly guard, as for the solve

@@ -12,6 +12,9 @@ grid dimensions are bounded far below 2^31.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -22,4 +25,27 @@ def im32(fn):
         if not isinstance(out, tuple):
             out = (out,)
         return tuple(jnp.asarray(o, jnp.int32) for o in out)
+    return wrapped
+
+
+def x64_safe(fn):
+    """Trace ``fn`` with x64 disabled when it is enabled.
+
+    The manual-DMA kernels (``make_async_copy`` on ``ref.at[...]``
+    indexers) hit an INFINITE convert_element_type(int32) abstract-eval
+    recursion when traced under ``jax_enable_x64`` on the TPU backend
+    (measured: RecursionError that survives a 300k limit; v5e, 2026-08).
+    Every kernel in this package is int32-disciplined and fixed-width-
+    dtype (f32/bf16 operands), so tracing with x64 off is semantics-
+    preserving: existing arrays keep their dtypes, and only in-kernel
+    literal promotion — which these kernels pin explicitly — depends on
+    the flag.  ``jax.enable_x64(False)`` composes correctly inside an
+    enclosing jit trace (the bench f64-refinement path relied on this
+    scoping at its call site before the fix moved here)."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if jax.config.jax_enable_x64:
+            with jax.enable_x64(False):
+                return fn(*args, **kwargs)
+        return fn(*args, **kwargs)
     return wrapped

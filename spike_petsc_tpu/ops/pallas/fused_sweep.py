@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ._specs import im32
+from ._specs import im32, x64_safe
 from jax.experimental.pallas import tpu as pltpu
 
 def _vmem_budget() -> int:
@@ -318,6 +318,7 @@ def fused_sweep_feasible(fact, b: int, nbuf: int = 4,
     return vec * 5 + mats <= _budget()
 
 
+@x64_safe
 @partial(jax.jit, static_argnames=("mode", "nbuf"))
 def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "vpu",
                                 nbuf: int = 4) -> jax.Array:
@@ -562,6 +563,7 @@ def _pick_kt_many(K: int, nb: int, b: int, r: int, itemsize: int,
         rc = -(-rc // 2)
 
 
+@x64_safe
 @partial(jax.jit, static_argnames=("mode", "nbuf"))
 def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
                                      mode: str = "mxu",

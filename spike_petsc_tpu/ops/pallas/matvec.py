@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ._specs import im32
+from ._specs import im32, x64_safe
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -202,6 +202,7 @@ def _shift3(x, nbp):
     return xm, xc, xp
 
 
+@x64_safe
 @partial(jax.jit, static_argnames=("nbuf",))
 def blocktri_matvec_dma(T, x: jax.Array, nbuf: int = 4) -> jax.Array:
     """y = T @ x via the manual-DMA streaming kernel ([nb, b, b] blocks,
