@@ -91,6 +91,18 @@ def _band_split(a: BandedMatrix, impl: str):
         hint = None
     if hint == "xla":
         return banded_matvec, a, "xla"
+    if impl == "auto" and hint is None and jax.default_backend() == "tpu":
+        # no measurement for this width: the static TPU default is the
+        # diagonal-major banded kernel — it streams exactly the n*w band
+        # bytes and beat the blocktri DMA route even at w=201 where the
+        # conversion's byte inflation is smallest (1.06 vs 2.05 ms at
+        # N=1e6 on v5e; at w=13 the conversion inflates bytes 30x).  The
+        # blocktri route below stays reachable by measurement hint or
+        # explicit impl, and remains the wide-band fallback when the
+        # banded kernel is infeasible (w > 512).
+        from ..ops.pallas.band_matvec import banded_mv_feasible
+        if banded_mv_feasible(a):
+            return (*_banded_pallas_split(a), "banded_pallas")
     bt_ok, wide = _bt_gate(a)
     if ((impl == "auto" and (hint == "blocktri" and bt_ok
                              or hint is None and wide))
