@@ -11,7 +11,9 @@ replacing the reference's PETSc/MPI communication.
 __version__ = "0.1.0"
 
 from .ops.band import (BandedMatrix, banded_from_dense, banded_from_coo,
-                       banded_to_dense, banded_matvec, banded_diagonal)
+                       banded_to_dense, banded_matvec, banded_diagonal,
+                       banded_shift, banded_scale, banded_axpy,
+                       banded_diagonal_scale)
 from .ops.blocktri import (BlockTridiagonal, band_to_blocktri,
                            blocktri_factor, blocktri_solve,
                            blocktri_solve_transpose, blocktri_matvec)
@@ -29,7 +31,8 @@ from . import sparse
 
 __all__ = [
     "BandedMatrix", "banded_from_dense", "banded_from_coo", "banded_to_dense",
-    "banded_matvec", "banded_diagonal",
+    "banded_matvec", "banded_diagonal", "banded_shift",
+    "banded_scale", "banded_axpy", "banded_diagonal_scale",
     "BlockTridiagonal", "band_to_blocktri", "blocktri_factor",
     "blocktri_solve", "blocktri_solve_transpose", "blocktri_matvec",
     "SpikeFactor", "spike_factor", "spike_factor_grouped", "spike_solve",

@@ -215,6 +215,32 @@ def banded_diagonal_scale(b: BandedMatrix, dr=None, dc=None) -> BandedMatrix:
 # Diagnostics
 # ---------------------------------------------------------------------------
 
+def banded_shift(b: BandedMatrix, alpha) -> BandedMatrix:
+    """A + alpha*I in band storage (MatShift equivalent — the role of
+    PETSc's ``-pc_factor_shift_*`` pre-shifts, cf. the nonzero-shift in the
+    reference's canned recipe, /root/reference/src/makefile:17-18)."""
+    return BandedMatrix(data=b.data.at[:, b.kl].add(alpha), kl=b.kl, ku=b.ku)
+
+
+def banded_scale(b: BandedMatrix, alpha) -> BandedMatrix:
+    """alpha * A (MatScale equivalent)."""
+    return BandedMatrix(data=b.data * alpha, kl=b.kl, ku=b.ku)
+
+
+def banded_axpy(y: BandedMatrix, alpha, x: BandedMatrix) -> BandedMatrix:
+    """Y + alpha * X in band storage (MatAXPY equivalent).  The result's
+    band is the union of the operands' bands; widening is a zero pad of
+    the diagonal-offset axis, so mismatched bands cost one copy."""
+    if y.n != x.n:
+        raise ValueError(f"banded_axpy: size mismatch {y.n} vs {x.n}")
+    kl, ku = max(y.kl, x.kl), max(y.ku, x.ku)
+
+    def expand(m: BandedMatrix) -> jax.Array:
+        return jnp.pad(m.data, ((0, 0), (kl - m.kl, ku - m.ku)))
+
+    return BandedMatrix(data=expand(y) + alpha * expand(x), kl=kl, ku=ku)
+
+
 def banded_bandwidth(b: BandedMatrix, tol: float = 0.0) -> tuple:
     """Effective (kl, ku) of the stored band: the largest offsets with any
     entry of magnitude > tol.  Mirrors MatComputeBandwidth

@@ -246,3 +246,24 @@ def test_ksp_diagonal_scale_option():
                 pc_type="jacobi", rtol=1e-12, maxit=500)
     assert int(res.reason) > 0
     np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6)
+
+
+def test_banded_shift_scale_axpy_vs_dense():
+    """MatShift / MatScale / MatAXPY analogs in band storage."""
+    a = random_banded_dense(15, 2, 3, seed=9)
+    c = random_banded_dense(15, 1, 4, seed=10)
+    bm_a = B.banded_from_dense(jnp.asarray(a), 2, 3)
+    bm_c = B.banded_from_dense(jnp.asarray(c), 1, 4)
+    np.testing.assert_allclose(
+        np.asarray(B.banded_to_dense(B.banded_shift(bm_a, 2.5))),
+        a + 2.5 * np.eye(15), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(B.banded_to_dense(B.banded_scale(bm_a, -3.0))),
+        -3.0 * a, atol=1e-14)
+    got = B.banded_axpy(bm_a, 0.5, bm_c)
+    assert (got.kl, got.ku) == (2, 4)
+    np.testing.assert_allclose(np.asarray(B.banded_to_dense(got)),
+                               a + 0.5 * c, atol=1e-14)
+    with pytest.raises(ValueError, match="size mismatch"):
+        B.banded_axpy(bm_a, 1.0, B.banded_from_dense(
+            jnp.asarray(random_banded_dense(9, 1, 1)), 1, 1))
