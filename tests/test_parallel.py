@@ -230,3 +230,45 @@ def test_multislice_layout():
     # block-Jacobi across 2 slices: a handful of iterations, not dozens
     assert int(res.its) <= 15
     np.testing.assert_allclose(np.asarray(res.x), u, rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ppd", [1, 2])
+def test_dist_matvec_banded_pallas_route(mesh, ppd):
+    """matvec_impl='banded_pallas': the diagonal-major kernel covers every
+    intra-device coupling (the band keeps what band_to_blocktri zeroes) and
+    only the two k-wide DEVICE-edge strips ride ppermute.  Parity against
+    the blocks route and the host oracle; f32 (the kernel is fixed-width
+    only).  Asymmetric band exercises the kl != ku tip orientation."""
+    from spike_petsc_tpu.parallel.spike_dist import (_dsf_specs,
+                                                     _pad_shard_rhs,
+                                                     local_matvec,
+                                                     make_dist_solver)
+    n = 8192        # the kernel needs >= 2*128 local rows per device
+    a = problems.nonsym_banded(n, 3, 2, seed=3)
+    bm32 = BandedMatrix(
+        data=jnp.asarray(np.asarray(banded_of(a).data), jnp.float32),
+        kl=3, ku=2)
+    dsf = dist_spike_factor(bm32, mesh, block_b=8, parts_per_device=ppd,
+                            matvec_impl="banded_pallas")
+    assert dsf.mv_d3 is not None
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(n).astype(np.float32)
+    x_sh = _pad_shard_rhs(dsf, mesh, "p", jnp.asarray(x))
+
+    def local_fn(dsf_in, xl):
+        return local_matvec(dsf_in, xl.reshape(-1), "p").reshape(ppd, dsf.m)
+
+    y = jax.shard_map(local_fn, mesh=mesh,
+                      in_specs=(_dsf_specs(dsf, "p"), P("p")),
+                      out_specs=P("p"), check_vma=False)(dsf, x_sh)
+    y = np.asarray(y).reshape(-1)[:n]
+    np.testing.assert_allclose(y, (a @ x).astype(np.float32),
+                               rtol=2e-5, atol=2e-5)
+    # end-to-end distributed Krylov riding the banded matvec
+    u = rng.standard_normal(n).astype(np.float32)
+    rhs = jnp.asarray((a @ u).astype(np.float32))
+    res = make_dist_solver(dsf, mesh, ksp_type="gmres", rtol=1e-5)(rhs)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x)[:n], u, rtol=2e-3,
+                               atol=2e-3)
