@@ -528,13 +528,15 @@ def _halo_corrections(x_top, x_bot, axis, ndev):
 
 
 def _local_banded_matvec(dsf_local, x_local: jax.Array,
-                         axis: str) -> jax.Array:
+                         axis) -> jax.Array:
     """Per-device SpMV on the stored diagonal-major band
     (``matvec_impl="banded_pallas"``): the kernel streams exactly the
     local band bytes and covers EVERY intra-device coupling (including
     across partition boundaries — the band retains what band_to_blocktri
     zeroes), so only the two k-wide DEVICE-edge strips need ppermute +
-    tip corrections."""
+    tip corrections.  ``axis`` may be a name or a tuple of names (the
+    multislice (slice, p) ring — device order flattens row-major, so the
+    same ring permutation covers both layouts)."""
     from ..ops.pallas.band_matvec import (PreparedBandMV,
                                           banded_matvec_prepared)
     k, K = dsf_local.k, dsf_local.K
@@ -1025,7 +1027,8 @@ def dist_spike_factor_multislice(
         reduced: str = "auto", store_spikes: bool = False,
         store_dtype=None, spike_dtype=None,
         shift: str = "none", shift_amount: float = 0.0,
-        inverter: str = "auto", safety_net: bool = True) -> DistSpikeFactor:
+        inverter: str = "auto", safety_net: bool = True,
+        matvec_impl: str = "blocks") -> DistSpikeFactor:
     """Factor over a (slice, p) mesh: exact SPIKE within each slice,
     block-Jacobi coupling across slices (PC-grade; the matvec retains the
     exact cross-slice coupling).  K = n_slices * per_slice * ppd partitions
@@ -1036,14 +1039,20 @@ def dist_spike_factor_multislice(
     stored V/W spikes are computed from the PC tips (slice boundaries
     zeroed), so the 1-sweep PCApply stays ICI-only.  The safety net's probe
     tolerance treats the factorization as inexact (block-Jacobi across
-    slices drops coupling on purpose), so it only rejects junk."""
+    slices drops coupling on purpose), so it only rejects junk.
+
+    ``matvec_impl="banded_pallas"``: as in dist_spike_factor — the Krylov
+    matvec streams the stored diagonal-major local band through the Pallas
+    kernel; the k-wide edge strips ride the flattened (slice, p) ring, so
+    only slice-edge strips cross DCN (exactly the blocks route's traffic)."""
     def build(inv):
         return _dist_spike_factor_multislice_impl(
             band, mesh, axis_slice, axis_p, method=method, block_b=block_b,
             parts_per_device=parts_per_device, reduced=reduced,
             store_spikes=store_spikes, store_dtype=store_dtype,
             spike_dtype=spike_dtype, shift=shift,
-            shift_amount=shift_amount, inverter=inv)
+            shift_amount=shift_amount, inverter=inv,
+            matvec_impl=matvec_impl)
 
     dsf = build(inverter)
     if safety_net:
@@ -1067,7 +1076,7 @@ def _dist_spike_factor_multislice_impl(
         band: BandedMatrix, mesh: Mesh, axis_slice: str, axis_p: str,
         *, method, block_b, parts_per_device, reduced, store_spikes,
         store_dtype, spike_dtype, shift, shift_amount,
-        inverter) -> DistSpikeFactor:
+        inverter, matvec_impl: str = "blocks") -> DistSpikeFactor:
     n_slices = mesh.shape[axis_slice]
     ndev_p = mesh.shape[axis_p]
     ppd = parts_per_device
@@ -1082,6 +1091,19 @@ def _dist_spike_factor_multislice_impl(
                           NamedSharding(mesh, P((axis_slice, axis_p))))
     nb = m // b
     factor_fn = _local_factor_fn(method, shift, shift_amount, inverter)
+
+    if matvec_impl not in ("blocks", "banded_pallas"):
+        raise ValueError(f"matvec_impl must be 'blocks' or 'banded_pallas', "
+                         f"got {matvec_impl!r}")
+    mv_S = 0
+    if matvec_impl == "banded_pallas":
+        from ..ops.pallas.band_matvec import _pick_S, banded_mv_feasible
+        if not banded_mv_feasible(w, n=ppd * m, dtype=band.dtype):
+            raise ValueError(
+                f"matvec_impl='banded_pallas' infeasible for w={w}, "
+                f"local rows={ppd * m}, dtype={band.dtype}; use 'blocks'")
+        mv_S = min(_pick_S(w, jnp.dtype(band.dtype).itemsize),
+                   max(8, -(-(ppd * m) // 128) // 8 * 8))
 
     def local_setup(data_shard):                    # [ppd, m, w]
         sidx = jax.lax.axis_index(axis_slice)
@@ -1116,7 +1138,13 @@ def _dist_spike_factor_multislice_impl(
         V, W = (Vfull, Wfull) if store_spikes else (None, None)
         fact, V, W = _cast_local(fact, V, W, method, store_dtype,
                                  spike_dtype)
-        return blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W
+        mv_d3 = None
+        if matvec_impl == "banded_pallas":
+            from ..ops.pallas.band_matvec import prepare_banded_mv
+            mv_d3 = prepare_banded_mv(
+                BandedMatrix(data=data_shard.reshape(ppd * m, w),
+                             kl=kl, ku=ku), S=mv_S).d3
+        return blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W, mv_d3
 
     sds = jax.ShapeDtypeStruct
     pax = P((axis_slice, axis_p))
@@ -1143,14 +1171,20 @@ def _dist_spike_factor_multislice_impl(
         None,
         pax if store_spikes else None,
         pax if store_spikes else None,
+        # diagonal-major local band: [w, Sg_local, 128] per device, global
+        # row tiles concatenated on the MIDDLE axis over the flattened ring
+        P(None, (axis_slice, axis_p), None)
+        if matvec_impl == "banded_pallas" else None,
     )
-    blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W = jax.shard_map(
-        local_setup, mesh=mesh, in_specs=(pax,), out_specs=out_specs,
-        check_vma=False)(data)
+    blocks, fact, Btip, Ctip, red_fact, red_Dinv, V, W, mv_d3 = \
+        jax.shard_map(
+            local_setup, mesh=mesh, in_specs=(pax,), out_specs=out_specs,
+            check_vma=False)(data)
     return DistSpikeFactor(blocks=blocks, fact=fact, Btip=Btip, Ctip=Ctip,
                            red_fact=red_fact, red_Dinv=red_Dinv, V=V, W=W,
                            n=n, K=K, m=m, b=b, k=k, ppd=ppd,
-                           truncated=False)
+                           truncated=False,
+                           mv_d3=mv_d3, mv_S=mv_S, mv_kl=kl, mv_ku=ku)
 
 
 def dist_spike_transpose_multislice(
@@ -1317,6 +1351,11 @@ def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
     """Exact banded SpMV on a (slice, p) mesh: boundary strips ride a
     ppermute over the flattened (slice, p) device order — only slice-edge
     strips cross DCN."""
+    if getattr(dsf_local, "mv_d3", None) is not None and x_local.ndim == 1:
+        # banded-Pallas route: the ppermute rides the flattened
+        # (slice, p) order — same ring, only slice-edge strips cross DCN
+        return _local_banded_matvec(dsf_local, x_local,
+                                    (axis_slice, axis_p))
     nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
     ppd, m = dsf_local.ppd, dsf_local.m
     xp = x_local.reshape(ppd, m)
@@ -1347,7 +1386,9 @@ def _multislice_specs(dsf: DistSpikeFactor, axis_slice: str, axis_p: str):
         V=None if dsf.V is None else pax,
         W=None if dsf.W is None else pax,
         n=dsf.n, K=dsf.K, m=dsf.m, b=dsf.b, k=dsf.k,
-        ppd=dsf.ppd, truncated=dsf.truncated)
+        ppd=dsf.ppd, truncated=dsf.truncated,
+        mv_d3=None if dsf.mv_d3 is None else P(None, axes, None),
+        mv_S=dsf.mv_S, mv_kl=dsf.mv_kl, mv_ku=dsf.mv_ku)
 
 
 

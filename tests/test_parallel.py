@@ -270,5 +270,54 @@ def test_dist_matvec_banded_pallas_route(mesh, ppd):
     rhs = jnp.asarray((a @ u).astype(np.float32))
     res = make_dist_solver(dsf, mesh, ksp_type="gmres", rtol=1e-5)(rhs)
     assert int(res.reason) > 0
+
+
+@pytest.mark.slow
+def test_multislice_matvec_banded_pallas_route():
+    """matvec_impl='banded_pallas' on a (slice, p) mesh: the edge strips
+    ride the flattened (slice, p) ring, so the kernel route carries the
+    same cross-slice traffic as the blocks route.  Parity against the host
+    oracle + end-to-end multislice Krylov."""
+    from spike_petsc_tpu.parallel import (dist_spike_factor_multislice,
+                                          make_dist_solver_multislice,
+                                          make_mesh_multislice)
+    from spike_petsc_tpu.parallel.spike_dist import (_multislice_specs,
+                                                     local_matvec_multislice)
+    n = 8192        # the kernel needs >= 2*128 local rows per device
+    a = problems.nonsym_banded(n, 3, 2, seed=5)
+    bm32 = BandedMatrix(
+        data=jnp.asarray(np.asarray(banded_of(a).data), jnp.float32),
+        kl=3, ku=2)
+    mesh = make_mesh_multislice((2, 4))
+    dsf = dist_spike_factor_multislice(bm32, mesh, block_b=8,
+                                       matvec_impl="banded_pallas")
+    assert dsf.mv_d3 is not None
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(n).astype(np.float32)
+    xp = jnp.zeros((dsf.K * dsf.m,), jnp.float32).at[:n].set(
+        jnp.asarray(x)).reshape(dsf.K, dsf.m)
+    x_sh = jax.device_put(xp, NamedSharding(mesh, P(("slice", "p"))))
+
+    def local_fn(dsf_in, xl):
+        y = local_matvec_multislice(dsf_in, xl.reshape(-1), "slice", "p",
+                                    2, 4)
+        return y.reshape(dsf.ppd, dsf.m)
+
+    y = jax.shard_map(local_fn, mesh=mesh,
+                      in_specs=(_multislice_specs(dsf, "slice", "p"),
+                                P(("slice", "p"))),
+                      out_specs=P(("slice", "p")), check_vma=False)(
+        dsf, x_sh)
+    y = np.asarray(y).reshape(-1)[:n]
+    np.testing.assert_allclose(y, (a @ x).astype(np.float32),
+                               rtol=2e-5, atol=2e-5)
+    u = rng.standard_normal(n).astype(np.float32)
+    rhs = jnp.asarray((a @ u).astype(np.float32))
+    res = make_dist_solver_multislice(dsf, mesh, ksp_type="gmres",
+                                      rtol=1e-5)(rhs)
+    assert int(res.reason) > 0
+    rel = np.linalg.norm(a @ np.asarray(res.x) - np.asarray(rhs)) \
+        / np.linalg.norm(np.asarray(rhs))
+    assert rel < 1e-4, rel
     np.testing.assert_allclose(np.asarray(res.x)[:n], u, rtol=2e-3,
                                atol=2e-3)
