@@ -42,7 +42,7 @@ def build(n=1_000_000, k=100, b=128, Kc=64, seed=0):
 
 
 def make_call(variant, nbk, Kc, kt=8, nbuf=4, b=128):
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     vec = pl.BlockSpec((kt, nbk, b), lambda c: (c, 0, 0),
                        memory_space=pltpu.VMEM)
 

@@ -347,7 +347,7 @@ def blocktri_solve_fused_pallas(fact, rhs: jax.Array, mode: str = "vpu",
     spd = fact.method == "spd"
     kern = partial(_fused_kernel_spd if spd else _fused_kernel,
                    kt=kt, nb=nb, nbuf=nbuf, mode=mode, precision=precision)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     vec = pl.BlockSpec((kt, nb, b), im32(lambda c: (c, 0, 0)),
                        memory_space=pltpu.VMEM)
     operands = ((fact.F, fact.Sinv) if spd
@@ -605,7 +605,7 @@ def blocktri_solve_fused_many_pallas(fact, rhs: jax.Array,
     spd = fact.method == "spd"
     kern = partial(_fused_kernel_many_spd if spd else _fused_kernel_many,
                    kt=kt, nb=nb, nbuf=nbuf, mode=mode, precision=precision)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     vec = pl.BlockSpec((kt, nb, r, b), im32(lambda c: (c, 0, 0, 0)),
                        memory_space=pltpu.VMEM)
     rt = jnp.swapaxes(rhs.astype(cdtype), 2, 3)       # [K, nb, r, b]

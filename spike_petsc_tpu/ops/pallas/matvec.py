@@ -172,7 +172,7 @@ def _mv_dma_call(D, L, U, xm, xc, xp, kt: int, nbuf: int):
     divide Kc.  Returns y [Kc, nbk, b] in the vector dtype."""
     Kc, nbk, b, _ = D.shape
     kern = partial(_mv_dma_kernel, kt=kt, nbk=nbk, nbuf=nbuf)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     vec = pl.BlockSpec((kt, nbk, b), im32(lambda c: (c, 0, 0)),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
