@@ -159,9 +159,14 @@ def main() -> None:
     })
     dump_partial()
 
+    def _mark(label: str) -> None:
+        print(f"bench: [{label}] at {time.perf_counter() - t_start:.1f}s",
+              file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
     from functools import partial
+    _mark("jax imported")
 
     # The axon plugin pins jax_platforms and IGNORES the JAX_PLATFORMS env
     # override — an explicit request (CI smoke on the host CPU) must go
@@ -207,6 +212,7 @@ def main() -> None:
     dtype = jnp.float32
     platform = jax.devices()[0].platform
     OUT["platform"] = platform
+    _mark("backend up")
 
     # diagonally dominant random band, built directly on device
     key = jax.random.PRNGKey(0)
@@ -214,9 +220,11 @@ def main() -> None:
     data = data.at[:, k].set(jnp.sum(jnp.abs(data), axis=1) + 1.0)
     band = BandedMatrix(data=data, kl=k, ku=k)
     rhs = banded_matvec(band, jnp.ones((n,), dtype))
+    _mark("operands built")
     _ = np.asarray(rhs[:8])          # force materialization (and pay the
     # tunnel's one-time first-readback cost, measured up to ~2 min on a
     # degraded session, OUTSIDE every timed region)
+    _mark("first readback")
 
     # ---- tunnel health probe --------------------------------------------
     # The axon tunnel's per-dispatch latency varies session-to-session by 5x+
@@ -402,57 +410,96 @@ def main() -> None:
 
     # ---- CPU LAPACK baseline (same precision) -------------------------------
     # Runs EARLY (before every extra): it feeds the headline vs_baseline, so
-    # a budget kill during the extras must not lose it (~25 s on this host).
+    # a budget kill during the extras must not lose it.  The measurement is
+    # HOST-KEYED CACHED (~/.cache): the baseline characterizes this host's
+    # CPU, which does not change run to run — re-measuring it cost ~30 s of
+    # every driver run (VERDICT r4 weak #2); SPIKE_BENCH_CPU_REFRESH=1
+    # forces a fresh measurement.
     if os.environ.get("SPIKE_BENCH_SKIP_CPU") != "1":
-        from scipy.linalg import lapack
+        import socket
 
-        # host-side copy of the same problem CLASS, generated with numpy —
-        # NEVER `np.asarray(data)`: that reads the 0.8 GB band back through
-        # the axon tunnel, which on a slow session takes MINUTES (this is
-        # what starved the r3 run past the driver timeout).  The baseline
-        # is a timing measurement of identical shape/precision/diagonal-
-        # dominance, not a bitwise parity check.
-        rng = np.random.default_rng(0)
-        data_np = rng.random((n, w), dtype=np.float32) * 2.0 - 1.0
-        data_np[:, k] = np.abs(data_np).sum(axis=1) + 1.0
-        ab = np.zeros((2 * k + k + 1, n), dtype=np.float32, order="F")
-        for d in range(-k, k + 1):
-            ab[k + k - d, max(0, d):n + min(0, d)] = \
-                data_np[max(0, -d):n - max(0, d), d + k]
-        rhs_np = np.ones((n,), dtype=np.float32)
+        _cpu_path = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "spike_petsc_tpu", "cpu_baseline.json")
+        _cpu_key = f"{socket.gethostname()}:n{n}:k{k}:f32"
+        _cpu_rec = None
+        if os.environ.get("SPIKE_BENCH_CPU_REFRESH") != "1":
+            try:
+                with open(_cpu_path) as f:
+                    _cpu_rec = json.load(f).get(_cpu_key)
+            except (OSError, ValueError):
+                _cpu_rec = None
+        if _cpu_rec is not None:
+            cpu_factor_s = _cpu_rec["factor_s"]
+            cpu_solve_s = _cpu_rec["solve_s"]
+            OUT["cpu_baseline_cached"] = True
+        else:
+            from scipy.linalg import lapack
 
-        t0 = time.perf_counter()
-        lub, ipiv, info = lapack.sgbtrf(ab, k, k)
-        cpu_factor_s = time.perf_counter() - t0
-        assert info == 0, f"sgbtrf failed: {info}"
+            # host-side copy of the same problem CLASS, generated with
+            # numpy — NEVER `np.asarray(data)`: that reads the 0.8 GB band
+            # back through the axon tunnel, which on a slow session takes
+            # MINUTES (this is what starved the r3 run past the driver
+            # timeout).  The baseline is a timing measurement of identical
+            # shape/precision/diagonal-dominance, not a bitwise parity
+            # check.
+            rng = np.random.default_rng(0)
+            data_np = rng.random((n, w), dtype=np.float32) * 2.0 - 1.0
+            data_np[:, k] = np.abs(data_np).sum(axis=1) + 1.0
+            ab = np.zeros((2 * k + k + 1, n), dtype=np.float32, order="F")
+            for d in range(-k, k + 1):
+                ab[k + k - d, max(0, d):n + min(0, d)] = \
+                    data_np[max(0, -d):n - max(0, d), d + k]
+            rhs_np = np.ones((n,), dtype=np.float32)
 
-        def cpu_solve():
-            xb, info2 = lapack.sgbtrs(lub, k, k, rhs_np, ipiv)
-            assert info2 == 0
-            return xb
-
-        cpu_solve()  # warm
-        cpu_times = []
-        for _ in range(3):
             t0 = time.perf_counter()
-            cpu_solve()
-            cpu_times.append(time.perf_counter() - t0)
-        cpu_solve_s = min(cpu_times)
+            lub, ipiv, info = lapack.sgbtrf(ab, k, k)
+            cpu_factor_s = time.perf_counter() - t0
+            assert info == 0, f"sgbtrf failed: {info}"
+
+            def cpu_solve():
+                xb, info2 = lapack.sgbtrs(lub, k, k, rhs_np, ipiv)
+                assert info2 == 0
+                return xb
+
+            cpu_solve()  # warm
+            cpu_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                cpu_solve()
+                cpu_times.append(time.perf_counter() - t0)
+            cpu_solve_s = min(cpu_times)
+            del ab, data_np, lub, ipiv, rhs_np
+            try:
+                os.makedirs(os.path.dirname(_cpu_path), exist_ok=True)
+                try:
+                    with open(_cpu_path) as f:
+                        _cpu_all = json.load(f)
+                except (OSError, ValueError):
+                    _cpu_all = {}
+                _cpu_all[_cpu_key] = {"factor_s": cpu_factor_s,
+                                      "solve_s": cpu_solve_s}
+                with open(_cpu_path, "w") as f:
+                    json.dump(_cpu_all, f, indent=1, sort_keys=True)
+            except OSError:
+                pass
         OUT["cpu_factor_ms"] = round(cpu_factor_s * 1e3, 3)
         OUT["cpu_solve_ms"] = round(cpu_solve_s * 1e3, 3)
         OUT["vs_baseline"] = round(cpu_solve_s / solve_s, 3)
         OUT["factor_speedup"] = round(cpu_factor_s / factor_s, 3)
         OUT["factor_plus_solve_speedup"] = round(
             (cpu_factor_s + cpu_solve_s) / (factor_s + solve_s), 3)
-        del ab, data_np, lub, ipiv, rhs_np
         dump_partial()
         print(f"bench: cpu baseline done at {elapsed():.0f}s",
               file=sys.stderr, flush=True)
 
     # =========================== EXTRA STAGES ================================
-    # ordered by (value to the report) / (compile cost through the tunnel);
-    # the Mosaic-compile-heavy band_mv/tune pair runs LAST (it ate 277 s of
-    # the r3 run) and is the natural victim of a tight budget.
+    # Stage bodies are defined here; the ordered dispatch block at the
+    # bottom runs them.  Ordering policy (VERDICT r4): stages whose numbers
+    # the driver has NOT yet captured run FIRST (band_mv / tune /
+    # f64_refine / transpose were all skipped-on-budget in BENCH_r04);
+    # long-driver-stable stages (serve, factor_native, krylov_serve) run
+    # last and are the natural victims of a tight budget.  gmres stays
+    # first: it is BASELINE's second headline metric and cheap when warm.
 
     # ---- GMRES + SPIKE PC (BASELINE's second metric) ------------------------
     def stage_gmres():
@@ -534,8 +581,6 @@ def main() -> None:
             gmres_s = t_g1
         OUT["gmres_wall_ms"] = round(gmres_s * 1e3, 2)
 
-    run_stage("gmres", 60, stage_gmres)
-
     # ---- multi-RHS serving (BASELINE config 2's batched mode) ---------------
     def stage_serve():
         # factors stream once for all r columns (fused multi-RHS Pallas
@@ -558,8 +603,6 @@ def main() -> None:
         if serve_s < 1e-6:          # tunnel anomaly guard
             serve_s = t_s1 / r_serve
         OUT[f"serve_ms_per_rhs_r{r_serve}"] = round(serve_s * 1e3, 4)
-
-    run_stage("serve", 40, stage_serve)
 
     # ---- native-assembly factor ---------------------------------------------
     def stage_factor_native():
@@ -585,8 +628,6 @@ def main() -> None:
             timed(lambda: factor_native_fn(Tn.D, Tn.L, Tn.U, K))
             for _ in range(R3))
         OUT["tpu_factor_native_ms"] = round(factor_native_s * 1e3, 3)
-
-    run_stage("factor_native", 45, stage_factor_native)
 
     # ---- batched-Krylov serving (bicgstab_many) -----------------------------
     def stage_krylov_serve():
@@ -641,10 +682,6 @@ def main() -> None:
         OUT[f"krylov_serve_ms_per_rhs_r{r_ks}"] = round(ks_s * 1e3, 4)
         OUT["krylov_serve_max_its"] = int(np.asarray(its))
         OUT["krylov_serve_mv_route"] = route_cell.get("route", "?")
-
-    # est post-fix: the old 300 s was the closure-POST pathology (operator
-    # now rides as an explicit argument); measured history replaces this
-    run_stage("krylov_serve", 120, stage_krylov_serve)
 
     # ---- transpose/adjoint solves on stored factors -------------------------
     def stage_transpose():
@@ -726,9 +763,6 @@ def main() -> None:
         assert isinstance(sft_lt.fact, BlockTriFactor)
         OUT["transpose_lt_setup_ms"] = round(lt_setup_s * 1e3, 3)
         del sft_lt, sf_lt, Lb
-
-    if os.environ.get("SPIKE_BENCH_TRANSPOSE", "1") == "1":
-        run_stage("transpose", 90, stage_transpose)
 
     # ---- TPU high-accuracy: f32 factors + emulated-f64 refinement -----------
     def stage_f64_refine():
@@ -843,14 +877,12 @@ def main() -> None:
         finally:
             jax.config.update("jax_enable_x64", False)
 
-    if os.environ.get("SPIKE_BENCH_F64", "1") == "1":
-        run_stage("f64_refine", 150, stage_f64_refine)
-
-    # ---- banded-Pallas operator microbench + route tuning (LAST) ------------
-    # the Mosaic compiles here cost minutes through the tunnel (277 s of the
-    # r3 run) — this pair runs only when ample budget remains; the tuning
-    # record it writes persists across rounds (and a packaged record ships
-    # with the repo), so a skip costs one round of refresh, not the feature.
+    # ---- banded-Pallas operator microbench + route tuning -------------------
+    # Mosaic compiles here cost minutes COLD through the tunnel, but the
+    # tuning record the pair writes is the round's measured-routing
+    # evidence, so it runs EARLY (post-r4 policy); the persistent XLA cache
+    # makes warm runs cheap, and the measured stage history keeps a cold
+    # session from starving what follows.
     def stage_band_mv():
         from spike_petsc_tpu.ops.pallas.band_matvec import (
             banded_matvec_prepared, banded_mv_feasible, prepare_banded_mv)
@@ -879,9 +911,6 @@ def main() -> None:
             bmv_s = t_m1 / 2.0
         OUT["band_mv_pallas_ms"] = round(bmv_s * 1e3, 3)
         OUT["band_mv_pallas_gbps"] = round(n * w * 4 / bmv_s / 1e9, 1)
-
-    if os.environ.get("SPIKE_BENCH_BAND_MV", "1") == "1":
-        run_stage("band_mv", 200, stage_band_mv)
 
     def stage_tune():
         # time each feasible SpMV route through the library's own dispatch
@@ -932,8 +961,22 @@ def main() -> None:
             OUT["mv_route_winner"] = winner
             OUT["tuning_file"] = path
 
+    # ---- ordered dispatch (see the EXTRA STAGES comment for the policy) -----
+    run_stage("gmres", 60, stage_gmres)
+    if os.environ.get("SPIKE_BENCH_BAND_MV", "1") == "1":
+        run_stage("band_mv", 200, stage_band_mv)
     if os.environ.get("SPIKE_BENCH_TUNE", "1") == "1":
         run_stage("tune", 120, stage_tune)
+    if os.environ.get("SPIKE_BENCH_F64", "1") == "1":
+        run_stage("f64_refine", 150, stage_f64_refine)
+    if os.environ.get("SPIKE_BENCH_TRANSPOSE", "1") == "1":
+        run_stage("transpose", 90, stage_transpose)
+    run_stage("serve", 40, stage_serve)
+    run_stage("factor_native", 45, stage_factor_native)
+    # krylov_serve est post-fix: the old 300 s was the closure-POST
+    # pathology (operator now rides as an explicit argument); measured
+    # history replaces the static estimate
+    run_stage("krylov_serve", 120, stage_krylov_serve)
 
     if skipped:
         OUT["skipped_stages"] = skipped

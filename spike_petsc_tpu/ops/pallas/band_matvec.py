@@ -113,6 +113,17 @@ class PreparedBandMV:
         return self.kl + self.ku + 1
 
 
+def default_band_mv_S(w: int, n: int, dtype=jnp.float32) -> int:
+    """Default sublane rows per grid step for an n-row band of width w.
+
+    The SINGLE source of truth for the kernel's tile sizing: used by
+    ``prepare_banded_mv`` (``S=None``) and by the distributed factories in
+    ``parallel/spike_dist.py``, whose per-shard tiles must match the kernel
+    layout exactly.  Caps at one-tile coverage of the n rows."""
+    return min(_pick_S(w, jnp.dtype(dtype).itemsize),
+               max(8, -(-n // 128) // 8 * 8))
+
+
 def banded_mv_feasible(bm_or_w, n: int = None, dtype=jnp.float32) -> bool:
     """True when the Pallas banded kernel handles this band: fixed-width
     dtypes only (no emulated f64 pairs on TPU), w small enough that the
@@ -142,9 +153,7 @@ def prepare_banded_mv(bm: BandedMatrix, S: int = None) -> PreparedBandMV:
             f"dtype={bm.dtype}; use ops.band.banded_matvec")
     w, n = bm.width, bm.n
     if S is None:
-        # no use tiling wider than the problem: cap at one-tile coverage
-        S = min(_pick_S(w, jnp.dtype(bm.dtype).itemsize),
-                max(8, -(-n // 128) // 8 * 8))
+        S = default_band_mv_S(w, n, bm.dtype)
     T = S * 128
     NBg = -(-n // T)
     d3 = jnp.pad(bm.data, ((0, NBg * T - n), (0, 0))).T.reshape(w, NBg * S, 128)

@@ -277,13 +277,13 @@ def _dist_spike_factor_impl(band: BandedMatrix, mesh: Mesh, axis: str,
                          f"got {matvec_impl!r}")
     mv_S = 0
     if matvec_impl == "banded_pallas":
-        from ..ops.pallas.band_matvec import _pick_S, banded_mv_feasible
+        from ..ops.pallas.band_matvec import (banded_mv_feasible,
+                                              default_band_mv_S)
         if not banded_mv_feasible(w, n=ppd * m, dtype=band.dtype):
             raise ValueError(
                 f"matvec_impl='banded_pallas' infeasible for w={w}, "
                 f"local rows={ppd * m}, dtype={band.dtype}; use 'blocks'")
-        mv_S = min(_pick_S(w, jnp.dtype(band.dtype).itemsize),
-                   max(8, -(-(ppd * m) // 128) // 8 * 8))
+        mv_S = default_band_mv_S(w, ppd * m, band.dtype)
 
     def local_setup(data_shard):                    # [ppd, m, w]
         gidx = jax.lax.axis_index(axis) * ppd + jnp.arange(ppd)
@@ -565,6 +565,8 @@ def local_matvec(dsf_local, x_local: jax.Array, axis: str) -> jax.Array:
     slices; only the k-wide device-boundary strips ride ppermute (replacing
     VecScatter halo traffic, /root/reference/src/wbm.c:270-273)."""
     if getattr(dsf_local, "mv_d3", None) is not None and x_local.ndim == 1:
+        # ndim > 1 (multi-RHS) intentionally falls back to blocks — see
+        # local_matvec_many and ROADMAP r4 item 3c (MXU-vs-VPU economics)
         return _local_banded_matvec(dsf_local, x_local, axis)
     nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
     ppd, m = dsf_local.ppd, dsf_local.m
@@ -765,7 +767,12 @@ def dist_spike_transpose(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
 
     The result is a full DistSpikeFactor: ``dist_spike_solve``,
     ``dist_spike_solve_many`` and ``make_dist_solver`` (Krylov on A^T with
-    the SPIKE PC) work unchanged.  Pure transpose, no conjugation."""
+    the SPIKE PC) work unchanged.  Pure transpose, no conjugation.
+
+    Note: the transpose factor carries no ``mv_d3``, so even when the
+    forward factor was built with ``matvec_impl='banded_pallas'`` the A^T
+    matvec runs on the blocks route — correct, but slower than the
+    forward operator's kernel route."""
     if not isinstance(dsf.fact, BlockTriFactor):
         raise ValueError(
             "dist_spike_transpose requires block-Thomas partition factors "
@@ -1044,7 +1051,10 @@ def dist_spike_factor_multislice(
     ``matvec_impl="banded_pallas"``: as in dist_spike_factor — the Krylov
     matvec streams the stored diagonal-major local band through the Pallas
     kernel; the k-wide edge strips ride the flattened (slice, p) ring, so
-    only slice-edge strips cross DCN (exactly the blocks route's traffic)."""
+    only slice-edge strips cross DCN (exactly the blocks route's traffic).
+    Single-RHS only; multi-RHS and transpose factors fall back to the
+    blocks route (see local_matvec_multislice /
+    dist_spike_transpose_multislice)."""
     def build(inv):
         return _dist_spike_factor_multislice_impl(
             band, mesh, axis_slice, axis_p, method=method, block_b=block_b,
@@ -1097,13 +1107,13 @@ def _dist_spike_factor_multislice_impl(
                          f"got {matvec_impl!r}")
     mv_S = 0
     if matvec_impl == "banded_pallas":
-        from ..ops.pallas.band_matvec import _pick_S, banded_mv_feasible
+        from ..ops.pallas.band_matvec import (banded_mv_feasible,
+                                              default_band_mv_S)
         if not banded_mv_feasible(w, n=ppd * m, dtype=band.dtype):
             raise ValueError(
                 f"matvec_impl='banded_pallas' infeasible for w={w}, "
                 f"local rows={ppd * m}, dtype={band.dtype}; use 'blocks'")
-        mv_S = min(_pick_S(w, jnp.dtype(band.dtype).itemsize),
-                   max(8, -(-(ppd * m) // 128) // 8 * 8))
+        mv_S = default_band_mv_S(w, ppd * m, band.dtype)
 
     def local_setup(data_shard):                    # [ppd, m, w]
         sidx = jax.lax.axis_index(axis_slice)
@@ -1201,7 +1211,12 @@ def dist_spike_transpose_multislice(
     matvec keeps exact cross-slice coupling), while the transpose spikes
     and per-slice reduced system are built from SLICE-MASKED tips (slice
     boundaries are PC-global edges — block-Jacobi across slices, so
-    PCApply stays ICI-only, matching the forward factor)."""
+    PCApply stays ICI-only, matching the forward factor).
+
+    Note: the transpose factor carries no ``mv_d3``, so even when the
+    forward factor was built with ``matvec_impl='banded_pallas'`` the A^T
+    matvec (bicg and friends) runs on the blocks route — correct, but
+    slower than the forward operator's kernel route."""
     from ..ops.blocktri import TransposedBlockTriFactor
     if not isinstance(dsf.fact, BlockTriFactor):
         raise ValueError(
@@ -1353,7 +1368,10 @@ def local_matvec_multislice(dsf_local, x_local, axis_slice: str,
     strips cross DCN."""
     if getattr(dsf_local, "mv_d3", None) is not None and x_local.ndim == 1:
         # banded-Pallas route: the ppermute rides the flattened
-        # (slice, p) order — same ring, only slice-edge strips cross DCN
+        # (slice, p) order — same ring, only slice-edge strips cross DCN.
+        # ndim > 1 (multi-RHS) intentionally falls back to blocks: the
+        # lane-phase kernel is VPU-bound per RHS while the blocks route's
+        # MXU apply streams blocks once for all r (ROADMAP r4 item 3c).
         return _local_banded_matvec(dsf_local, x_local,
                                     (axis_slice, axis_p))
     nb, b, k, K = dsf_local.nb, dsf_local.b, dsf_local.k, dsf_local.K
