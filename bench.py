@@ -764,6 +764,112 @@ def main() -> None:
         OUT["transpose_lt_setup_ms"] = round(lt_setup_s * 1e3, 3)
         del sft_lt, sf_lt, Lb
 
+    # ---- ordering/scaling pipeline at scale (VERDICT r4 next #4) ------------
+    def stage_ordering():
+        # The reference's raison d'être — the reorder -> scale -> extract
+        # pre-pass (/root/reference/src/testbed.c:200-284 prints its
+        # diagnostics per run) — measured at BASELINE config-3 scale with
+        # the end-to-end banded solve.  Host combinatorics (native C++ SAP
+        # engine, vectorized AWBM, RCM, extraction) never touch the
+        # tunnel; factor + BiCGStab ride the chip.
+        from spike_petsc_tpu import sparse as hsparse
+        from spike_petsc_tpu.models import problems
+        from spike_petsc_tpu.ordering.mc64 import mc64
+        from spike_petsc_tpu.ordering.awbm import awbm as _awbm
+        from spike_petsc_tpu.ordering.rcm import rcm as _rcm
+        from spike_petsc_tpu.solvers.krylov import bicgstab
+
+        n_ord = int(os.environ.get("SPIKE_BENCH_ORD_N", 1_000_000))
+        a = problems.illscaled_nonsym(n_ord, 6, 6, seed=0)
+        OUT["ordering_n"] = n_ord
+        OUT["ordering_nnz"] = int(a.nnz)
+
+        t0 = time.perf_counter()
+        r5 = mc64(a, job=5)
+        t_mc64 = time.perf_counter() - t0
+        OUT["ordering_mc64_job5_ms"] = round(t_mc64 * 1e3, 1)
+
+        t0 = time.perf_counter()
+        _awbm(a)
+        OUT["ordering_awbm_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+
+        dp0 = hsparse.diagonal_weight_product(a)
+        t0 = time.perf_counter()
+        pa = r5.apply(a, scale=True)
+        t_apply = time.perf_counter() - t0
+        OUT["ordering_apply_ms"] = round(t_apply * 1e3, 1)
+        # sum_i |diag| improvement, the CheckDiagonalWeight metric
+        # (/root/reference/src/wbm.c:530-551): job-5 scaling drives every
+        # |diag| to 1, so the scaled product reaches exactly n
+        OUT["ordering_diag_sum_before"] = round(dp0, 1)
+        OUT["ordering_diag_sum_after"] = round(
+            hsparse.diagonal_weight_product(pa), 1)
+
+        t0 = time.perf_counter()
+        rr = _rcm(pa)
+        pb = rr.apply(pa)
+        t_rcm = time.perf_counter() - t0
+        OUT["ordering_rcm_ms"] = round(t_rcm * 1e3, 1)
+
+        t0 = time.perf_counter()
+        ext = hsparse.extract_banded(pb, kmax=50, frac=0.9999)
+        t_ext = time.perf_counter() - t0
+        OUT["ordering_extract_ms"] = round(t_ext * 1e3, 1)
+        OUT["ordering_band_k"] = int(ext.k)
+
+        t0 = time.perf_counter()
+        data_np, okl, oku = hsparse.csr_to_banded_arrays(
+            ext.matrix, ext.k, ext.k)
+        t_pack = time.perf_counter() - t0
+        odata = jnp.asarray(data_np, jnp.float32)
+        sync(odata)
+        Ko = min(64, max(1, n_ord // (4 * 128)))
+
+        def _ofact_fn(d):
+            return spike_factor(BandedMatrix(data=d, kl=okl, ku=oku),
+                                K=Ko, block_b=128)
+
+        ofact_jit = jax.jit(_ofact_fn)
+        timed(lambda: ofact_jit(odata))          # compile
+        t_fac = min(timed(lambda: ofact_jit(odata)) for _ in range(R3))
+        osf = ofact_jit(odata)
+        orhs = jax.jit(lambda d: banded_matvec(
+            BandedMatrix(data=d, kl=okl, ku=oku),
+            jnp.ones((d.shape[0],), d.dtype)))(odata)
+
+        @jax.jit
+        def osolve(d, sf_in, b_in):
+            bnd = BandedMatrix(data=d, kl=okl, ku=oku)
+            res = bicgstab(lambda v: banded_matvec(bnd, v), b_in, None,
+                           lambda v: spike_solve(sf_in, v),
+                           rtol=1e-8, maxit=50)
+            return res.x, res.its, res.rnorm
+
+        timed(lambda: osolve(odata, osf, orhs))  # compile
+        t_slv = min(timed(lambda: osolve(odata, osf, orhs))
+                    for _ in range(R3))
+        x, its, rnorm = osolve(odata, osf, orhs)
+        OUT["ordering_factor_ms"] = round(t_fac * 1e3, 2)
+        OUT["ordering_bcgs_solve_ms"] = round(t_slv * 1e3, 2)
+        OUT["ordering_bcgs_its"] = int(np.asarray(its))
+        OUT["ordering_bcgs_relres"] = float(
+            np.asarray(rnorm / jnp.linalg.norm(orhs)))
+        # end-to-end reorder->scale->extract->factor->solve wall (host
+        # pre-pass + warm device work; compiles excluded as one-time)
+        OUT["ordering_e2e_ms"] = round(
+            (t_mc64 + t_apply + t_rcm + t_ext + t_pack + t_fac + t_slv)
+            * 1e3, 1)
+
+        if os.environ.get("SPIKE_BENCH_ORD_FIEDLER", "1") == "1":
+            from spike_petsc_tpu.ordering.fiedler import fiedler as _fied
+            nx = int(np.sqrt(n_ord))
+            lap = problems.laplacian_2d(nx, nx)
+            t0 = time.perf_counter()
+            _fied(lap)
+            OUT["ordering_fiedler_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1)
+            OUT["ordering_fiedler_n"] = nx * nx
+
     # ---- TPU high-accuracy: f32 factors + emulated-f64 refinement -----------
     def stage_f64_refine():
         # SURVEY §7 hard-part 3, second branch: the operator lives in
@@ -967,6 +1073,8 @@ def main() -> None:
         run_stage("band_mv", 200, stage_band_mv)
     if os.environ.get("SPIKE_BENCH_TUNE", "1") == "1":
         run_stage("tune", 120, stage_tune)
+    if os.environ.get("SPIKE_BENCH_ORDERING", "1") == "1":
+        run_stage("ordering", 150, stage_ordering)
     if os.environ.get("SPIKE_BENCH_F64", "1") == "1":
         run_stage("f64_refine", 150, stage_f64_refine)
     if os.environ.get("SPIKE_BENCH_TRANSPOSE", "1") == "1":

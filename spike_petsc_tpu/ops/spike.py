@@ -181,6 +181,28 @@ def _spike_factor_impl(data, *, n, kl, ku, K, block_b, method, truncated,
 
     Btip, Ctip = _extract_tips(band.data, K, m, k, kl, ku)
 
+    # Folded-conversion fast path (VERDICT r4 next #3): for the default
+    # method='inv' factor the band->blocktri conversion rides the factor
+    # scan itself (blocktri_factor_inv_waux_band skews each [b, w] row
+    # block in VMEM), so neither the global skew intermediate nor the
+    # materialized L/D/U blocks hit HBM.  Falls back to the materialized
+    # conversion when shifting (the shift scale heuristic needs
+    # max|blocks|) or when the L blocks must be kept (store_lt).
+    if method == "inv" and K > 1 and shift == "none" and not store_lt:
+        from .blocktri import blocktri_factor_inv_waux_band
+        local = band.data.reshape(K, m // b, b, band.width)
+        Cb = jnp.zeros((K, b, k), band.dtype).at[:, :k, :].set(Ctip)
+        fact, yw = jax.vmap(partial(blocktri_factor_inv_waux_band,
+                                    kl=kl, ku=ku, b=b,
+                                    inverter=inverter))(local, Cb)
+        return _finish_factor(None, Btip, Ctip, n=n, K=K, m=m, b=b, k=k,
+                              method=method, truncated=truncated,
+                              store_spikes=store_spikes,
+                              store_dtype=store_dtype, reduced=reduced,
+                              shift=shift, shift_amount=shift_amount,
+                              inverter=inverter, spike_dtype=spike_dtype,
+                              store_lt=store_lt, fact_yw=(fact, yw))
+
     # out-of-partition couplings live only in the first/last k rows of each
     # partition (b >= k), i.e. exactly the L[0]/U[nb-1] blocks that
     # band_to_blocktri zeroes — no separate local-band mask pass needed
@@ -217,14 +239,23 @@ def _band_to_blocks_chunked(band: BandedMatrix, K: int, m: int, b: int,
 
 def _finish_factor(blocks, Btip, Ctip, *, n, K, m, b, k, method, truncated,
                    store_spikes, store_dtype, reduced, shift, shift_amount,
-                   inverter, spike_dtype, store_lt=False) -> SpikeFactor:
+                   inverter, spike_dtype, store_lt=False,
+                   fact_yw=None) -> SpikeFactor:
     """Shared factorization tail (partition factor -> spikes -> reduced
     system -> mixed-precision cast) for both the band-storage entry
-    (spike_factor) and the blocktri-native entry (spike_factor_blocks)."""
+    (spike_factor) and the blocktri-native entry (spike_factor_blocks).
+    ``fact_yw``: a precomputed (fact, yw) pair from the folded-conversion
+    scan (blocks is None then)."""
     nb = m // b
-    dtype = blocks.dtype
-    yw = None
-    if method == "cr":
+    if fact_yw is not None:
+        fact, yw = fact_yw
+        dtype = fact.Sinv.dtype
+    else:
+        dtype = blocks.dtype
+        yw = None
+    if fact_yw is not None:
+        pass
+    elif method == "cr":
         # cyclic reduction: log2(nb) levels, one large batched inversion
         # call per level (vs nb sequential calls in block-Thomas) — trades
         # ~2x stored blocks for factor latency

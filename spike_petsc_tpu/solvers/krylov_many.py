@@ -134,22 +134,46 @@ def bicgstab_many(matvec: Callable, B: jax.Array,
         denom = _cdot(Rt, V, axis_name)
         alpha = rho_new / jnp.where(denom != 0, denom, 1.0)
         Sr = s["R"] - alpha[None, :] * V
-        Shat = psolve(Sr)
-        T = matvec(Shat)
-        # <t,t>, <t,s> for every column in ONE stacked psum
-        tt, ts = _cdots(((T, T), (T, Sr)), axis_name)
-        omega = ts / jnp.where(tt != 0, tt, 1.0)
-        X = s["X"] + alpha[None, :] * Phat + omega[None, :] * Shat
-        R = Sr - omega[None, :] * T
-        rn = norm(R)
-        its = s["its"] + 1
-        hist = s["hist"].at[s["trip"] + 1].set(rn)
-        reason = check(rn, bnorm, s["trip"] + 1)
-        reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
-                           DIVERGED_BREAKDOWN, reason)
-        return dict(X=X, R=R, P=P, V=V, rho=rho_new, alpha=alpha,
-                    omega=omega, its=its, reason=reason, hist=hist,
-                    trip=s["trip"] + 1)
+        # classic BiCGStab half-step ("s-norm") convergence test: with a
+        # strong PC every column converges right here, and skipping the
+        # second psolve+matvec halves the per-iteration serving cost
+        # (krylov_serve dissect, VERDICT r4 #6).  Work is saved only when
+        # EVERY active column passes (one lax.cond around the second half);
+        # otherwise the full step runs and per-column freezing applies as
+        # before.  PETSc's KSPSolve_BCGS performs the same s-norm exit.
+        snorm = norm(Sr)
+        half_reason = check(snorm, bnorm, s["trip"] + 1)
+        active = s["reason"] == CONVERGED_ITERATING
+        all_half = jnp.all(jnp.logical_or(~active, half_reason > 0))
+        if conv_sync_axis is not None:
+            all_half = jax.lax.pmin(
+                all_half.astype(jnp.int32), conv_sync_axis) == 1
+
+        def half_step(_):
+            X = s["X"] + alpha[None, :] * Phat
+            hist = s["hist"].at[s["trip"] + 1].set(snorm)
+            return dict(X=X, R=Sr, P=P, V=V, rho=rho_new, alpha=alpha,
+                        omega=s["omega"], its=s["its"] + 1,
+                        reason=half_reason, hist=hist, trip=s["trip"] + 1)
+
+        def full_step(_):
+            Shat = psolve(Sr)
+            T = matvec(Shat)
+            # <t,t>, <t,s> for every column in ONE stacked psum
+            tt, ts = _cdots(((T, T), (T, Sr)), axis_name)
+            omega = ts / jnp.where(tt != 0, tt, 1.0)
+            X = s["X"] + alpha[None, :] * Phat + omega[None, :] * Shat
+            R = Sr - omega[None, :] * T
+            rn = norm(R)
+            hist = s["hist"].at[s["trip"] + 1].set(rn)
+            reason = check(rn, bnorm, s["trip"] + 1)
+            reason = jnp.where(breakdown & (reason == CONVERGED_ITERATING),
+                               DIVERGED_BREAKDOWN, reason)
+            return dict(X=X, R=R, P=P, V=V, rho=rho_new, alpha=alpha,
+                        omega=omega, its=s["its"] + 1, reason=reason,
+                        hist=hist, trip=s["trip"] + 1)
+
+        return jax.lax.cond(all_half, half_step, full_step, None)
 
     ones = jnp.ones((r,), dtype)
     init = dict(X=X0, R=R0, P=jnp.zeros_like(B), V=jnp.zeros_like(B),
