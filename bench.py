@@ -1059,7 +1059,8 @@ def main() -> None:
         if routes:
             winner = min(routes, key=routes.get)
             path = tuning.update(
-                platform, "banded_matvec", tuning.matvec_key(w, dtype), {
+                tuning.platform_key(), "banded_matvec",
+                tuning.matvec_key(w, dtype), {
                     **{f"{kk}_ms": vv for kk, vv in routes.items()},
                     "winner": winner, "n": n,
                     "dtype": str(jnp.dtype(dtype).name)})

@@ -81,8 +81,8 @@ def _band_split(a: BandedMatrix, impl: str):
     # below are the fallback when no measurement exists
     hint = None
     if impl == "auto":
-        from ..utils.tuning import matvec_route_hint
-        hint = matvec_route_hint(jax.default_backend(),
+        from ..utils.tuning import matvec_route_hint, platform_key
+        hint = matvec_route_hint(platform_key(),
                                  a.kl + a.ku + 1, dtype=a.dtype, n=a.n)
     if hint == "banded_pallas":
         from ..ops.pallas.band_matvec import banded_mv_feasible

@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     dtype = {"f32": jnp.float32, "f64": jnp.float64,
              "bf16": jnp.bfloat16}[dt]
     w = kl + ku + 1
-    platform = jax.devices()[0].platform
+    platform = tuning.platform_key()    # generation-qualified ("tpu:v5lite")
 
     key = jax.random.PRNGKey(0)
     data = jax.random.uniform(key, (n, w), dtype, minval=-1.0, maxval=1.0)

@@ -95,6 +95,42 @@ def load() -> dict:
     return merged
 
 
+def platform_key() -> str:
+    """Generation-qualified platform key for tuning records.
+
+    Route crossovers are HARDWARE properties: v5e's measured numbers do not
+    transfer to v5p/v6e (different HBM bandwidth, VMEM, MXU shape).  On TPU
+    the key embeds the device kind — e.g. ``"TPU v5 lite"`` -> ``
+    "tpu:v5lite"`` — so a record measured on one generation is never applied
+    silently on another (VERDICT r4).  Other backends use the bare backend
+    name (their records are only used for testing the mechanism).
+    """
+    import jax
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return backend
+    kind = jax.devices()[0].device_kind.lower()
+    if kind.startswith("tpu"):
+        kind = kind[3:]
+    return "tpu:" + kind.strip().replace(" ", "")
+
+
+_warned_platforms: set = set()
+
+
+def _warn_generation_fallback(platform: str, others: list) -> None:
+    if platform in _warned_platforms:
+        return
+    _warned_platforms.add(platform)
+    import warnings
+    warnings.warn(
+        f"no tuning measurements for platform {platform!r}; records exist "
+        f"for {sorted(others)} but hardware crossovers do not transfer "
+        f"between TPU generations — using static route heuristics. Run "
+        f"`python -m spike_petsc_tpu.tools.tune` (or bench.py) on this "
+        f"chip to record measured routes.", RuntimeWarning, stacklevel=3)
+
+
 def matvec_key(w: int, dtype) -> str:
     """Record key for a banded matvec measurement: total width + dtype
     (route crossovers are dtype properties: itemsize gates feasibility and
@@ -143,9 +179,23 @@ def matvec_route_hint(platform: str, w: int, dtype=None,
     and (when both are known) its problem size is within 8x — a winner
     measured at n=1e6 says nothing about an n=300 system where one-time
     conversion overhead dominates.
+
+    Generation discipline: ``platform`` is the :func:`platform_key` form
+    (``"tpu:v5lite"``).  Records for OTHER TPU generations (or the legacy
+    unqualified ``"tpu"`` key) never match — when only such records exist,
+    a one-time RuntimeWarning says the static heuristics apply untested on
+    this chip (loud fallback, VERDICT r4).
     """
     import numpy as np
-    rec = load().get(platform, {}).get("banded_matvec", {})
+    data = load()
+    rec = data.get(platform, {}).get("banded_matvec", {})
+    if not rec and platform.startswith("tpu"):
+        others = [p for p in data
+                  if p != platform and (p == "tpu" or p.startswith("tpu:"))
+                  and data.get(p, {}).get("banded_matvec")]
+        if others:
+            _warn_generation_fallback(platform, others)
+        return None
     dt = np.dtype(dtype).name if dtype is not None else None
     best = None
     for wk, e in rec.items():

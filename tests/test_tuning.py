@@ -41,6 +41,87 @@ def test_route_hint_nearest_bandwidth(tmp_path, monkeypatch):
     assert hint("tpu", 201, f32, 300) is None
 
 
+def test_generation_keyed_records_loud_fallback(tmp_path, monkeypatch):
+    """Tuning records are keyed by TPU generation (platform_key); another
+    generation's measurements never apply silently — one RuntimeWarning
+    announces the static-heuristics fallback (VERDICT r4 item 7)."""
+    import warnings
+
+    import pytest
+
+    monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
+    f32 = np.float32
+    tuning.update("tpu:v5lite", "banded_matvec",
+                  tuning.matvec_key(201, f32),
+                  {"winner": "banded_pallas", "n": 1_000_000})
+    assert tuning.matvec_route_hint(
+        "tpu:v5lite", 201, f32, 1_000_000) == "banded_pallas"
+    # a v5p host sees the v5lite record but must not inherit it
+    tuning._warned_platforms.discard("tpu:v5p")
+    with pytest.warns(RuntimeWarning, match="tpu:v5p"):
+        assert tuning.matvec_route_hint(
+            "tpu:v5p", 201, f32, 1_000_000) is None
+    # warn once per platform, not per lookup
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert tuning.matvec_route_hint(
+            "tpu:v5p", 201, f32, 1_000_000) is None
+    # legacy unqualified "tpu" records likewise trigger the loud fallback
+    tuning.update("tpu", "banded_matvec", tuning.matvec_key(13, f32),
+                  {"winner": "xla", "n": 4096})
+    tuning._warned_platforms.discard("tpu:v6e")
+    with pytest.warns(RuntimeWarning):
+        assert tuning.matvec_route_hint("tpu:v6e", 13, f32, 4096) is None
+    # non-TPU platforms stay silent (their absence is not a hardware gap)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert tuning.matvec_route_hint("cpu", 201, f32, 1_000_000) is None
+
+
+def test_platform_key_cpu_backend():
+    assert tuning.platform_key() == "cpu"   # tests pin JAX_PLATFORMS=cpu
+
+
+def test_dist_matvec_impl_auto_resolution(tmp_path, monkeypatch):
+    """dist_spike_factor's matvec_impl='auto' resolves via the same tuning
+    record / static-TPU-default logic as single-chip as_matvec (VERDICT r4
+    item 5): measured banded_pallas winner -> kernel route, measured
+    blocktri/xla winner -> blocks, no measurement -> static TPU default."""
+    import jax
+
+    from spike_petsc_tpu.parallel import spike_dist
+
+    f32 = np.float32
+    # non-TPU backend: blocks
+    assert spike_dist._resolve_matvec_impl(
+        "auto", 201, 16_384, 131_072, f32) == "blocks"
+    # explicit impls pass through untouched
+    assert spike_dist._resolve_matvec_impl(
+        "blocks", 201, 16_384, 131_072, f32) == "blocks"
+    assert spike_dist._resolve_matvec_impl(
+        "banded_pallas", 201, 16_384, 131_072, f32) == "banded_pallas"
+
+    monkeypatch.setenv("SPIKE_TUNING_FILE", str(tmp_path / "t.json"))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(tuning, "platform_key", lambda: "tpu:test")
+    # no measurement: static TPU default = banded_pallas when feasible
+    assert spike_dist._resolve_matvec_impl(
+        "auto", 201, 16_384, 131_072, f32) == "banded_pallas"
+    # infeasible locally (f64): blocks
+    assert spike_dist._resolve_matvec_impl(
+        "auto", 201, 16_384, 131_072, np.float64) == "blocks"
+    # measured blocktri winner maps to the dist blocks route
+    tuning.update("tpu:test", "banded_matvec", tuning.matvec_key(201, f32),
+                  {"winner": "blocktri", "n": 131_072})
+    assert spike_dist._resolve_matvec_impl(
+        "auto", 201, 16_384, 131_072, f32) == "blocks"
+    # measured banded_pallas winner keeps the kernel route
+    tuning.update("tpu:test", "banded_matvec", tuning.matvec_key(201, f32),
+                  {"winner": "banded_pallas", "n": 131_072})
+    assert spike_dist._resolve_matvec_impl(
+        "auto", 201, 16_384, 131_072, f32) == "banded_pallas"
+
+
 def test_auto_follows_recorded_winner(tmp_path, monkeypatch):
     """A recorded winner overrides the static heuristic: a narrow band that
     'auto' would run as XLA shifted-axpy routes through the banded-Pallas
