@@ -50,6 +50,8 @@ import numpy as np
 OUT: dict = {}
 _emit_lock = threading.Lock()
 _emitted = False
+_DEADLINE = os.path.join(os.path.expanduser("~"), ".cache",
+                         "spike_petsc_tpu", "bench_deadline")
 _PARTIAL = os.path.join(os.path.expanduser("~"), ".cache",
                         "spike_petsc_tpu", "bench_partial.json")
 _wd_pid = 0
@@ -100,6 +102,10 @@ def _fork_watchdog(deadline: float) -> None:
         os.remove(_PARTIAL)          # never report a stale previous run
     except OSError:
         pass
+    try:
+        os.remove(_DEADLINE)         # stale extension from a previous run
+    except OSError:
+        pass
     parent = os.getpid()
     pid = os.fork()
     if pid:
@@ -111,6 +117,14 @@ def _fork_watchdog(deadline: float) -> None:
             time.sleep(2.0)
             if os.getppid() != parent:      # parent already exited
                 os._exit(0)
+            try:
+                # the parent may extend the deadline mid-run (tunnel
+                # warm-up compensation) — the child cannot be re-forked
+                # after jax initializes, so it re-reads a deadline file
+                with open(_DEADLINE) as f:
+                    deadline = max(deadline, float(f.read().strip()))
+            except (OSError, ValueError):
+                pass
         out = {"metric": "spike_banded_solve", "value": None, "unit": "ms",
                "vs_baseline": None}
         try:
@@ -221,10 +235,31 @@ def main() -> None:
     band = BandedMatrix(data=data, kl=k, ku=k)
     rhs = banded_matvec(band, jnp.ones((n,), dtype))
     _mark("operands built")
+    t_rb = time.perf_counter()
     _ = np.asarray(rhs[:8])          # force materialization (and pay the
     # tunnel's one-time first-readback cost, measured up to ~2 min on a
     # degraded session, OUTSIDE every timed region)
+    readback_s = time.perf_counter() - t_rb
     _mark("first readback")
+    OUT["first_readback_s"] = round(readback_s, 1)
+    # The one-time tunnel warm-up is a SESSION property, not work: on a
+    # degraded session it burns 190-260 s of the 420 s budget and every
+    # extra stage gets skipped (BENCH_r04/r05 interim postmortems).  Extend
+    # the budget by the measured warm-up beyond a healthy 30 s, capped at
+    # 180 s — the fork watchdog still guarantees a JSON at budget + 45 s
+    # (worst-case wall ~645 s), and stage gating now reflects compute
+    # budget rather than tunnel luck.
+    if readback_s > 30.0:
+        extra_rb = min(readback_s - 30.0, 180.0)
+        budget_s += extra_rb
+        try:                          # move the watchdog deadline with it
+            with open(_DEADLINE, "w") as f:
+                f.write(str(time.time() + 45.0 + budget_s
+                            - (time.perf_counter() - t_start)))
+        except OSError:
+            pass
+        print(f"bench: budget +{extra_rb:.0f}s for tunnel warm-up "
+              f"(readback {readback_s:.0f}s)", file=sys.stderr, flush=True)
 
     # ---- tunnel health probe --------------------------------------------
     # The axon tunnel's per-dispatch latency varies session-to-session by 5x+
@@ -682,6 +717,40 @@ def main() -> None:
         OUT[f"krylov_serve_ms_per_rhs_r{r_ks}"] = round(ks_s * 1e3, 4)
         OUT["krylov_serve_max_its"] = int(np.asarray(its))
         OUT["krylov_serve_mv_route"] = route_cell.get("route", "?")
+
+        # the rtol=1e-4 serving point: the bf16-spike PC leaves relres
+        # ~8e-5 after one apply, so BiCGStab's half-step s-norm exit fires
+        # and the iteration costs 1 PCApply + 1 matvec instead of 2 + 2 —
+        # the Krylov-grade serving sweet spot (lab_krylov_serve.py:
+        # 0.75 vs 1.34 ms/RHS; at rtol=1e-8 the 2-PCApply full step is
+        # structural, which is the documented 3.3x-preonly floor)
+        @partial(jax.jit, static_argnames=("reps",))
+        def kserve_loop4(d, sf_in, B, reps):
+            mv_many, _, _ = as_matvec_many(
+                BandedMatrix(data=d, kl=k, ku=k))
+
+            def body(i, carry):
+                Bc, its_max = carry
+                res = bicgstab_many(
+                    mv_many, Bc, None,
+                    lambda X: spike_solve_many(sf_in, X, impl=impl),
+                    rtol=1e-4, maxit=20)
+                return Bc + 0.0 * res.x, jnp.maximum(its_max,
+                                                     jnp.max(res.its))
+            return jax.lax.fori_loop(0, reps, body,
+                                     (B, jnp.zeros((), jnp.int32)))
+
+        timed(lambda: kserve_loop4(data, sf, RHSK, 1))       # compile
+        timed(lambda: kserve_loop4(data, sf, RHSK, 3))       # compile
+        k4_s1 = min(timed(lambda: kserve_loop4(data, sf, RHSK, 1))
+                    for _ in range(R3))
+        k4_s3 = min(timed(lambda: kserve_loop4(data, sf, RHSK, 3))
+                    for _ in range(R3))
+        ks4_s = max(k4_s3 - k4_s1, 1e-9) / 2.0 / r_ks
+        if ks4_s < 1e-6:
+            ks4_s = k4_s1 / r_ks
+        OUT[f"krylov_serve_ms_per_rhs_r{r_ks}_rtol1e4"] = \
+            round(ks4_s * 1e3, 4)
 
     # ---- transpose/adjoint solves on stored factors -------------------------
     def stage_transpose():

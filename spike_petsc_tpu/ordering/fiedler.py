@@ -124,14 +124,19 @@ def _fiedler_multilevel(lap: sp.csr_matrix, tol: float, seed: int,
     prolong + LOBPCG refinement per level (the MC73 job-3 scheme rebuilt
     from the multilevel-spectral literature).
 
-    ``refine``: "host" (SciPy LOBPCG), "device" (warm-started jittable
-    LOBPCG on the deflated spectrum-flipped operator — all sparse matvecs
-    on the accelerator), or "auto" (device when a non-CPU backend is
-    active).  Coarsening stays host-side by design: it is a combinatorial
-    matching, the numerics are the per-level eigensolves."""
+    ``refine``: "host" (SciPy LOBPCG, the default), "device" (warm-started
+    jittable LOBPCG on the deflated spectrum-flipped operator — all sparse
+    matvecs on the accelerator), or "auto" (= host).  Measured at n=1e6 /
+    nnz=5e6 on the v5e (2026-08, experiments/lab_fiedler.py): device
+    refinement takes 219 s against host's 32 s — the BCOO matvec lowers to
+    TPU gather/scatter (~0.2 GB/s) and every LOBPCG iteration pays a
+    dispatch round-trip, while the host CSR matvec runs at memory speed
+    with zero latency.  "device" stays available for environments where
+    the host is the scarce resource.  Coarsening stays host-side by
+    design: it is a combinatorial matching, the numerics are the per-level
+    eigensolves."""
     if refine == "auto":
-        import jax
-        refine = "device" if jax.default_backend() != "cpu" else "host"
+        refine = "host"
     refiner = (_refine_lobpcg_device if refine == "device"
                else _refine_lobpcg)
     # adjacency from the Laplacian: off-diagonal magnitudes
@@ -148,10 +153,21 @@ def _fiedler_multilevel(lap: sp.csr_matrix, tol: float, seed: int,
         parents.append(parent)
         adjs.append(coarse)
 
-    # exact solve on the coarsest level
+    # coarsest-level solve.  Coarsening can STALL well above ``coarsest``
+    # (mutual-heaviest matching finds <5% pairs on some weight patterns);
+    # a dense eigh there is O(n^3) — measured 19.6 s of a 30 s multilevel
+    # run at a ~5k-node stalled coarsest level.  Route by size exactly
+    # like fiedler_vector's "auto": dense only when truly small, else
+    # shift-invert Lanczos on the sparse Laplacian (<1 s at 5k nodes).
     lap_c = _lap_of(adjs[-1])
-    evals, evecs = np.linalg.eigh(lap_c.toarray())
-    vec = evecs[:, 1] if lap_c.shape[0] > 1 else np.zeros(1)
+    nc = lap_c.shape[0]
+    if nc <= 1:
+        vec = np.zeros(nc)
+    elif nc <= 512:
+        evals, evecs = np.linalg.eigh(lap_c.toarray())
+        vec = evecs[:, 1]
+    else:
+        vec, _ = fiedler_vector(lap_c, method="lanczos", tol=tol, seed=seed)
 
     # prolong + refine back up
     for level in range(len(parents) - 1, -1, -1):

@@ -767,6 +767,7 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     preconditioner that varies between iterations (registered under both
     "bcgs" and "fbcgs")."""
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     dot = partial(_dot, axis_name=axis_name)
@@ -776,7 +777,7 @@ def bicgstab(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                     divtol=divtol, maxit=maxit)
 
     rdtype = jnp.zeros((), dtype).real.dtype
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     rtilde = r0
     rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
@@ -1000,6 +1001,7 @@ def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     psolve_t = pc_apply_transpose or _identity_pc
     mv_h = lambda v: jnp.conj(matvec_transpose(jnp.conj(v)))
     ps_h = lambda v: jnp.conj(psolve_t(jnp.conj(v)))
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     dot = partial(_dot, axis_name=axis_name)
@@ -1009,7 +1011,7 @@ def bicg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                     divtol=divtol, maxit=maxit)
 
     rdtype = jnp.zeros((), dtype).real.dtype
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     rt0 = r0
     z0 = psolve(r0)
     zt0 = ps_h(rt0)
@@ -1068,6 +1070,7 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
        conv_sync_axis: Optional[str] = None, **_) -> KSPResult:
     """Preconditioned conjugate gradients (SPD operators/preconditioners)."""
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     dot = partial(_dot, axis_name=axis_name)
@@ -1077,7 +1080,7 @@ def cg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                     divtol=divtol, maxit=maxit)
 
     rdtype = jnp.zeros((), dtype).real.dtype
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     z0 = psolve(r0)
     rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
@@ -1136,6 +1139,7 @@ def pipecg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     bandwidth, dominates the iteration.
     """
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     norm = partial(_norm, axis_name=axis_name)
@@ -1144,7 +1148,7 @@ def pipecg(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                     divtol=divtol, maxit=maxit)
 
     rdtype = jnp.zeros((), dtype).real.dtype
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     u0 = psolve(r0)
     w0 = matvec(u0)
     gamma0, delta0, rr0 = _dots(((r0, u0), (w0, u0), (r0, r0)), axis_name)
@@ -1224,6 +1228,7 @@ def minres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     DIVERGED_BREAKDOWN rather than silently producing NaNs.
     """
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
@@ -1232,7 +1237,7 @@ def minres(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
-    r1 = b - matvec(x0)
+    r1 = b if x0_zero else b - matvec(x0)
     y0 = psolve(r1)
     beta1_sq = jnp.real(dot(r1, y0))
     pc_indef0 = beta1_sq < 0
@@ -1452,6 +1457,7 @@ def cr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     break down at zero curvature, reported as DIVERGED_BREAKDOWN).
     """
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
@@ -1461,7 +1467,7 @@ def cr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
 
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     z0 = psolve(r0)
     Az0 = matvec(z0)
     rho0 = dot(z0, Az0)
@@ -1515,6 +1521,7 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     stationary iterative refinement when M is a (possibly lower-precision)
     direct factorization."""
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     norm = partial(_norm, axis_name=axis_name)
@@ -1522,7 +1529,7 @@ def richardson(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     check = partial(default_convergence_check, rtol=rtol, atol=atol,
                     divtol=divtol, maxit=maxit)
     rdtype = jnp.zeros((), dtype).real.dtype
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
@@ -1557,6 +1564,7 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     (no dot products -> no psum latency on the mesh), the classic smoother
     pairing for bjacobi/truncated-spike preconditioners."""
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     norm = partial(_norm, axis_name=axis_name)
@@ -1568,7 +1576,7 @@ def chebyshev(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     sigma1 = theta / delta if delta != 0 else 0.0
 
     rdtype = jnp.zeros((), dtype).real.dtype
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))
@@ -1645,6 +1653,7 @@ def gcr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     KSPGCR's restart semantics, not a truncated sliding window).
     """
     psolve = pc_apply or _identity_pc
+    x0_zero = x0 is None      # r0 = b exactly; skip matvec(0)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
@@ -1654,7 +1663,7 @@ def gcr(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                     divtol=divtol, maxit=maxit)
 
     bnorm = norm(b)
-    r0 = b - matvec(x0)
+    r0 = b if x0_zero else b - matvec(x0)
     rnorm0 = norm(r0)
     hist = jnp.full((maxit + 1,), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))

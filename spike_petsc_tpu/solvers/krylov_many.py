@@ -104,6 +104,7 @@ def bicgstab_many(matvec: Callable, B: jax.Array,
     breakdown/convergence freezes that column only.
     """
     psolve = pc_apply or (lambda x: x)
+    x0_zero = X0 is None                 # R0 = B exactly; skip matvec(0)
     X0 = jnp.zeros_like(B) if X0 is None else X0
     dtype = B.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
@@ -114,7 +115,7 @@ def bicgstab_many(matvec: Callable, B: jax.Array,
                     divtol=divtol, maxit=maxit)
 
     bnorm = norm(B)
-    R0 = B - matvec(X0)
+    R0 = B if x0_zero else B - matvec(X0)
     Rt = R0
     rnorm0 = norm(R0)
     hist = jnp.full((maxit + 1, r), jnp.nan, rdtype).at[0].set(rnorm0)
@@ -193,6 +194,7 @@ def cg_many(matvec: Callable, B: jax.Array, X0: Optional[jax.Array] = None,
             axis_name=None, conv_sync_axis=None, **_) -> KSPResult:
     """Column-batched preconditioned CG (SPD operator/PC); B: [n, r]."""
     psolve = pc_apply or (lambda x: x)
+    x0_zero = X0 is None                 # R0 = B exactly; skip matvec(0)
     X0 = jnp.zeros_like(B) if X0 is None else X0
     dtype = B.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
@@ -202,7 +204,7 @@ def cg_many(matvec: Callable, B: jax.Array, X0: Optional[jax.Array] = None,
                     divtol=divtol, maxit=maxit)
 
     bnorm = norm(B)
-    R0 = B - matvec(X0)
+    R0 = B if x0_zero else B - matvec(X0)
     Z0 = psolve(R0)
     rnorm0 = norm(R0)
     hist = jnp.full((maxit + 1, r), jnp.nan, rdtype).at[0].set(rnorm0)
@@ -456,6 +458,7 @@ def richardson_many(matvec: Callable, B: jax.Array,
     storage (one multi-RHS PCApply + one multi-RHS matvec per iteration,
     factor blocks streamed once for all columns)."""
     psolve = pc_apply or (lambda x: x)
+    x0_zero = X0 is None                 # R0 = B exactly; skip matvec(0)
     X0 = jnp.zeros_like(B) if X0 is None else X0
     rdtype = jnp.zeros((), B.dtype).real.dtype
     r = B.shape[1]
@@ -464,7 +467,7 @@ def richardson_many(matvec: Callable, B: jax.Array,
                     divtol=divtol, maxit=maxit)
 
     bnorm = norm(B)
-    R0 = B - matvec(X0)
+    R0 = B if x0_zero else B - matvec(X0)
     rnorm0 = norm(R0)
     hist = jnp.full((maxit + 1, r), jnp.nan, rdtype).at[0].set(rnorm0)
     reason0 = check(rnorm0, bnorm, jnp.int32(0))

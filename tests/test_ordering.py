@@ -270,6 +270,30 @@ def test_multilevel_fiedler_device_refine():
     assert res.info["bandwidth_out"] <= 5
 
 
+def test_multilevel_fiedler_large_coarsest_lanczos():
+    """A large coarsest level (coarsening stalls on some weight patterns)
+    must route to shift-invert Lanczos, not an O(n^3) dense eigh — and
+    produce the same ordering quality.  (BENCH r5 dissect: a ~5k-node
+    stalled coarsest level spent 19.6 s of a 30 s multilevel run in eigh.)"""
+    from spike_petsc_tpu.ordering.fiedler import (_fiedler_multilevel,
+                                                  graph_laplacian)
+    n = 3000
+    a = problems.tridiag_laplacian(n)
+    rng = np.random.default_rng(13)
+    p = rng.permutation(n)
+    scrambled = hsp.permute(a, p, p)
+    lap = graph_laplacian(scrambled)
+    # coarsest=1200 forces the coarsest-level solve onto a >512-node graph
+    vec, lam2 = _fiedler_multilevel(lap, tol=1e-8, seed=0, coarsest=1200)
+    order = np.argsort(vec)
+    where = np.empty(n, dtype=np.int64)
+    where[order] = np.arange(n)
+    coo = scrambled.tocoo()
+    bw = int(np.max(np.abs(where[coo.row] - where[coo.col])))
+    assert bw <= 5          # the 1D path ordering is fully restored
+    assert lam2 >= 0
+
+
 def test_heavy_edge_coarsen_shrinks():
     from spike_petsc_tpu.ordering.fiedler import heavy_edge_coarsen
     a = problems.laplacian_2d(20, 20)
