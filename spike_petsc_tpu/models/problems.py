@@ -103,6 +103,18 @@ def illscaled_nonsym(n: int, kl: int, ku: int, seed: int = 0,
     return a.tocsr().astype(dtype)
 
 
+def neumann_laplacian_1d(n: int, dtype=np.float64) -> sp.csr_matrix:
+    """1-D Neumann (pure-flux) Laplacian: tridiagonal, row sums zero,
+    SINGULAR with the constant null vector — the MatNullSpace test case
+    (the reference's graph Laplacians share this structure,
+    /root/reference/src/spectralPartition.c:63-139, L*1 = 0 check
+    :264-272).  Pair with ``-ksp_nullspace_constant``."""
+    d = 2.0 * np.ones(n, dtype=dtype)
+    d[0] = d[-1] = 1.0
+    o = -np.ones(n - 1, dtype=dtype)
+    return sp.diags([o, d, o], [-1, 0, 1], format="csr", dtype=dtype)
+
+
 def laplacian_2d(nx: int, ny: int, dtype=np.float64) -> sp.csr_matrix:
     """2D 5-point Laplacian on an nx-by-ny grid (BASELINE config 4 stand-in).
 

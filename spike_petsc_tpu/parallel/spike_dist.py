@@ -1493,8 +1493,13 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
             matvec = lambda v: _remove_local(qt, base_mv(v), axes)
         else:
             matvec = base_mv
-        pc_apply = (lambda v: local_spike_solve_multislice(
+        base_pc = (lambda v: local_spike_solve_multislice(
             dsf_in, v, axis_slice, axis_p, ndev_p)) if use_pc else None
+        # project EVERY PC output (PETSc KSP_PCApply + MatNullSpaceRemove):
+        # M^{-1} of a shifted factor re-introduces a null component that
+        # short-recurrence methods accumulate in x unboundedly
+        pc_apply = base_pc if (base_pc is None or qn is None) else \
+            (lambda v: _remove_local(qn, base_pc(v), axes))
         kw = dict(params)
         if ksp_type in TRANSPOSE_KSP_TYPES:
             base_mvt = lambda v: local_matvec_multislice(
@@ -1502,9 +1507,10 @@ def make_dist_solver_multislice(dsf: DistSpikeFactor, mesh: Mesh,
             kw["matvec_transpose"] = base_mvt if qn is None else \
                 (lambda v: _remove_local(qn, base_mvt(v), axes))
             if use_pc:
-                kw["pc_apply_transpose"] = \
-                    lambda v: local_spike_solve_multislice(
-                        dsft_in, v, axis_slice, axis_p, ndev_p)
+                base_pct = lambda v: local_spike_solve_multislice(
+                    dsft_in, v, axis_slice, axis_p, ndev_p)
+                kw["pc_apply_transpose"] = base_pct if qt is None else \
+                    (lambda v: _remove_local(qt, base_pct(v), axes))
         res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
                      pc_apply, axis_name=axes, **kw)
         x = res.x if qn is None else _remove_local(qn, res.x, axes)
@@ -1801,8 +1807,13 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
                 qt, local_matvec(dsf_in, v, axis), axis)
         else:
             matvec = lambda v: local_matvec(dsf_in, v, axis)
-        pc_apply = (lambda v: local_spike_solve(dsf_in, v, axis)) \
+        base_pc = (lambda v: local_spike_solve(dsf_in, v, axis)) \
             if use_pc else None
+        # project EVERY PC output (PETSc KSP_PCApply + MatNullSpaceRemove):
+        # M^{-1} of a shifted factor re-introduces a null component that
+        # short-recurrence methods accumulate in x unboundedly
+        pc_apply = base_pc if (base_pc is None or qn is None) else \
+            (lambda v: _remove_local(qn, base_pc(v), axis))
         kw = dict(params)
         if ksp_type in TRANSPOSE_KSP_TYPES:
             if qn is not None:
@@ -1812,8 +1823,9 @@ def make_dist_solver(dsf: DistSpikeFactor, mesh: Mesh, axis: str = "p",
                 kw["matvec_transpose"] = \
                     lambda v: local_matvec(dsft_in, v, axis)
             if use_pc:
-                kw["pc_apply_transpose"] = \
-                    lambda v: local_spike_solve(dsft_in, v, axis)
+                base_pct = lambda v: local_spike_solve(dsft_in, v, axis)
+                kw["pc_apply_transpose"] = base_pct if qt is None else \
+                    (lambda v: _remove_local(qt, base_pct(v), axis))
         res = method(matvec, r_local.reshape(-1), x0_local.reshape(-1),
                      pc_apply, axis_name=axis, **kw)
         x = res.x if qn is None else _remove_local(qn, res.x, axis)

@@ -117,6 +117,16 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
         # final projection, which f64 cancellation could not remove).
         base_matvec = matvec
         matvec = lambda v: tns.remove(base_matvec(v))  # noqa: E731
+    if ns is not None and pc_apply is not None:
+        # PC outputs must be projected EVERY application (PETSc's
+        # KSP_PCApply calls MatNullSpaceRemove): M^{-1} of a shifted
+        # factor maps zero-mean residuals to vectors with a nonzero null
+        # component, and short-recurrence methods (cg/bcgs) accumulate
+        # that drift in x unboundedly — measured f32 CG on the Neumann
+        # Laplacian reached mean ~1e8 before the final projection, which
+        # cancellation could no longer remove (round-5 dryrun dissect).
+        base_pc = pc_apply
+        pc_apply = lambda v: ns.remove(base_pc(v))  # noqa: E731
 
     method = SOLVERS.get(ksp_type)
     kw = _params_from_options(opts, params)
@@ -180,7 +190,11 @@ def make_solver(A, *, pmat=None, options: Optional[Options] = None,
                 mvt = lambda v: ns.remove(_mvt_base(v))  # noqa: E731
             kw["matvec_transpose"] = mvt
         if pc_apply is not None and "pc_apply_transpose" not in kw:
-            kw["pc_apply_transpose"] = pc.transpose().apply
+            _pta = pc.transpose().apply
+            # the transpose solve's solution space drops null(A^T): same
+            # KSP_PCApply projection, with the LEFT null space
+            kw["pc_apply_transpose"] = (_pta if tns is None else
+                                        (lambda v: tns.remove(_pta(v))))
 
     def _solve(b, x0=None):
         if tns is not None:
@@ -264,6 +278,10 @@ def make_solver_many(A, *, pmat=None, options: Optional[Options] = None,
     else:
         pc_apply_many = pc.apply_many or jax.vmap(pc.apply, in_axes=1,
                                                   out_axes=1)
+    if ns is not None and pc_apply_many is not None:
+        # KSP_PCApply-style projection of every PC output (see make_solver)
+        base_pcm = pc_apply_many
+        pc_apply_many = lambda X: ns.remove(base_pcm(X))  # noqa: E731
     kw = _params_from_options(opts, params)
     for extra in ("norm_type", "monitor_true"):    # not in the batched
         kw.pop(extra, None)                        # engines' surface

@@ -54,6 +54,8 @@ def make_problem(spec: str):
         return problems.mc64_doc_example()
     if name == "zerodiag":
         return problems.zero_diag_tridiag(*(args or [1000]))
+    if name == "neumann":
+        return problems.neumann_laplacian_1d(*(args or [1000]))
     raise ValueError(f"unknown problem {spec!r}")
 
 
@@ -211,7 +213,13 @@ def _main(argv=None) -> int:
             opts.get_bool("ksp_converged_reason", False):
         print_monitor(res, bnorm=float(np.linalg.norm(np.asarray(b))))
 
-    err = float(np.linalg.norm(np.asarray(res.x) - u))
+    diff = np.asarray(res.x) - u
+    if opts.get_bool("ksp_nullspace_constant", False):
+        # singular solve returns the minimal-norm (zero-mean)
+        # representative; the manufactured u is only determined up to the
+        # constant null vector — compare the equivalence classes
+        diff = diff - diff.mean()
+    err = float(np.linalg.norm(diff))
     print(f"Error in solution: {err:g}")
     print(f"KSP iterations: {int(res.its)}  "
           f"reason: {reason_str(res.reason)}  rnorm: {float(res.rnorm):g}")

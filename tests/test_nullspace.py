@@ -89,6 +89,34 @@ def test_inconsistent_rhs_projected():
     np.testing.assert_allclose(xb, xa, rtol=1e-9, atol=1e-9)
 
 
+def test_pc_output_projected_no_null_drift():
+    """Every PCApply output must be projected (PETSc's KSP_PCApply calls
+    MatNullSpaceRemove): M^{-1} of a SHIFTED factor maps zero-mean
+    residuals to vectors with a nonzero null component, and without the
+    projection short-recurrence methods (cg/bcgs) accumulate that drift
+    in x unboundedly — before the round-5 fix, f32 CG on this problem
+    reached mean ~1e8 before the (then hopeless) final projection."""
+    from spike_petsc_tpu.utils.options import Options
+    n = 256
+    L = neumann_laplacian(n)
+    L32 = BandedMatrix(data=L.data.astype(jnp.float32), kl=L.kl, ku=L.ku)
+    ns = make_nullspace(n, constant=True, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    u = np.asarray(ns.remove(jnp.asarray(
+        rng.standard_normal(n), jnp.float32)))
+    b = banded_matvec(L32, jnp.asarray(u))
+    opts = Options({"pc_spike_partitions": 8, "pc_spike_shift": "nonzero",
+                    "pc_spike_shift_amount": 1e-2})
+    solver = make_solver(L32, ksp_type="cg", pc_type="spike",
+                         nullspace=ns, rtol=1e-6, maxit=100, jit=False,
+                         options=opts)
+    res = solver(b + 0.5)                 # inconsistent rhs too
+    x = np.asarray(res.x)
+    assert int(res.reason) > 0, res.reason
+    assert abs(x.mean()) < 1e-6
+    assert np.abs(x - u).max() < 1e-3
+
+
 def test_options_driven_constant_nullspace():
     """-ksp_nullspace_constant builds the constant null space from options
     alone (the L·1=0 case needs no code-level setup)."""
