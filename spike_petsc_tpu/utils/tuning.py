@@ -243,13 +243,13 @@ def measure_matvec_ms(mv, x, reps: int = 20, timed=None,
             return _time.perf_counter() - t0
 
     if operand is not None:
-        @partial(jax.jit, static_argnames=("r",))
+        @jax.jit   # loop count DYNAMIC: one compile per form
         def loop_op(op, xx, r):
             return jax.lax.fori_loop(
                 0, r, lambda i, y: mv(op, y / jnp.max(jnp.abs(y))), xx)
         loop = lambda xx, r: loop_op(operand, xx, r)  # noqa: E731
     else:
-        @partial(jax.jit, static_argnames=("r",))
+        @jax.jit   # loop count DYNAMIC: one compile per form
         def loop(xx, r):
             return jax.lax.fori_loop(
                 0, r, lambda i, y: mv(y / jnp.max(jnp.abs(y))), xx)
